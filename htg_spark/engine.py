@@ -1,0 +1,397 @@
+"""ElevationEngine — the bulk raster<->vector elevation join.
+
+Re-expresses the reference's one join — ``batch_with_tile_grouping``
+(``htg/src/service.rs:409-480``: group points by tile key, load each tile
+once, apply the kernel, reassemble in input order) — as Spark plan shapes:
+
+- **broadcast** strategy: the tile catalog (raw HGT blobs) is broadcast to
+  executors as a Python dict and the whole join + kernel is ONE map-only
+  ``mapInPandas`` stage — zero shuffle, payload columns pass through
+  untouched, executor-local LRU decodes each tile once per worker (the
+  distributed analog of the reference's moka cache, ``service.rs:168``).
+  Right whenever the catalog fits in executor memory.
+
+- **cogroup** strategy (scale path, catalog >> memory): points are projected
+  narrow ``(row id, lat, lon, tile key, salt)`` and shuffled by
+  ``(tile_lat, tile_lon, salt)``; the catalog side is exploded x n_salts so
+  each hot tile's points spread over ``n_salts`` tasks while each tile blob
+  crosses the shuffle at most ``n_salts`` times; a grouped ``applyInPandas``
+  cogroup applies the kernel per (tile, salt) bucket; the multi-MB image
+  payload NEVER rides the tile shuffle — it is joined back by row id at the
+  end (plan-shape decision per SURVEY.md §4).
+
+Semantics (exact parity with the reference; FIXTURES.md §6):
+- out-of-coverage (|lat|>60, |lon|>180, inclusive bounds valid):
+  skipped -> NULL/default (service.rs:456-459)
+- missing tile: NULL/default (service.rs:466-469)
+- void sample / any-void bilinear corner: NULL/default
+  (service.rs:344-347, tile.rs:271-273)
+- nearest = Rust f64::round (half away from zero); floor = srtm.py variant
+- order/identity preserved by keying every row with ``id_col``
+
+kNN nearest-tile fallback (new, north rule): in-coverage points whose tile
+is absent are assigned the catalog tile with the nearest center (squared
+euclidean in degrees, ties by (tile_lat, tile_lon)), coordinates clamped
+into that tile's [0,1] frac range — half-open boundary semantics preserved
+via the explicit frac-based kernels.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cells, hgt
+
+# appended output columns (in order)
+_APPENDED = [
+    ("lat", T.DoubleType()),
+    ("lon", T.DoubleType()),
+    ("tile_lat", T.IntegerType()),
+    ("tile_lon", T.IntegerType()),
+    ("in_coverage", T.BooleanType()),
+    ("tile_found", T.BooleanType()),
+    ("knn_used", T.BooleanType()),
+]
+
+
+def _elev_type(mode: str):
+    return T.DoubleType() if mode == "bilinear" else T.IntegerType()
+
+
+class _GridCache:
+    """Executor-local decoded-grid LRU — the distributed analog of the
+    reference's moka tile cache (service.rs:168, capacity in tiles)."""
+
+    def __init__(self, capacity: int = 64):
+        self.capacity = capacity
+        self.data: OrderedDict = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key, blob_getter):
+        if key in self.data:
+            self.hits += 1
+            self.data.move_to_end(key)
+            return self.data[key]
+        self.misses += 1
+        blob = blob_getter(key)
+        if blob is None:
+            return None
+        grid = hgt.decode_tile(bytes(blob))
+        self.data[key] = grid
+        if len(self.data) > self.capacity:
+            self.data.popitem(last=False)
+        return grid
+
+
+_EXECUTOR_CACHE: dict[int, _GridCache] = {}
+
+
+def _executor_cache(token: int, capacity: int) -> _GridCache:
+    c = _EXECUTOR_CACHE.get(token)
+    if c is None:
+        c = _EXECUTOR_CACHE[token] = _GridCache(capacity)
+    return c
+
+
+def kernel_batch(
+    lat: np.ndarray,
+    lon: np.ndarray,
+    get_grid,
+    mode: str,
+    knn_centers: np.ndarray | None = None,
+):
+    """Vectorized batch kernel over arbitrary points (NumPy only).
+
+    get_grid((tile_lat, tile_lon)) -> int16 grid or None.
+    Returns dict of column arrays: elevation (float64; NaN == NULL),
+    tile_lat/tile_lon (assigned tile after any kNN fallback), in_coverage,
+    tile_found, knn_used.
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = len(lat)
+    elev = np.full(n, np.nan, dtype=np.float64)
+    in_cov = np.asarray(hgt.is_valid_srtm_coord(lat, lon))
+    klat, klon = hgt.tile_key(lat, lon)
+    found = np.zeros(n, dtype=bool)
+    knn_used = np.zeros(n, dtype=bool)
+
+    idx = np.nonzero(in_cov)[0]
+    if len(idx):
+        keys = np.stack([klat[idx], klon[idx]], axis=1)
+        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+        missing_pts: list[np.ndarray] = []
+        for g, (tl, tn) in enumerate(uniq):
+            gi = idx[inv == g]
+            grid = get_grid((int(tl), int(tn)))
+            if grid is None:
+                missing_pts.append(gi)
+                continue
+            found[gi] = True
+            if mode == "bilinear":
+                vals, _void = hgt.lookup_bilinear(grid, lat[gi], lon[gi])
+                elev[gi] = vals  # NaN where void
+            else:
+                vals = hgt.lookup_nearest(grid, lat[gi], lon[gi], rounding=mode)
+                elev[gi] = np.where(vals == hgt.VOID_VALUE, np.nan, vals.astype(np.float64))
+
+        # kNN nearest-tile fallback for in-coverage points with no tile (J6)
+        if missing_pts and knn_centers is not None and len(knn_centers):
+            mi = np.concatenate(missing_pts)
+            centers = knn_centers.astype(np.float64)  # (m, 2) tile SW corners
+            clat = centers[:, 0] + 0.5
+            clon = centers[:, 1] + 0.5
+            # squared euclidean distance point x tile-center; ties -> lowest
+            # (tile_lat, tile_lon) via lexsort-stable argmin over sorted centers
+            order = np.lexsort((centers[:, 1], centers[:, 0]))
+            clat, clon = clat[order], clon[order]
+            sorted_centers = centers[order]
+            d = (lat[mi, None] - clat[None, :]) ** 2 + (lon[mi, None] - clon[None, :]) ** 2
+            nearest = np.argmin(d, axis=1)  # first (lowest key) wins ties
+            tsel = sorted_centers[nearest].astype(np.int64)
+            klat[mi] = tsel[:, 0]
+            klon[mi] = tsel[:, 1]
+            knn_used[mi] = True
+            # clamp coordinates into the assigned tile -> frac in [0, 1]
+            fr_lat = np.clip(lat[mi] - tsel[:, 0], 0.0, 1.0)
+            fr_lon = np.clip(lon[mi] - tsel[:, 1], 0.0, 1.0)
+            ukeys, uinv = np.unique(tsel, axis=0, return_inverse=True)
+            for g, (tl, tn) in enumerate(ukeys):
+                sub = np.nonzero(uinv == g)[0]
+                grid = get_grid((int(tl), int(tn)))
+                if grid is None:  # cannot happen: centers come from catalog
+                    continue
+                gi = mi[sub]
+                found[gi] = True
+                nm1 = grid.shape[0] - 1.0
+                row_pos = (1.0 - fr_lat[sub]) * nm1
+                col_pos = fr_lon[sub] * nm1
+                if mode == "bilinear":
+                    vals, _void = hgt.lookup_bilinear_pos(grid, row_pos, col_pos)
+                    elev[gi] = vals
+                else:
+                    vals = hgt.lookup_nearest_pos(grid, row_pos, col_pos, rounding=mode)
+                    elev[gi] = np.where(vals == hgt.VOID_VALUE, np.nan, vals.astype(np.float64))
+
+    return {
+        "lat": lat,
+        "lon": lon,
+        "tile_lat": klat.astype(np.int32),
+        "tile_lon": klon.astype(np.int32),
+        "in_coverage": in_cov,
+        "tile_found": found,
+        "knn_used": knn_used,
+        "elevation": elev,
+    }
+
+
+def _result_pdf(pdf: pd.DataFrame, res: dict, mode: str) -> pd.DataFrame:
+    out = pdf.copy()
+    out["lat"] = res["lat"]
+    out["lon"] = res["lon"]
+    out["tile_lat"] = res["tile_lat"]
+    out["tile_lon"] = res["tile_lon"]
+    out["in_coverage"] = res["in_coverage"]
+    out["tile_found"] = res["tile_found"]
+    out["knn_used"] = res["knn_used"]
+    e = res["elevation"]
+    if mode == "bilinear":
+        out["elevation"] = e  # float64, NaN -> NULL via Arrow
+    else:
+        out["elevation"] = pd.array(
+            np.where(np.isnan(e), 0, e).astype(np.int64), dtype="Int32"
+        )
+        out.loc[np.isnan(e), "elevation"] = pd.NA
+    return out
+
+
+class ElevationEngine:
+    """DataFrame-level elevation service — the `SrtmService` analog
+    (API parity table: SURVEY.md §2.8; htg-python/src/lib.rs:110-316)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: DataFrame | None = None,
+        grids: dict | None = None,
+        tile_dir: str | None = None,
+        cache_size: int = 64,
+    ):
+        from . import catalog as cat_mod
+
+        self.spark = spark
+        self.cache_size = cache_size
+        if catalog is not None:
+            self.catalog = catalog
+        elif grids is not None:
+            self.catalog = cat_mod.catalog_from_grids(spark, grids)
+        elif tile_dir is not None:
+            self.catalog = cat_mod.catalog_from_dir(spark, tile_dir)
+        else:
+            raise ValueError("one of catalog / grids / tile_dir is required")
+        self._bcast = None
+
+    # -- catalog helpers ---------------------------------------------------
+
+    def _broadcast_blobs(self):
+        if self._bcast is None:
+            rows = self.catalog.select("tile_lat", "tile_lon", "data").collect()
+            blobs = {(r.tile_lat, r.tile_lon): bytes(r.data) for r in rows}
+            self._bcast = self.spark.sparkContext.broadcast(blobs)
+        return self._bcast
+
+    def tile_centers(self) -> np.ndarray:
+        rows = self.catalog.select("tile_lat", "tile_lon").collect()
+        return np.array([[r.tile_lat, r.tile_lon] for r in rows], dtype=np.int64).reshape(-1, 2)
+
+    # -- the join ------------------------------------------------------------
+
+    def elevation_join(
+        self,
+        points: DataFrame,
+        mode: str = "nearest",
+        strategy: str = "auto",
+        id_col: str = "image_id",
+        default=None,
+        knn_fallback: bool = False,
+        n_salts: int = 8,
+        strict: bool = False,
+    ) -> DataFrame:
+        """Append elevation columns to `points`.
+
+        points must carry either (lat, lon) columns or a `phash` column (the
+        geotag derivation is then done JVM-side from phash). Appended:
+        lat, lon, tile_lat, tile_lon, in_coverage, tile_found, knn_used,
+        elevation (Int32 for nearest/floor, Double for bilinear; NULL for
+        void/missing/out-of-coverage unless `default` is given).
+
+        strict=True replicates the single-point API contract: raise on any
+        out-of-coverage row (service.rs:485-490) instead of defaulting.
+        """
+        if mode not in ("nearest", "floor", "bilinear"):
+            raise ValueError(f"bad mode {mode!r}")
+        pts = points
+        if "lat" not in pts.columns or "lon" not in pts.columns:
+            if "phash" not in pts.columns:
+                raise ValueError("points need (lat, lon) or phash")
+            pts = pts.withColumn("lat", cells.lat_from_phash(F.col("phash"))).withColumn(
+                "lon", cells.lon_from_phash(F.col("phash"))
+            )
+
+        if strict:
+            bad = pts.where(~cells.in_coverage(F.col("lat"), F.col("lon"))).limit(1).count()
+            if bad:
+                raise ValueError("coordinates out of SRTM coverage (strict mode)")
+
+        if strategy == "auto":
+            # broadcast while the raw catalog fits comfortably in memory
+            n_tiles = self.catalog.count()
+            strategy = "broadcast" if n_tiles <= 256 else "cogroup"
+
+        if strategy == "broadcast":
+            out = self._join_broadcast(pts, mode, knn_fallback)
+        elif strategy == "cogroup":
+            out = self._join_cogroup(pts, mode, knn_fallback, id_col, n_salts)
+        else:
+            raise ValueError(f"bad strategy {strategy!r}")
+
+        if default is not None:
+            out = out.withColumn(
+                "elevation", F.coalesce(F.col("elevation"), F.lit(default))
+            )
+        return out
+
+    # -- broadcast (map-only) strategy ----------------------------------------
+
+    def _join_broadcast(self, pts: DataFrame, mode: str, knn: bool) -> DataFrame:
+        bcast = self._broadcast_blobs()
+        centers = self.tile_centers() if knn else None
+        cache_cap = self.cache_size
+        token = id(self)
+        out_schema = T.StructType(
+            [f for f in pts.schema.fields if f.name not in ("lat", "lon")]
+        )
+        for name, typ in _APPENDED:
+            out_schema = out_schema.add(name, typ)
+        out_schema = out_schema.add("elevation", _elev_type(mode))
+        passthrough = [f.name for f in pts.schema.fields if f.name not in ("lat", "lon")]
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cache = _executor_cache(token, cache_cap)
+            blobs = bcast.value
+
+            def get_grid(key):
+                return cache.get(key, blobs.get)
+
+            for pdf in batches:
+                res = kernel_batch(
+                    pdf["lat"].to_numpy(),
+                    pdf["lon"].to_numpy(),
+                    get_grid,
+                    mode,
+                    knn_centers=centers,
+                )
+                yield _result_pdf(pdf[passthrough], res, mode)
+
+        return pts.mapInPandas(run, schema=out_schema)
+
+    # -- cogroup (shuffle, salted) strategy -------------------------------------
+
+    def _join_cogroup(
+        self, pts: DataFrame, mode: str, knn: bool, id_col: str, n_salts: int
+    ) -> DataFrame:
+        if id_col not in pts.columns:
+            raise ValueError(f"cogroup strategy needs a unique id column {id_col!r}")
+        if knn:
+            raise NotImplementedError(
+                "kNN fallback is broadcast-strategy only for now: the fallback "
+                "tile is data-dependent, so the cogroup pre-shuffle cannot route "
+                "to it; run a second broadcast pass over the missing-tile rows."
+            )
+        narrow = pts.select(
+            F.col(id_col).alias("_rid"),
+            F.col("lat"),
+            F.col("lon"),
+            cells.tile_lat(F.col("lat")).alias("tile_lat"),
+            cells.tile_lon(F.col("lon")).alias("tile_lon"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int").alias("salt"),
+        )
+        cat = self.catalog.select(
+            "tile_lat", "tile_lon", "data", F.explode(F.lit(list(range(n_salts)))).alias("salt")
+        )
+
+        id_field = pts.schema[id_col].dataType
+        out_schema = T.StructType([T.StructField("_rid", id_field)])
+        for name, typ in _APPENDED:
+            out_schema = out_schema.add(name, typ)
+        out_schema = out_schema.add("elevation", _elev_type(mode))
+
+        def apply(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            if lpdf.empty:
+                return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            grid = hgt.decode_tile(bytes(rpdf["data"].iloc[0])) if len(rpdf) else None
+
+            res = kernel_batch(
+                lpdf["lat"].to_numpy(),
+                lpdf["lon"].to_numpy(),
+                (lambda k, _g=grid, _key=key: _g if (k[0], k[1]) == (key[0], key[1]) else None),
+                mode,
+            )
+            return _result_pdf(lpdf[["_rid"]], res, mode)
+
+        joined = (
+            narrow.groupBy("tile_lat", "tile_lon", "salt")
+            .cogroup(cat.groupBy("tile_lat", "tile_lon", "salt"))
+            .applyInPandas(apply, schema=out_schema)
+        )
+        return pts.drop("lat", "lon").join(
+            joined.withColumnRenamed("_rid", id_col), on=id_col, how="inner"
+        )

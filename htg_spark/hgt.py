@@ -177,15 +177,8 @@ def _gather(grid: np.ndarray, row: np.ndarray, col: np.ndarray) -> np.ndarray:
     return grid[row, col]
 
 
-def lookup_nearest(grid: np.ndarray, lat, lon, rounding: str = "nearest") -> np.ndarray:
-    """Nearest-neighbor (round) / floor elevation lookup; returns raw int16
-    (may be VOID_VALUE) — tile.rs:158-203. Vectorized over lat/lon arrays.
-
-    rounding='nearest' uses half-away-from-zero (Rust f64::round);
-    rounding='floor' is the srtm.py-compatible SW-biased variant
-    (tile.rs:181-183; discriminator test tile.rs:554-613).
-    """
-    row_pos, col_pos = grid_position(lat, lon, grid.shape[0])
+def lookup_nearest_pos(grid: np.ndarray, row_pos, col_pos, rounding: str = "nearest") -> np.ndarray:
+    """Nearest/floor lookup from continuous grid positions (tile.rs:186-203)."""
     if rounding == "nearest":
         row = round_half_away_nonneg(row_pos).astype(np.int64)
         col = round_half_away_nonneg(col_pos).astype(np.int64)
@@ -197,8 +190,20 @@ def lookup_nearest(grid: np.ndarray, lat, lon, rounding: str = "nearest") -> np.
     return _gather(grid, row, col)
 
 
-def lookup_bilinear(grid: np.ndarray, lat, lon):
-    """Bilinear interpolation (tile.rs:239-284).
+def lookup_nearest(grid: np.ndarray, lat, lon, rounding: str = "nearest") -> np.ndarray:
+    """Nearest-neighbor (round) / floor elevation lookup; returns raw int16
+    (may be VOID_VALUE) — tile.rs:158-203. Vectorized over lat/lon arrays.
+
+    rounding='nearest' uses half-away-from-zero (Rust f64::round);
+    rounding='floor' is the srtm.py-compatible SW-biased variant
+    (tile.rs:181-183; discriminator test tile.rs:554-613).
+    """
+    row_pos, col_pos = grid_position(lat, lon, grid.shape[0])
+    return lookup_nearest_pos(grid, row_pos, col_pos, rounding)
+
+
+def lookup_bilinear_pos(grid: np.ndarray, row_pos, col_pos):
+    """Bilinear interpolation from continuous grid positions (tile.rs:239-284).
 
     Returns (values: float64 array, void_mask: bool array). Where any of the
     4 corners is VOID_VALUE the mask is True and the value is NaN
@@ -207,7 +212,6 @@ def lookup_bilinear(grid: np.ndarray, lat, lon):
     matches tile.rs:277-281 for bitwise parity.
     """
     n = grid.shape[0]
-    row_pos, col_pos = grid_position(lat, lon, n)
     row0 = np.floor(row_pos).astype(np.int64)
     col0 = np.floor(col_pos).astype(np.int64)
     row1 = np.minimum(row0 + 1, n - 1)
@@ -229,6 +233,12 @@ def lookup_bilinear(grid: np.ndarray, lat, lon):
     elev = v0 + (v1 - v0) * row_w
     elev = np.where(void, np.nan, elev)
     return elev, void
+
+
+def lookup_bilinear(grid: np.ndarray, lat, lon):
+    """Bilinear interpolation at (lat, lon) — see lookup_bilinear_pos."""
+    row_pos, col_pos = grid_position(lat, lon, grid.shape[0])
+    return lookup_bilinear_pos(grid, row_pos, col_pos)
 
 
 # --- service-layer batch semantics (service.rs:409-480) -------------------------

@@ -1,0 +1,45 @@
+"""SparkSession construction tuned for the elevation-join workload."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "htg-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults chosen for the raster<->vector join at scale:
+    - AQE on (runtime coalescing + skew-join splitting — first line of defense
+      against dense coordinate clusters before explicit salting kicks in)
+    - Arrow execution on (all kernels are pandas/Arrow UDFs; per-row Python is
+      banned by design)
+    - shuffle partitions sized to cores locally; on a real cluster set it to
+      2-3x total executor cores via spark-submit conf.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cores = 32
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        cores = os.cpu_count() if inner == "*" else int(inner)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cores, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,217 @@
+"""End-to-end Spark engine tests — every result checked row-for-row against
+the pure-NumPy oracle (htg_spark.hgt), which itself carries the reference's
+unit-test expectations (tests/test_hgt_kernels.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from htg_spark import cells, fixtures, hgt
+from htg_spark.engine import ElevationEngine
+
+
+@pytest.fixture(scope="module")
+def grids():
+    return fixtures.default_catalog_grids()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, grids):
+    return ElevationEngine(spark, grids=grids)
+
+
+@pytest.fixture(scope="module")
+def points_pdf():
+    """2000 deterministic points: in-tile, hot cluster, boundary, void,
+    missing-tile, out-of-coverage."""
+    rng = np.random.default_rng(123)
+    n = 2000
+    lat = 35.0 + rng.random(n) * 2.0
+    lon = 138.0 + rng.random(n) * 2.0
+    # missing tile rows
+    lat[::17] = 50.0 + rng.random(len(lat[::17])) * 0.9
+    lon[::17] = 50.0 + rng.random(len(lon[::17])) * 0.9
+    # out of coverage rows
+    lat[3::29] = 75.0 + rng.random(len(lat[3::29]))
+    # the rounding-discriminator tile
+    lat[5::31] = 33.0 + rng.random(len(lat[5::31]))
+    lon[5::31] = -97.0 + rng.random(len(lon[5::31]))
+    # exact boundaries (half-open PIP semantics)
+    lat[7], lon[7] = 36.0, 138.5
+    lat[11], lon[11] = 35.5, 139.0
+    lat[13], lon[13] = 33.3448, -96.1592
+    return pd.DataFrame(
+        {"image_id": [f"p{i:05d}" for i in range(n)], "lat": lat, "lon": lon}
+    )
+
+
+def _oracle(points_pdf, grids, mode):
+    coords = list(zip(points_pdf["lat"], points_pdf["lon"]))
+    default = np.nan if mode == "bilinear" else None
+    # oracle with NULL semantics: use get_elevations_batch with sentinel
+    if mode == "bilinear":
+        out = hgt.get_elevations_batch(coords, grids, default=np.nan, mode=mode)
+        return out
+    out = hgt.get_elevations_batch(coords, grids, default=-(10**6), mode=mode)
+    return np.where(out == -(10**6), np.nan, out.astype(np.float64))
+
+
+@pytest.mark.parametrize("mode", ["nearest", "floor", "bilinear"])
+def test_broadcast_join_matches_oracle(spark, engine, grids, points_pdf, mode):
+    df = spark.createDataFrame(points_pdf)
+    res = (
+        engine.elevation_join(df, mode=mode, strategy="broadcast")
+        .orderBy("image_id")
+        .toPandas()
+    )
+    expect = _oracle(points_pdf, grids, mode)
+    got = res["elevation"].to_numpy(dtype="float64", na_value=np.nan)
+    if mode == "bilinear":
+        # bitwise-equal floats expected (same IEEE op order)
+        both = np.isnan(expect) == np.isnan(got)
+        assert both.all()
+        m = ~np.isnan(expect)
+        assert np.array_equal(expect[m], got[m])
+    else:
+        assert np.array_equal(np.isnan(expect), np.isnan(got))
+        m = ~np.isnan(expect)
+        assert np.array_equal(expect[m], got[m])
+
+
+def test_reference_expectations_through_spark(spark, engine):
+    pts = pd.DataFrame(
+        {
+            "image_id": ["a", "b", "c", "d", "e"],
+            "lat": [35.5, 50.0, 35.1, 70.0, 33.3448],
+            "lon": [138.5, 50.0, 138.1, 0.0, -96.1592],
+        }
+    )
+    df = spark.createDataFrame(pts)
+    out = (
+        engine.elevation_join(df, mode="nearest", default=-1)
+        .orderBy("image_id")
+        .toPandas()
+    )
+    # [500 center, -1 missing, 0 zeros, -1 out-of-coverage, 190 round-tile]
+    assert list(out["elevation"]) == [500, -1, 0, -1, 190]
+    assert list(out["in_coverage"]) == [True, True, True, False, True]
+    assert list(out["tile_found"]) == [True, False, True, False, True]
+
+    out_f = (
+        engine.elevation_join(df, mode="floor", default=-1).orderBy("image_id").toPandas()
+    )
+    assert list(out_f["elevation"]) == [500, -1, 0, -1, 191]
+
+
+def test_cogroup_equals_broadcast(spark, engine, points_pdf):
+    df = spark.createDataFrame(points_pdf)
+    for mode in ("nearest", "bilinear"):
+        a = (
+            engine.elevation_join(df, mode=mode, strategy="broadcast")
+            .orderBy("image_id")
+            .toPandas()
+        )
+        b = (
+            engine.elevation_join(df, mode=mode, strategy="cogroup", n_salts=4)
+            .orderBy("image_id")
+            .toPandas()
+        )
+        assert len(a) == len(b) == len(points_pdf)
+        av = a["elevation"].to_numpy(dtype="float64", na_value=np.nan)
+        bv = b["elevation"].to_numpy(dtype="float64", na_value=np.nan)
+        assert np.array_equal(np.isnan(av), np.isnan(bv))
+        m = ~np.isnan(av)
+        assert np.array_equal(av[m], bv[m])
+        for c in ("tile_lat", "tile_lon", "in_coverage", "tile_found"):
+            assert a[c].tolist() == b[c].tolist(), c
+
+
+def test_strict_mode_raises_on_ooc(spark, engine):
+    df = spark.createDataFrame(pd.DataFrame({"image_id": ["x"], "lat": [70.0], "lon": [0.0]}))
+    with pytest.raises(ValueError, match="out of SRTM coverage"):
+        engine.elevation_join(df, strict=True)
+
+
+def test_knn_fallback(spark, grids):
+    # catalog has tiles around (35..36, 138..139); a point at (40.2, 138.4)
+    # is in coverage but tile (40,138) is missing -> nearest center is
+    # (36.5, 138.5) -> tile (36,138); clamped frac -> lat frac 1.0 (north
+    # edge, row 0), lon frac 0.4
+    eng = ElevationEngine(spark, grids=grids)
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["k1", "k2"], "lat": [40.2, 35.5], "lon": [138.4, 138.5]})
+    )
+    out = eng.elevation_join(df, mode="nearest", knn_fallback=True).orderBy("image_id").toPandas()
+    k1 = out.iloc[0]
+    assert bool(k1["knn_used"]) and bool(k1["tile_found"])
+    assert (k1["tile_lat"], k1["tile_lon"]) == (36, 138)
+    # row 0, col = round(0.4*1200) = 480 -> grid value 0 on tile_center(1000)
+    assert k1["elevation"] == 0
+    k2 = out.iloc[1]
+    assert not bool(k2["knn_used"]) and k2["elevation"] == 500
+
+
+def test_phash_derivation_matches_numpy(spark, engine):
+    rng = np.random.default_rng(5)
+    lat = 35.0 + rng.random(500) * 2
+    lon = 138.0 + rng.random(500) * 2
+    ph = fixtures.lat_lon_to_phash(lat, lon)
+    pdf = pd.DataFrame({"image_id": [f"i{k}" for k in range(500)], "phash": ph})
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select(
+            "image_id",
+            cells.lat_from_phash(df.phash).alias("lat"),
+            cells.lon_from_phash(df.phash).alias("lon"),
+        )
+        .orderBy("image_id")
+        .toPandas()
+    )
+    exp_lat, exp_lon = fixtures.phash_to_lat_lon(pdf.sort_values("image_id")["phash"].to_numpy())
+    assert np.array_equal(got["lat"].to_numpy(), exp_lat)  # bitwise
+    assert np.array_equal(got["lon"].to_numpy(), exp_lon)
+
+
+def test_payload_passthrough(spark, engine):
+    imgs = fixtures.make_images_pdf(60)
+    df = spark.createDataFrame(imgs)
+    out = engine.elevation_join(df, mode="nearest").orderBy("image_id").toPandas()
+    assert len(out) == 60
+    src = imgs.sort_values("image_id").reset_index(drop=True)
+    assert (out["caption"] == src["caption"]).all()
+    for i in range(len(out)):
+        px_out = fixtures.decode_image(
+            bytes(out["bytes"][i]), int(out["w"][i]), int(out["h"][i]), out["fmt"][i]
+        )
+        px_src = fixtures.decode_image(
+            bytes(src["bytes"][i]), int(src["w"][i]), int(src["h"][i]), src["fmt"][i]
+        )
+        assert np.array_equal(px_out, px_src)  # lossless: PSNR = inf >= 40dB
+    # derived coordinates match the shared formula
+    exp_lat, exp_lon = fixtures.phash_to_lat_lon(src["phash"].to_numpy())
+    assert np.array_equal(out["lat"].to_numpy(), exp_lat)
+
+
+def test_filename_expressions_match_python(spark):
+    pdf = pd.DataFrame(
+        {
+            "t_lat": [35, -13, 0, -1, 59],
+            "t_lon": [138, -78, -1, 0, 179],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = df.select(
+        cells.tile_filename(df.t_lat, df.t_lon).alias("fn")
+    ).toPandas()["fn"]
+    exp = [hgt.coords_to_filename(a, b) for a, b in zip(pdf.t_lat, pdf.t_lon)]
+    assert list(got) == exp
+    # parse back
+    df2 = spark.createDataFrame(pd.DataFrame({"fn": exp + ["invalid", "n35e138", "/p/N00E000.hgt"]}))
+    tl, tn = cells.filename_to_key(df2.fn)
+    back = df2.select(tl.alias("a"), tn.alias("b")).toPandas()
+    exp_back = [hgt.filename_to_lat_lon(x) for x in list(exp) + ["invalid", "n35e138", "/p/N00E000.hgt"]]
+    for i, e in enumerate(exp_back):
+        if e is None:
+            assert pd.isna(back["a"][i]) and pd.isna(back["b"][i])
+        else:
+            assert (back["a"][i], back["b"][i]) == e
