@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship bulk raster<->vector elevation join on sf0.001.
+queries()/oracle_sql(): one entry per implemented operator (SURVEY.md §2);
+oracles are closed-form DuckDB SQL over the same analytic gradient tile
+catalog the Spark engine joins as real HGT binaries (htg_spark/driver_queries).
 """
 
 from __future__ import annotations
@@ -13,26 +12,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from htg_spark import driver_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: derive geotagged points from
+    events, broadcast-join the HGT tile catalog, apply the vectorized
+    bilinear kernel with kNN nearest-tile fallback."""
+    sf_dir = "/root/testdata/sf0.001"
+    eng = driver_queries.get_engine(spark)
+    pts = driver_queries.derive_points(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return eng.elevation_join(
+        pts, mode="bilinear", strategy="broadcast", id_col="event_id", knn_fallback=True
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(driver_queries.queries())
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(driver_queries.oracle_sql())

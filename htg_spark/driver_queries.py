@@ -1,0 +1,526 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+The correctness trick: the tile catalog used here is the reference's own
+*gradient* benchmark pattern (``htg/benches/elevation.rs:10-24``,
+elev = (row+col) % 4000) with an analytic void rule
+(VOID where (row*1201 + col) % 97 == 0), so the expected output of the full
+binary-decode -> tile-join -> kernel pipeline is a closed form that plain
+SQL can compute. The Spark side does the real work (HGT blobs, broadcast
+join, Arrow kernels); the DuckDB oracle recomputes every elevation
+analytically. Bit-identical IEEE doubles on both sides (same op order).
+
+Points derive from the driver's `events` table via a fixed closed form on
+(event_id, user_id) that produces in-tile, hot-cluster (skew), missing-tile
+and out-of-coverage rows — mirroring the reference's batch semantics tests
+(htg/src/service.rs:1044-1095).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import catalog as cat_mod
+from . import cells, fixtures, hgt
+from .engine import ElevationEngine
+
+SAMPLES = 1201
+NM1 = 1200
+VOID_MOD = 97
+
+# catalog tiles — (36,139) deliberately missing (missing-tile semantics)
+CATALOG_KEYS = [(35, 138), (35, 139), (36, 138)]
+
+
+def gradient_void_grid(samples: int = SAMPLES) -> np.ndarray:
+    """elev = (row+col) % 4000, VOID where (row*samples+col) % 97 == 0."""
+    r = np.arange(samples, dtype=np.int64)
+    g = ((r[:, None] + r[None, :]) % 4000).astype(np.int16)
+    flat_idx = r[:, None] * samples + r[None, :]
+    g[(flat_idx % VOID_MOD) == 0] = hgt.VOID_VALUE
+    return g
+
+
+_ENGINES: dict[int, ElevationEngine] = {}
+
+
+def get_engine(spark: SparkSession) -> ElevationEngine:
+    key = id(spark)
+    if key not in _ENGINES:
+        g = gradient_void_grid()
+        _ENGINES[key] = ElevationEngine(spark, grids={k: g for k in CATALOG_KEYS})
+    return _ENGINES[key]
+
+
+# --- point derivation (Spark side) — MUST mirror _SQL_PTS below -----------------
+
+
+def derive_points(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    u = F.col("user_id")
+    lat = (
+        F.when(e % 37 == 0, F.lit(75.0) + (e % 1000).cast("double") / F.lit(1000.0))
+        .when(e % 11 == 0, F.lit(50.0) + (e % 900).cast("double") / F.lit(1000.0))
+        .when(e % 3 == 0, F.lit(35.42) + (e % 100).cast("double") / F.lit(10000.0))
+        .otherwise(F.lit(35.0) + (e % 2000).cast("double") / F.lit(1000.0))
+    )
+    lon = (
+        F.when(e % 37 == 0, F.lit(10.0) + (u % 1000).cast("double") / F.lit(1000.0))
+        .when(e % 11 == 0, F.lit(50.0) + (u % 900).cast("double") / F.lit(1000.0))
+        .when(e % 3 == 0, F.lit(138.77) + (u % 100).cast("double") / F.lit(10000.0))
+        .otherwise(
+            F.lit(138.0) + ((e * 7 + u) % 2000).cast("double") / F.lit(1000.0)
+        )
+    )
+    return events.select("event_id", lat.alias("lat"), lon.alias("lon"))
+
+
+# shared SQL CTE prefix (DuckDB) — the mirror of derive_points + key math
+_SQL_PTS = """
+WITH pts AS (
+  SELECT event_id,
+    CASE WHEN event_id % 37 = 0 THEN 75.0 + CAST(event_id % 1000 AS DOUBLE) / 1000.0
+         WHEN event_id % 11 = 0 THEN 50.0 + CAST(event_id % 900 AS DOUBLE) / 1000.0
+         WHEN event_id % 3 = 0 THEN 35.42 + CAST(event_id % 100 AS DOUBLE) / 10000.0
+         ELSE 35.0 + CAST(event_id % 2000 AS DOUBLE) / 1000.0 END AS lat,
+    CASE WHEN event_id % 37 = 0 THEN 10.0 + CAST(user_id % 1000 AS DOUBLE) / 1000.0
+         WHEN event_id % 11 = 0 THEN 50.0 + CAST(user_id % 900 AS DOUBLE) / 1000.0
+         WHEN event_id % 3 = 0 THEN 138.77 + CAST(user_id % 100 AS DOUBLE) / 10000.0
+         ELSE 138.0 + CAST((event_id * 7 + user_id) % 2000 AS DOUBLE) / 1000.0 END AS lon
+  FROM events
+),
+keyed AS (
+  SELECT *,
+    CAST(floor(lat) AS INTEGER) AS tile_lat,
+    CAST(floor(lon) AS INTEGER) AS tile_lon,
+    (lat >= -60.0 AND lat <= 60.0 AND lon >= -180.0 AND lon <= 180.0) AS in_coverage,
+    ((CAST(floor(lat) AS INTEGER) = 35 AND CAST(floor(lon) AS INTEGER) = 138)
+     OR (CAST(floor(lat) AS INTEGER) = 35 AND CAST(floor(lon) AS INTEGER) = 139)
+     OR (CAST(floor(lat) AS INTEGER) = 36 AND CAST(floor(lon) AS INTEGER) = 138)) AS has_tile
+  FROM pts
+),
+pos AS (
+  SELECT *,
+    (1.0 - (lat - floor(lat))) * 1200.0 AS rp,
+    (lon - floor(lon)) * 1200.0 AS cp
+  FROM keyed
+)
+"""
+
+_SQL_ROUND_RC = """
+rc AS (
+  SELECT *,
+    CAST(floor(rp) AS BIGINT) + (CASE WHEN rp - floor(rp) >= 0.5 THEN 1 ELSE 0 END) AS r,
+    CAST(floor(cp) AS BIGINT) + (CASE WHEN cp - floor(cp) >= 0.5 THEN 1 ELSE 0 END) AS c
+  FROM pos
+)
+"""
+
+_SQL_FLOOR_RC = """
+rc AS (
+  SELECT *, CAST(floor(rp) AS BIGINT) AS r, CAST(floor(cp) AS BIGINT) AS c FROM pos
+)
+"""
+
+_SQL_NEAREST_ELEV = """
+  CASE WHEN in_coverage AND has_tile AND ((r * 1201 + c) % 97 <> 0)
+       THEN CAST((r + c) % 4000 AS INTEGER) ELSE NULL END
+"""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- elevation queries -----------------------------------------------------------
+
+
+def q_elevation_nearest(spark, sf_dir):
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    out = eng.elevation_join(pts, mode="nearest", strategy="broadcast", id_col="event_id")
+    return out.select("event_id", F.col("elevation").cast("int").alias("elevation"))
+
+
+def q_elevation_floor(spark, sf_dir):
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    out = eng.elevation_join(pts, mode="floor", strategy="broadcast", id_col="event_id")
+    return out.select("event_id", F.col("elevation").cast("int").alias("elevation"))
+
+
+def q_elevation_bilinear(spark, sf_dir):
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    out = eng.elevation_join(pts, mode="bilinear", strategy="broadcast", id_col="event_id")
+    return out.select("event_id", F.col("elevation").cast("double").alias("elevation"))
+
+
+def q_elevation_default_fill(spark, sf_dir):
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    out = eng.elevation_join(
+        pts, mode="nearest", strategy="broadcast", id_col="event_id", default=-1
+    )
+    return out.select("event_id", F.col("elevation").cast("int").alias("elevation"))
+
+
+def q_elevation_cogroup(spark, sf_dir):
+    """Same join through the salted-cogroup scale path (J5) — proves the
+    shuffle variant returns identical rows."""
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    out = eng.elevation_join(
+        pts, mode="nearest", strategy="cogroup", id_col="event_id", n_salts=4
+    )
+    return out.select("event_id", F.col("elevation").cast("int").alias("elevation"))
+
+
+def q_tile_assignment(spark, sf_dir):
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    out = eng.elevation_join(pts, mode="nearest", strategy="broadcast", id_col="event_id")
+    return out.select(
+        "event_id",
+        "tile_lat",
+        "tile_lon",
+        cells.tile_filename(F.col("tile_lat"), F.col("tile_lon")).alias("filename"),
+        "in_coverage",
+        "tile_found",
+    )
+
+
+def q_coverage_counts(spark, sf_dir):
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    out = eng.elevation_join(pts, mode="nearest", strategy="broadcast", id_col="event_id")
+    return (
+        out.groupBy("in_coverage", "tile_found")
+        .agg(F.count("*").alias("n"))
+        .orderBy("in_coverage", "tile_found")
+    )
+
+
+def q_cell_ids(spark, sf_dir):
+    pts = derive_points(_events(spark, sf_dir))
+    lat, lon = F.col("lat"), F.col("lon")
+    return pts.select(
+        "event_id",
+        cells.cell_id(cells.tile_lat(lat), cells.tile_lon(lon)).alias("cell0"),
+        cells.cell_id_at_level(lat, lon, 4).alias("cell4"),
+    )
+
+
+def q_filename_roundtrip(spark, sf_dir):
+    pts = derive_points(_events(spark, sf_dir))
+    df = pts.select(
+        "event_id",
+        cells.tile_filename(
+            cells.tile_lat(F.col("lat")), cells.tile_lon(F.col("lon"))
+        ).alias("filename"),
+    )
+    t_lat, t_lon = cells.filename_to_key(F.col("filename"))
+    return df.select("event_id", "filename", t_lat.alias("parsed_lat"), t_lon.alias("parsed_lon"))
+
+
+def q_knn_fallback(spark, sf_dir):
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    out = eng.elevation_join(
+        pts, mode="nearest", strategy="broadcast", id_col="event_id", knn_fallback=True
+    )
+    return out.where(F.col("knn_used")).select(
+        "event_id",
+        "tile_lat",
+        "tile_lon",
+        F.col("elevation").cast("int").alias("elevation"),
+    )
+
+
+def q_accuracy_stats(spark, sf_dir):
+    """A5-style accuracy aggregate between nearest and floor kernels
+    (scripts/compare_elevations.py:136-157) — exact int arithmetic."""
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    a = eng.elevation_join(pts, mode="nearest", strategy="broadcast", id_col="event_id").select(
+        "event_id", F.col("elevation").alias("e_n")
+    )
+    b = eng.elevation_join(pts, mode="floor", strategy="broadcast", id_col="event_id").select(
+        "event_id", F.col("elevation").alias("e_f")
+    )
+    j = a.join(b, "event_id").where(F.col("e_n").isNotNull() & F.col("e_f").isNotNull())
+    d = F.abs(F.col("e_n").cast("long") - F.col("e_f").cast("long"))
+    return j.agg(
+        F.count("*").alias("n"),
+        (F.sum(d).cast("double") / F.count("*")).alias("mae"),
+        F.max(d).cast("int").alias("max_abs"),
+        F.sum(F.when(d <= 1, 1).otherwise(0)).cast("long").alias("within_1m"),
+    )
+
+
+def q_tile_info(spark, sf_dir):
+    eng = get_engine(spark)
+    info = cat_mod.tile_info(eng.catalog)
+    return info.select(
+        "tile_lat", "tile_lon", "min_elev", "max_elev",
+        F.col("void_count").cast("long").alias("void_count"),
+        "void_pct",
+    )
+
+
+def q_tile_inventory(spark, sf_dir):
+    eng = get_engine(spark)
+    return cat_mod.tile_inventory(eng.catalog)
+
+
+def q_bbox_preload(spark, sf_dir):
+    """P4 preload bbox filter: tiles overlapping each box (strict-inequality
+    half-open overlap, service.rs:102-110)."""
+    eng = get_engine(spark)
+    boxes = [
+        (0, 35.2, 138.2, 35.8, 138.8),
+        (1, 35.0, 138.0, 37.0, 140.0),
+        (2, 36.0, 139.0, 36.5, 139.5),
+        (3, -10.0, -10.0, 0.0, 0.0),
+        (4, 35.999, 138.999, 36.001, 139.001),
+    ]
+    bx = spark.createDataFrame(boxes, "box_id int, min_lat double, min_lon double, max_lat double, max_lon double")
+    t = eng.catalog.select("tile_lat", "tile_lon")
+    j = bx.crossJoin(t).where(
+        (F.col("min_lat") < (F.col("tile_lat") + 1).cast("double"))
+        & (F.col("max_lat") > F.col("tile_lat").cast("double"))
+        & (F.col("min_lon") < (F.col("tile_lon") + 1).cast("double"))
+        & (F.col("max_lon") > F.col("tile_lon").cast("double"))
+    )
+    return (
+        bx.join(j.groupBy("box_id").agg(F.count("*").alias("matched")), "box_id", "left")
+        .select("box_id", F.coalesce("matched", F.lit(0)).alias("matched"))
+        .orderBy("box_id")
+    )
+
+
+# --- oracle SQL -------------------------------------------------------------------
+
+_TILES_VALUES = "(VALUES (35, 138), (35, 139), (36, 138)) AS tiles(tile_lat, tile_lon)"
+
+
+def oracle_sql() -> dict[str, str]:
+    nearest = (
+        _SQL_PTS
+        + ", "
+        + _SQL_ROUND_RC
+        + f"SELECT event_id, {_SQL_NEAREST_ELEV} AS elevation FROM rc"
+    )
+    floor_q = (
+        _SQL_PTS
+        + ", "
+        + _SQL_FLOOR_RC
+        + f"SELECT event_id, {_SQL_NEAREST_ELEV} AS elevation FROM rc"
+    )
+    default_fill = (
+        _SQL_PTS
+        + ", "
+        + _SQL_ROUND_RC
+        + f"SELECT event_id, COALESCE({_SQL_NEAREST_ELEV}, -1) AS elevation FROM rc"
+    )
+    bilinear = (
+        _SQL_PTS
+        + """,
+rc AS (
+  SELECT *,
+    CAST(floor(rp) AS BIGINT) AS r0, CAST(floor(cp) AS BIGINT) AS c0,
+    LEAST(CAST(floor(rp) AS BIGINT) + 1, 1200) AS r1,
+    LEAST(CAST(floor(cp) AS BIGINT) + 1, 1200) AS c1,
+    rp - floor(rp) AS rw, cp - floor(cp) AS cw
+  FROM pos
+)
+SELECT event_id,
+  CASE WHEN in_coverage AND has_tile
+        AND ((r0 * 1201 + c0) % 97 <> 0) AND ((r0 * 1201 + c1) % 97 <> 0)
+        AND ((r1 * 1201 + c0) % 97 <> 0) AND ((r1 * 1201 + c1) % 97 <> 0)
+  THEN (CAST((r0 + c0) % 4000 AS DOUBLE)
+          + (CAST((r0 + c1) % 4000 AS DOUBLE) - CAST((r0 + c0) % 4000 AS DOUBLE)) * cw)
+       + ((CAST((r1 + c0) % 4000 AS DOUBLE)
+          + (CAST((r1 + c1) % 4000 AS DOUBLE) - CAST((r1 + c0) % 4000 AS DOUBLE)) * cw)
+         - (CAST((r0 + c0) % 4000 AS DOUBLE)
+          + (CAST((r0 + c1) % 4000 AS DOUBLE) - CAST((r0 + c0) % 4000 AS DOUBLE)) * cw)) * rw
+  ELSE NULL END AS elevation
+FROM rc
+"""
+    )
+    tile_assignment = (
+        _SQL_PTS
+        + """
+SELECT event_id, tile_lat, tile_lon,
+  printf('%s%02d%s%03d.hgt',
+         CASE WHEN tile_lat >= 0 THEN 'N' ELSE 'S' END, abs(tile_lat),
+         CASE WHEN tile_lon >= 0 THEN 'E' ELSE 'W' END, abs(tile_lon)) AS filename,
+  in_coverage, (in_coverage AND has_tile) AS tile_found
+FROM keyed
+"""
+    )
+    coverage_counts = (
+        _SQL_PTS
+        + """
+SELECT in_coverage, (in_coverage AND has_tile) AS tile_found, count(*) AS n
+FROM keyed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+    cell_ids = (
+        _SQL_PTS
+        + """
+SELECT event_id,
+  (CAST(tile_lat AS BIGINT) + 90) * 360 + (CAST(tile_lon AS BIGINT) + 180) AS cell0,
+  ((CAST(tile_lat AS BIGINT) + 90) * 360 + (CAST(tile_lon AS BIGINT) + 180)) * 256
+    + CAST(floor((lat - floor(lat)) * 16) AS BIGINT) * 16
+    + CAST(floor((lon - floor(lon)) * 16) AS BIGINT) AS cell4
+FROM keyed
+"""
+    )
+    filename_roundtrip = (
+        _SQL_PTS
+        + """
+SELECT event_id,
+  printf('%s%02d%s%03d.hgt',
+         CASE WHEN tile_lat >= 0 THEN 'N' ELSE 'S' END, abs(tile_lat),
+         CASE WHEN tile_lon >= 0 THEN 'E' ELSE 'W' END, abs(tile_lon)) AS filename,
+  tile_lat AS parsed_lat, tile_lon AS parsed_lon
+FROM keyed
+"""
+    )
+    knn = (
+        _SQL_PTS
+        + """,
+cand AS (
+  SELECT k.event_id, k.lat, k.lon, tiles.tile_lat AS tla, tiles.tile_lon AS tlo,
+    (k.lat - (tiles.tile_lat + 0.5)) * (k.lat - (tiles.tile_lat + 0.5))
+      + (k.lon - (tiles.tile_lon + 0.5)) * (k.lon - (tiles.tile_lon + 0.5)) AS d
+  FROM keyed k CROSS JOIN """
+        + _TILES_VALUES
+        + """
+  WHERE k.in_coverage AND NOT k.has_tile
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY d, tla, tlo) AS rn FROM cand
+),
+clamped AS (
+  SELECT event_id, tla, tlo,
+    (1.0 - LEAST(GREATEST(lat - CAST(tla AS DOUBLE), 0.0), 1.0)) * 1200.0 AS rp,
+    LEAST(GREATEST(lon - CAST(tlo AS DOUBLE), 0.0), 1.0) * 1200.0 AS cp
+  FROM best WHERE rn = 1
+),
+rc AS (
+  SELECT *,
+    CAST(floor(rp) AS BIGINT) + (CASE WHEN rp - floor(rp) >= 0.5 THEN 1 ELSE 0 END) AS r,
+    CAST(floor(cp) AS BIGINT) + (CASE WHEN cp - floor(cp) >= 0.5 THEN 1 ELSE 0 END) AS c
+  FROM clamped
+)
+SELECT event_id, tla AS tile_lat, tlo AS tile_lon,
+  CASE WHEN (r * 1201 + c) % 97 <> 0 THEN CAST((r + c) % 4000 AS INTEGER) ELSE NULL END AS elevation
+FROM rc
+"""
+    )
+    accuracy = (
+        _SQL_PTS
+        + """,
+rcn AS (
+  SELECT event_id, in_coverage, has_tile,
+    CAST(floor(rp) AS BIGINT) + (CASE WHEN rp - floor(rp) >= 0.5 THEN 1 ELSE 0 END) AS r,
+    CAST(floor(cp) AS BIGINT) + (CASE WHEN cp - floor(cp) >= 0.5 THEN 1 ELSE 0 END) AS c,
+    CAST(floor(rp) AS BIGINT) AS rf, CAST(floor(cp) AS BIGINT) AS cf
+  FROM pos
+),
+both_e AS (
+  SELECT event_id,
+    CASE WHEN in_coverage AND has_tile AND ((r * 1201 + c) % 97 <> 0)
+         THEN (r + c) % 4000 ELSE NULL END AS e_n,
+    CASE WHEN in_coverage AND has_tile AND ((rf * 1201 + cf) % 97 <> 0)
+         THEN (rf + cf) % 4000 ELSE NULL END AS e_f
+  FROM rcn
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(abs(e_n - e_f)) AS DOUBLE) / count(*) AS mae,
+  CAST(max(abs(e_n - e_f)) AS INTEGER) AS max_abs,
+  CAST(sum(CASE WHEN abs(e_n - e_f) <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS within_1m
+FROM both_e WHERE e_n IS NOT NULL AND e_f IS NOT NULL
+"""
+    )
+    tile_info_sql = """
+WITH g AS (SELECT r.range AS row, c.range AS col FROM range(0, 1201) r, range(0, 1201) c),
+cells_t AS (
+  SELECT tiles.tile_lat, tiles.tile_lon,
+    ((row * 1201 + col) % 97 = 0) AS is_void,
+    CAST((row + col) % 4000 AS INTEGER) AS elev
+  FROM """ + _TILES_VALUES + """ CROSS JOIN g
+)
+SELECT tile_lat, tile_lon,
+  MIN(CASE WHEN NOT is_void THEN elev END) AS min_elev,
+  MAX(CASE WHEN NOT is_void THEN elev END) AS max_elev,
+  CAST(SUM(CASE WHEN is_void THEN 1 ELSE 0 END) AS BIGINT) AS void_count,
+  CAST(SUM(CASE WHEN is_void THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 100.0 AS void_pct
+FROM cells_t GROUP BY 1, 2
+"""
+    inventory = """
+SELECT 'SRTM3' AS resolution, CAST(3 AS BIGINT) AS tile_count,
+       CAST(3 AS BIGINT) * 2884802 AS total_bytes
+"""
+    bbox = """
+WITH boxes(box_id, min_lat, min_lon, max_lat, max_lon) AS (VALUES
+  (0, 35.2, 138.2, 35.8, 138.8),
+  (1, 35.0, 138.0, 37.0, 140.0),
+  (2, 36.0, 139.0, 36.5, 139.5),
+  (3, -10.0, -10.0, 0.0, 0.0),
+  (4, 35.999, 138.999, 36.001, 139.001)
+),
+m AS (
+  SELECT b.box_id, count(*) AS matched
+  FROM boxes b JOIN """ + _TILES_VALUES + """
+    ON b.min_lat < CAST(tiles.tile_lat + 1 AS DOUBLE)
+   AND b.max_lat > CAST(tiles.tile_lat AS DOUBLE)
+   AND b.min_lon < CAST(tiles.tile_lon + 1 AS DOUBLE)
+   AND b.max_lon > CAST(tiles.tile_lon AS DOUBLE)
+  GROUP BY 1
+)
+SELECT b.box_id, COALESCE(m.matched, 0) AS matched
+FROM boxes b LEFT JOIN m ON b.box_id = m.box_id ORDER BY b.box_id
+"""
+    return {
+        "elevation_nearest": nearest,
+        "elevation_floor": floor_q,
+        "elevation_bilinear": bilinear,
+        "elevation_default_fill": default_fill,
+        "elevation_cogroup": nearest,
+        "tile_assignment": tile_assignment,
+        "coverage_counts": coverage_counts,
+        "cell_ids": cell_ids,
+        "filename_roundtrip": filename_roundtrip,
+        "knn_fallback": knn,
+        "accuracy_stats": accuracy,
+        "tile_info": tile_info_sql,
+        "tile_inventory": inventory,
+        "bbox_preload": bbox,
+    }
+
+
+def queries():
+    return {
+        "elevation_nearest": q_elevation_nearest,
+        "elevation_floor": q_elevation_floor,
+        "elevation_bilinear": q_elevation_bilinear,
+        "elevation_default_fill": q_elevation_default_fill,
+        "elevation_cogroup": q_elevation_cogroup,
+        "tile_assignment": q_tile_assignment,
+        "coverage_counts": q_coverage_counts,
+        "cell_ids": q_cell_ids,
+        "filename_roundtrip": q_filename_roundtrip,
+        "knn_fallback": q_knn_fallback,
+        "accuracy_stats": q_accuracy_stats,
+        "tile_info": q_tile_info,
+        "tile_inventory": q_tile_inventory,
+        "bbox_preload": q_bbox_preload,
+    }
