@@ -1,0 +1,160 @@
+"""Deduplication operators for web-scale corpora.
+
+- exact dedup: md5 hash-groupBy (one shuffle on the 16-byte hash, not the text)
+- MinHash + LSH: word-bigram shingles -> k md5-derived min-hashes -> banded
+  signatures -> candidate pairs via band-bucket self-join -> exact Jaccard
+  verification. Every hash is md5-based so the pipeline is engine-portable
+  (the DuckDB oracles in driver_queries recompute it identically).
+- SimHash: 60-bit signature from per-token md5 nibbles, majority vote per
+  bit — near-dup candidates = identical signatures (or small hamming radius).
+
+Scale notes: all steps are shuffle-on-small-keys; text leaves the scan only
+as shingle hashes. At 10^12 rows the band-bucket join is the classic
+skew point — bucket sizes are capped by construction (identical boilerplate
+shingles collapse to one hash per doc), and the verify join runs on
+candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_MINHASH = 4  # 2 bands x 2 rows
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct word-bigram shingles per document."""
+    bigrams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) < 2 THEN array() "
+        f"ELSE transform(sequence(0, size(split({text_col}, ' ')) - 2), "
+        f"i -> concat(split({text_col}, ' ')[i], ' ', split({text_col}, ' ')[i+1])) END"
+    )
+    return (
+        df.select(id_col, F.explode(bigrams).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (id, grp_hash, grp_size, is_canonical).
+    Canonical = lowest id in the group."""
+    h = F.md5(F.encode(F.col(text_col), "UTF-8")).alias("grp_hash")
+    w = Window.partitionBy("grp_hash")
+    return (
+        df.select(id_col, h)
+        .withColumn("grp_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(w))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = N_MINHASH
+) -> DataFrame:
+    """k md5-derived min-hash values per document over bigram shingles.
+    h_j(s) = md5(j || ':' || s); signature_j = min over shingles."""
+    sh = _shingles(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{j}:"), F.col("shingle")), "UTF-8"))).alias(
+            f"mh{j}"
+        )
+        for j in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = N_MINHASH, band_rows: int = 2
+) -> DataFrame:
+    """Banded LSH: docs sharing any full band of min-hashes become a
+    candidate pair (id_a < id_b, deduped across bands)."""
+    n_bands = k // band_rows
+    pairs = None
+    for b in range(n_bands):
+        cols = [f"mh{j}" for j in range(b * band_rows, (b + 1) * band_rows)]
+        band = sigs.select(id_col, F.concat_ws("|", *cols).alias("band_key"))
+        a = band.alias("a")
+        bb = band.alias("b")
+        p = (
+            a.join(bb, "band_key")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact bigram-set Jaccard for candidate pairs:
+    (id_a, id_b, inter, union_n, jaccard, is_dup)."""
+    sh = _shingles(df, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("long").alias("union_n"),
+        jac.alias("jaccard"),
+        (jac >= threshold).alias("is_dup"),
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over tokens: per-token md5 -> 15 hex nibbles -> 60 bits;
+    per bit, majority vote across the document's tokens (+1/-1, ties -> 0);
+    signature = sum(bit_b << b). Near-dups share signatures (or are within a
+    small hamming distance)."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).select(id_col, F.md5(F.encode(F.col("tok"), "UTF-8")).alias("h"))
+    # nibble d = hex digit at position p (1-based), bits 4p-4 .. 4p-1
+    exploded = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
+        F.col("h"),
+    ).select(
+        id_col,
+        "b",
+        F.conv(F.substring(F.col("h"), F.expr("CAST(b div 4 AS INT) + 1"), 1), 16, 10)
+        .cast("int")
+        .alias("digit"),
+    )
+    # bit = (digit >> (b % 4)) & 1, as exact integer arithmetic
+    bit = (
+        F.floor(F.col("digit") / F.pow(F.lit(2.0), (F.col("b") % 4).cast("double"))).cast("int")
+        % 2
+    )
+    vote = bit * 2 - 1
+    votes = exploded.select(id_col, "b", vote.alias("v")).groupBy(id_col, "b").agg(
+        F.sum("v").alias("s")
+    )
+    bitval = F.when(F.col("s") > 0, 1).otherwise(0).cast("long")
+    return votes.groupBy(id_col).agg(
+        F.sum(bitval * F.pow(F.lit(2.0), F.col("b").cast("double")).cast("long")).alias("simhash")
+    )

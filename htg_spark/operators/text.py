@@ -1,0 +1,105 @@
+"""Text analysis operators: tokenization stats, quality scoring, language
+ID, document fingerprinting.
+
+Everything is built from `pyspark.sql.functions` primitives (split /
+explode / md5 / aggregations) so it runs JVM-side under whole-stage codegen
+— by design each operator also has a closed-form SQL mirror (see
+driver_queries) for cross-engine verification. Determinism over ML-ness:
+the language ID is a stopword-profile argmax, the fingerprints are
+md5-based — reproducible at any scale and on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# minimal stopword profiles for the deterministic language-ID heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it"],
+    "es": ["el", "la", "los", "las", "y", "es", "de", "que"],
+    "fr": ["le", "la", "les", "et", "est", "de", "que", "un"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我"],
+}
+LANGS = sorted(LANG_STOPWORDS)  # deterministic tie order: de, en, es, fr, zh
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (the corpus is single-space separated)."""
+    return F.split(text, " ")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: token count, distinct tokens,
+    char count, average token length, type-token ratio (quality proxy)."""
+    toks = df.select(id_col, F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct"),
+            F.sum(F.length("tok")).alias("n_token_chars"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            (F.col("n_token_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("type_token_ratio"),
+        )
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic quality score: blend of length band, type-token ratio
+    and mean token length (the classic cheap pretraining-quality gates)."""
+    s = token_stats(df, id_col, text_col)
+    n = F.col("n_tokens").cast("double")
+    len_band = F.when((n >= 20) & (n <= 1000), 1.0).otherwise(0.5)
+    score = (
+        len_band * 0.4
+        + F.least(F.col("type_token_ratio") * F.lit(1.25), F.lit(1.0)) * 0.4
+        + F.least(F.col("avg_token_len") / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    return s.select(id_col, "n_tokens", "type_token_ratio", score.alias("quality"))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: argmax over per-language stopword hit
+    counts; ties and zero-hit rows resolve to the alphabetically-first
+    language ('de' ... then 'en' wins only by actual hits). Deterministic."""
+    toks = df.select(id_col, F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    aggs = [
+        F.sum(F.when(F.col("tok").isin(LANG_STOPWORDS[lang]), 1).otherwise(0)).alias(f"s_{lang}")
+        for lang in LANGS
+    ]
+    scored = toks.groupBy(id_col).agg(*aggs)
+    # argmax with deterministic tie order = LANGS order
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANGS])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(LANGS):
+        pred = F.when(F.col(f"s_{lang}") == best, lang).otherwise(pred)
+    return scored.select(
+        id_col, *[f"s_{lang}" for lang in LANGS], pred.alias("pred_lang")
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-text md5 plus a winnowing-style shingle
+    fingerprint (min md5 over word-bigram shingles — the rolling-hash
+    analog, stable under token reordering-free edits)."""
+    t = F.col(text_col)
+    bigrams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) < 2 THEN array() "
+        f"ELSE transform(sequence(0, size(split({text_col}, ' ')) - 2), "
+        f"i -> concat(split({text_col}, ' ')[i], ' ', split({text_col}, ' ')[i+1])) END"
+    )
+    df2 = df.select(
+        id_col,
+        F.md5(F.encode(t, "UTF-8")).alias("md5_fp"),
+        F.explode_outer(bigrams).alias("shingle"),
+    )
+    return df2.groupBy(id_col, "md5_fp").agg(
+        F.min(F.md5(F.encode(F.col("shingle"), "UTF-8"))).alias("min_shingle_fp")
+    )

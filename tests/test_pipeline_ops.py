@@ -1,0 +1,129 @@
+"""Tests for the training-data pipeline operators (dedup / text / ANN)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from htg_spark.operators import ann, dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+        (3, "el perro corre por el parque y la casa es bonita"),
+        (4, "der hund läuft durch den park und das ist gut"),
+        (5, "le chat est sur la table et le chien est petit"),
+        (6, "completely different words here about spark engines"),
+        (7, "的 是 不 了 在 人 有 我 山 水"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).orderBy("doc_id").toPandas()
+    assert out.loc[0, "grp_size"] == 2 and out.loc[1, "grp_size"] == 2
+    assert bool(out.loc[0, "is_canonical"]) and not bool(out.loc[1, "is_canonical"])
+    assert out.loc[2, "grp_size"] == 1
+    assert out.loc[0, "grp_hash"] == out.loc[1, "grp_hash"]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs).toPandas()
+    pairset = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in pairset  # exact dups always collide
+    verified = dedup.jaccard_verify(docs, dedup.lsh_candidate_pairs(sigs)).toPandas()
+    row01 = verified[(verified.id_a == 0) & (verified.id_b == 1)].iloc[0]
+    assert row01["jaccard"] == 1.0 and bool(row01["is_dup"])
+
+
+def test_jaccard_values(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d", "a b c e"]})
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [0], "id_b": [1]}))
+    out = dedup.jaccard_verify(df, pairs, threshold=0.5).toPandas().iloc[0]
+    # bigrams: {a b, b c, c d} vs {a b, b c, c e} -> inter 2, union 4
+    assert out["inter"] == 2 and out["union_n"] == 4 and out["jaccard"] == 0.5
+
+
+def test_simhash_identical_and_different(docs):
+    out = dedup.simhash(docs).orderBy("doc_id").toPandas()
+    assert out.loc[0, "simhash"] == out.loc[1, "simhash"]  # identical text
+    assert out.loc[0, "simhash"] != out.loc[6, "simhash"]
+    # near-dup: small hamming distance
+    h0, h2 = int(out.loc[0, "simhash"]), int(out.loc[2, "simhash"])
+    assert bin(h0 ^ h2).count("1") <= 20
+
+
+def test_token_stats_and_quality(docs):
+    st = text.token_stats(docs).orderBy("doc_id").toPandas()
+    assert st.loc[0, "n_tokens"] == 9
+    assert st.loc[0, "n_distinct"] == 8  # 'the' twice
+    q = text.quality_score(docs).orderBy("doc_id").toPandas()
+    assert ((q["quality"] > 0) & (q["quality"] <= 1.0)).all()
+
+
+def test_lang_id_detects_real_languages(docs):
+    out = text.lang_id(docs).orderBy("doc_id").toPandas().set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[3, "pred_lang"] == "es"
+    assert out.loc[4, "pred_lang"] == "de"
+    assert out.loc[5, "pred_lang"] == "fr"
+    assert out.loc[7, "pred_lang"] == "zh"
+
+
+def test_fingerprints(docs):
+    fp = text.fingerprints(docs).orderBy("doc_id").toPandas()
+    assert fp.loc[0, "md5_fp"] == fp.loc[1, "md5_fp"]
+    assert fp.loc[0, "min_shingle_fp"] == fp.loc[1, "min_shingle_fp"]
+    assert fp.loc[0, "md5_fp"] != fp.loc[2, "md5_fp"]
+    # near dup shares most shingles -> min often equal, but at minimum defined
+    assert fp["min_shingle_fp"].notna().all()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    vecs[5] = vecs[3] * 1.5  # exact direction dup -> cosine 1.0
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, vecs = emb
+    out = ann.cosine_topk(df, df.where(F.col("vec_id") < 3), k=5).toPandas()
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        expect = np.argsort(-s, kind="stable")[:5]
+        got = out[out.q_id == q].sort_values("rank")["n_id"].tolist()
+        # NumPy matmul sum order differs from strict fold; compare sets + top1
+        assert set(got) == set(expect.tolist())
+        assert got[0] == expect[0]
+
+
+def test_near_dup_pairs(emb):
+    df, _ = emb
+    out = ann.near_dup_pairs(df, threshold=0.999).toPandas()
+    assert (3, 5) in set(zip(out["id_a"], out["id_b"]))
+
+
+def test_lsh_topk_bucket_subset(emb):
+    df, vecs = emb
+    planes = ann.hyperplanes(16, 4)
+    out = ann.lsh_topk(df, df.where(F.col("vec_id") < 3), planes, k=5).toPandas()
+    # scaled copy lands in the same bucket as its original
+    buckets = df.select("vec_id", ann.lsh_bucket_expr("embedding", planes).alias("b")).toPandas()
+    b = buckets.set_index("vec_id")["b"]
+    assert b[3] == b[5]
+    # every reported neighbor shares the query's bucket
+    for _, r in out.iterrows():
+        assert b[r["q_id"]] == b[r["n_id"]]
