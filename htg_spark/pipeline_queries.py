@@ -1,0 +1,422 @@
+"""Driver-contract queries for the training-data pipeline operators
+(dedup / text analysis / similarity search) with DuckDB oracle SQL.
+
+Cross-engine parity rules used throughout:
+- all hashes are md5 over UTF-8 bytes (identical in Spark and DuckDB)
+- all float folds are strict left-to-right double accumulation seeded with
+  0.0 (Spark F.aggregate) vs first-element (DuckDB list_reduce) — equal
+  bit-for-bit because 0.0 + x == x
+- duplicate/near-duplicate corpora are synthesized deterministically from
+  the driver's `documents` / `embeddings` views by both engines
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import ann, dedup, text
+
+EMB_DIM = 64
+PLANES = ann.hyperplanes(EMB_DIM, ann.N_PLANES, seed=42)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- corpora shared between Spark and SQL ---------------------------------------
+
+
+def dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents plus exact copies of even doc_ids under new ids."""
+    a = docs.select((F.col("doc_id") * 2).alias("cid"), "text")
+    b = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("cid"), "text"
+    )
+    return a.unionByName(b)
+
+
+_SQL_DUP_CORPUS = """
+corpus AS (
+  SELECT doc_id * 2 AS cid, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS cid, text FROM documents WHERE doc_id % 2 = 0
+)
+"""
+
+
+def neardup_corpus(docs: DataFrame) -> DataFrame:
+    """documents plus lightly-edited copies (2 appended tokens) of every
+    third doc — near-duplicates for the MinHash/LSH path."""
+    a = docs.select((F.col("doc_id") * 2).alias("cid"), "text")
+    b = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("cid"),
+        F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+    )
+    return a.unionByName(b)
+
+
+_SQL_NEARDUP_CORPUS = """
+corpus AS (
+  SELECT doc_id * 2 AS cid, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS cid, text || ' zz qq' AS text FROM documents WHERE doc_id % 3 = 0
+)
+"""
+
+# SQL building blocks
+_SQL_SHINGLES = """
+tk AS (SELECT cid, string_split(text, ' ') AS toks FROM corpus),
+sh AS (
+  SELECT DISTINCT cid, shingle FROM (
+    SELECT cid,
+      unnest(list_transform(generate_series(1, array_length(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS shingle
+    FROM tk
+  )
+)
+"""
+
+_SQL_SIGS = """
+sigs AS (
+  SELECT cid,
+    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
+  FROM sh GROUP BY cid
+)
+"""
+
+
+# --- dedup queries ---------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(dup_corpus(_docs(spark, sf_dir)), id_col="cid").select(
+        "cid", "grp_hash", F.col("grp_size").cast("long").alias("grp_size"), "is_canonical"
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("cid"), "text")
+    return dedup.minhash_signatures(docs, id_col="cid")
+
+
+def q_lsh_dedup_pairs(spark, sf_dir):
+    corpus = neardup_corpus(_docs(spark, sf_dir))
+    sigs = dedup.minhash_signatures(corpus, id_col="cid")
+    pairs = dedup.lsh_candidate_pairs(sigs, id_col="cid")
+    return dedup.jaccard_verify(corpus, pairs, id_col="cid", threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("cid"), "text")
+    return dedup.simhash(docs, id_col="cid")
+
+
+# --- text queries ------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+_LANG_MARKERS = {
+    "de": "der und das",
+    "en": "the and is",
+    "es": "el los y",
+    "fr": "le les et",
+    "zh": "的 是 不",
+}
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    marker = F.col("lang")
+    for lang, words in _LANG_MARKERS.items():
+        marker = F.when(F.col("lang") == lang, words).otherwise(marker)
+    enriched = docs.select(
+        "doc_id", "lang", F.concat(F.col("text"), F.lit(" "), marker).alias("text")
+    )
+    out = text.lang_id(enriched)
+    return out.join(enriched.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "pred_lang", (F.col("pred_lang") == F.col("lang")).alias("correct")
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+# --- similarity-search queries -------------------------------------------------------
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return ann.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id", ann.lsh_bucket_expr("embedding", PLANES).alias("bucket")
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    scaled = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.5).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(scaled)
+    out = ann.near_dup_pairs(corpus, threshold=0.999)
+    return out.select("id_a", "id_b")  # int-only output: threshold-robust
+
+
+# --- oracle SQL -----------------------------------------------------------------------
+
+_SQL_EMB_D = """
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM e
+)
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    dedup_exact_sql = (
+        "WITH "
+        + _SQL_DUP_CORPUS
+        + """
+SELECT cid, md5(text) AS grp_hash,
+  count(*) OVER (PARTITION BY md5(text)) AS grp_size,
+  cid = min(cid) OVER (PARTITION BY md5(text)) AS is_canonical
+FROM corpus
+"""
+    )
+    minhash_sql = (
+        "WITH corpus AS (SELECT doc_id AS cid, text FROM documents), "
+        + _SQL_SHINGLES
+        + ", "
+        + _SQL_SIGS
+        + "SELECT cid, mh0, mh1, mh2, mh3 FROM sigs"
+    )
+    lsh_sql = (
+        "WITH "
+        + _SQL_NEARDUP_CORPUS
+        + ", "
+        + _SQL_SHINGLES
+        + ", "
+        + _SQL_SIGS
+        + """,
+bands AS (
+  SELECT cid, mh0 || '|' || mh1 AS band_key FROM sigs
+  UNION ALL
+  SELECT cid, mh2 || '|' || mh3 AS band_key FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.cid < b.cid
+),
+sizes AS (SELECT cid, count(*) AS n_sh FROM sh GROUP BY cid),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS inter
+  FROM pairs p
+  JOIN sh sa ON sa.cid = p.id_a
+  JOIN sh sb ON sb.cid = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+  CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+  CAST(za.n_sh + zb.n_sh - COALESCE(i.inter, 0) AS BIGINT) AS union_n,
+  CAST(COALESCE(i.inter, 0) AS DOUBLE) / CAST(za.n_sh + zb.n_sh - COALESCE(i.inter, 0) AS DOUBLE) AS jaccard,
+  (CAST(COALESCE(i.inter, 0) AS DOUBLE) / CAST(za.n_sh + zb.n_sh - COALESCE(i.inter, 0) AS DOUBLE)) >= 0.5 AS is_dup
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes za ON za.cid = p.id_a
+JOIN sizes zb ON zb.cid = p.id_b
+"""
+    )
+    simhash_sql = """
+WITH toks AS (
+  SELECT doc_id AS cid, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+th AS (SELECT cid, md5(tok) AS h FROM toks),
+bits AS (
+  SELECT cid, r.range AS b,
+    strpos('0123456789abcdef', substr(h, CAST(r.range // 4 AS INT) + 1, 1)) - 1 AS digit
+  FROM th, range(0, 60) r
+),
+votes AS (
+  SELECT cid, b,
+    sum(((digit // CAST(pow(2, b % 4) AS INT)) % 2) * 2 - 1) AS s
+  FROM bits GROUP BY 1, 2
+)
+SELECT cid, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY cid
+"""
+    text_stats_sql = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+  CAST(sum(length(tok)) AS DOUBLE) / count(*) AS avg_token_len,
+  CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS type_token_ratio
+FROM toks GROUP BY doc_id
+"""
+    text_quality_sql = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+st AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS ttr,
+    CAST(sum(length(tok)) AS DOUBLE) / count(*) AS atl
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, ttr AS type_token_ratio,
+  (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END) * 0.4
+   + LEAST(ttr * 1.25, 1.0) * 0.4
+   + LEAST(atl / 8.0, 1.0) * 0.2 AS quality
+FROM st
+"""
+    lang_stop = {
+        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+        "en": ["the", "and", "is", "of", "to", "in", "that", "it"],
+        "es": ["el", "la", "los", "las", "y", "es", "de", "que"],
+        "fr": ["le", "la", "les", "et", "est", "de", "que", "un"],
+        "zh": ["的", "是", "不", "了", "在", "人", "有", "我"],
+    }
+    marker_case = " ".join(
+        f"WHEN '{lang}' THEN '{words}'" for lang, words in _LANG_MARKERS.items()
+    )
+    score_cols = ",\n    ".join(
+        "sum(CASE WHEN tok IN ({}) THEN 1 ELSE 0 END) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in lang_stop[lang]), lang
+        )
+        for lang in sorted(lang_stop)
+    )
+    langs_sorted = sorted(lang_stop)
+    pred_expr = "NULL"
+    for lang in reversed(langs_sorted):
+        pred_expr = f"CASE WHEN s_{lang} = best THEN '{lang}' ELSE {pred_expr} END"
+    lang_id_sql = f"""
+WITH enriched AS (
+  SELECT doc_id, lang, text || ' ' || (CASE lang {marker_case} ELSE lang END) AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM enriched),
+scored AS (
+  SELECT doc_id, lang,
+    {score_cols}
+  FROM toks GROUP BY doc_id, lang
+),
+withbest AS (
+  SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS best FROM scored
+)
+SELECT doc_id, lang, {pred_expr} AS pred_lang,
+  ({pred_expr}) = lang AS correct
+FROM withbest
+"""
+    fingerprint_sql = """
+WITH corpus AS (SELECT doc_id AS cid, text FROM documents),
+tk AS (SELECT cid, text, string_split(text, ' ') AS toks FROM corpus),
+sh AS (
+  SELECT cid, min(md5(shingle)) AS min_shingle_fp FROM (
+    SELECT cid,
+      unnest(list_transform(generate_series(1, array_length(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS shingle
+    FROM tk
+  ) GROUP BY cid
+)
+SELECT c.cid AS doc_id, md5(c.text) AS md5_fp, s.min_shingle_fp
+FROM corpus c LEFT JOIN sh s ON s.cid = c.cid
+"""
+    ann_topk_sql = (
+        "WITH "
+        + _SQL_EMB_D
+        + """,
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+    list_reduce(list_transform(list_zip(q.v, c.v), s -> s[1] * s[2]), (a, b) -> a + b)
+      / (q.nrm * c.nrm) AS cosine
+  FROM n q CROSS JOIN n c
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank FROM p)
+SELECT q_id, CAST(rank AS INT) AS rank, n_id, cosine FROM r WHERE rank <= 5
+"""
+    )
+    plane_dots = []
+    for j, p in enumerate(PLANES):
+        arr = "[" + ", ".join(f"{v!r}" for v in p) + "]::DOUBLE[]"
+        plane_dots.append(
+            f"(CASE WHEN list_reduce(list_transform(list_zip(v, {arr}), s -> s[1] * s[2]), "
+            f"(a, b) -> a + b) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    lsh_buckets_sql = (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)\n"
+        "SELECT vec_id, CAST(" + " + ".join(plane_dots) + " AS INT) AS bucket FROM e"
+    )
+    near_dup_sql = (
+        "WITH "
+        + _SQL_EMB_D
+        + """,
+scaled AS (
+  SELECT vec_id + 100000 AS vec_id,
+    list_transform(v, x -> CAST(CAST(x AS FLOAT) * CAST(1.5 AS FLOAT) AS DOUBLE)) AS v
+  FROM e WHERE vec_id % 10 = 0
+),
+corpus AS (
+  SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM scaled
+),
+nn AS (
+  SELECT vec_id, v,
+    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM corpus
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM nn a CROSS JOIN nn b
+WHERE a.vec_id < b.vec_id
+  AND list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -> x + y)
+      / (a.nrm * b.nrm) >= 0.999
+"""
+    )
+    return {
+        "dedup_exact": dedup_exact_sql,
+        "minhash_signatures": minhash_sql,
+        "lsh_dedup_pairs": lsh_sql,
+        "simhash": simhash_sql,
+        "text_stats": text_stats_sql,
+        "text_quality": text_quality_sql,
+        "lang_id": lang_id_sql,
+        "doc_fingerprint": fingerprint_sql,
+        "ann_topk": ann_topk_sql,
+        "ann_lsh_buckets": lsh_buckets_sql,
+        "embedding_near_dup": near_dup_sql,
+    }
+
+
+def queries():
+    return {
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_dedup_pairs": q_lsh_dedup_pairs,
+        "simhash": q_simhash,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
+    }
