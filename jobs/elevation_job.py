@@ -1,0 +1,73 @@
+"""spark-submit entry point for the elevation-join pipeline.
+
+Run (the scaling-evidence protocol from BASELINE.md):
+
+    spark-submit --master local[8]  --py-files htg_spark.zip jobs/elevation_job.py \
+        --sf-dir /root/testdata/sf0.1 --replicate 16 --mode nearest
+    spark-submit --master local[32] --py-files htg_spark.zip jobs/elevation_job.py ...
+
+Prints one JSON line with rows, wall seconds and rows/sec for the timed
+join (warm-up excluded; identical input both runs).
+"""
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicate", type=int, default=16)
+    ap.add_argument("--mode", default="nearest", choices=["nearest", "floor", "bilinear"])
+    ap.add_argument("--strategy", default="broadcast", choices=["broadcast", "cogroup"])
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    from htg_spark.bench_queries import bench_engine, bench_points, run_join
+
+    spark = (
+        SparkSession.builder.appName("htg-elevation-job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    eng = bench_engine(spark)
+    eng._broadcast_blobs()
+    pts = bench_points(spark, args.sf_dir, replicate=args.replicate).persist()
+    n = pts.count()
+    run_join(eng, pts, mode=args.mode, strategy=args.strategy)  # warm-up
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        rows, chk, found = run_join(eng, pts, mode=args.mode, strategy=args.strategy)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(
+        json.dumps(
+            {
+                "job": "elevation_join",
+                "mode": args.mode,
+                "strategy": args.strategy,
+                "cores": cores,
+                "rows": n,
+                "times_sec": [round(t, 3) for t in times],
+                "best_sec": round(best, 3),
+                "rows_per_sec": round(n / best),
+                "checksum": chk,
+                "found": found,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
