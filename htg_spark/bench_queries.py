@@ -30,7 +30,9 @@ def bench_engine(spark: SparkSession) -> ElevationEngine:
     return ElevationEngine(spark, grids=bench_grids(), cache_size=64)
 
 
-def bench_points(spark: SparkSession, sf_dir: str, replicate: int = 8) -> DataFrame:
+def bench_points(
+    spark: SparkSession, sf_dir: str, replicate: int = 8, partitions: int | None = None
+) -> DataFrame:
     """lineitem-derived points, replicated `replicate`x for volume.
 
     ~30% of rows land in one 0.01-degree hot cluster (skew), ~9% on a
@@ -60,9 +62,13 @@ def bench_points(spark: SparkSession, sf_dir: str, replicate: int = 8) -> DataFr
     )
     # unique row id (the synthetic lineitem has no unique natural key);
     # stable once the caller persists the frame
-    return li.select(
+    out = li.select(
         F.monotonically_increasing_id().alias("point_id"), lat.alias("lat"), lon.alias("lon")
     )
+    # the source is one small parquet file -> ONE input partition; without an
+    # explicit repartition the whole join would run as a single task
+    n_parts = partitions or spark.sparkContext.defaultParallelism * 2
+    return out.repartition(n_parts)
 
 
 def run_join(eng: ElevationEngine, pts: DataFrame, mode: str, strategy: str, **kw):
