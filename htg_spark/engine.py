@@ -252,6 +252,96 @@ class ElevationEngine:
             raise ValueError("one of catalog / grids / tile_dir is required")
         self._bcast = None
 
+    # -- srtm_rs-parity point API (SURVEY.md §2.8; htg-python/src/lib.rs) ----
+    #
+    # Single-point and small-batch lookups run driver-side on the collected
+    # catalog (launching a cluster job per point would be absurd); they share
+    # the exact same NumPy kernels as the distributed path, so semantics are
+    # identical by construction.
+
+    def _local_cache(self) -> "_GridCache":
+        if not hasattr(self, "_driver_cache"):
+            self._driver_cache = _GridCache(self.cache_size)
+        return self._driver_cache
+
+    def _local_get_grid(self, key):
+        blobs = self._broadcast_blobs().value
+        return self._local_cache().get(key, blobs.get)
+
+    def get_elevation(self, lat: float, lon: float, rounding: str = "nearest"):
+        """Optional[int] — void/missing -> None; out-of-coverage raises
+        (single-point strict contract, service.rs:485-490; lib.rs:132-159)."""
+        if not bool(hgt.is_valid_srtm_coord(lat, lon)):
+            raise ValueError(f"coordinates out of SRTM coverage: ({lat}, {lon})")
+        res = kernel_batch(
+            np.array([lat]), np.array([lon]), self._local_get_grid, rounding
+        )
+        e = res["elevation"][0]
+        return None if np.isnan(e) else int(e)
+
+    def get_elevation_floor(self, lat: float, lon: float):
+        return self.get_elevation(lat, lon, rounding="floor")
+
+    def get_elevation_interpolated(self, lat: float, lon: float):
+        """Optional[float] (lib.rs:237-246)."""
+        if not bool(hgt.is_valid_srtm_coord(lat, lon)):
+            raise ValueError(f"coordinates out of SRTM coverage: ({lat}, {lon})")
+        res = kernel_batch(
+            np.array([lat]), np.array([lon]), self._local_get_grid, "bilinear"
+        )
+        e = res["elevation"][0]
+        return None if np.isnan(e) else float(e)
+
+    def get_elevations_batch(self, coords, default: int = 0, rounding: str = "nearest"):
+        """Order-preserving list[int]; ooc/missing/void -> default
+        (lib.rs:175-201, service.rs:409-480)."""
+        if not coords:
+            return []
+        arr = np.asarray(coords, dtype=np.float64)
+        res = kernel_batch(arr[:, 0], arr[:, 1], self._local_get_grid, rounding)
+        e = res["elevation"]
+        return [int(default) if np.isnan(v) else int(v) for v in e]
+
+    def get_elevations_batch_interpolated(self, coords, default: float = 0.0):
+        if not coords:
+            return []
+        arr = np.asarray(coords, dtype=np.float64)
+        res = kernel_batch(arr[:, 0], arr[:, 1], self._local_get_grid, "bilinear")
+        return [float(default) if np.isnan(v) else float(v) for v in res["elevation"]]
+
+    def preload(self, bounds=None):
+        """Warm the catalog (service.rs:685-722): persist + count, optional
+        bbox pruning. Returns a PreloadStats-like dict."""
+        import time as _time
+
+        from . import catalog as cat_mod
+
+        t0 = _time.perf_counter()
+        boxes = None
+        if bounds is not None:
+            boxes = bounds if isinstance(bounds, list) else [bounds]
+        # warm only: tiles outside the boxes stay queryable (the reference's
+        # preload fills the cache, it never narrows coverage)
+        _warmed, matched = cat_mod.preload(self.catalog, boxes)
+        self._broadcast_blobs()
+        return {
+            "tiles_matched": matched,
+            "tiles_loaded": matched,
+            "elapsed_ms": round((_time.perf_counter() - t0) * 1000, 1),
+        }
+
+    def cache_stats(self):
+        """Driver-side decoded-grid cache counters (CacheStats analog,
+        service.rs:41-63)."""
+        c = self._local_cache()
+        total = c.hits + c.misses
+        return {
+            "entry_count": len(c.data),
+            "hit_count": c.hits,
+            "miss_count": c.misses,
+            "hit_rate": (c.hits / total) if total else 0.0,
+        }
+
     # -- catalog helpers ---------------------------------------------------
 
     def _broadcast_blobs(self):

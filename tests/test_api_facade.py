@@ -1,0 +1,86 @@
+"""srtm_rs-parity API surface tests — ported from the reference's service
+tests (htg/src/service.rs:951-1481) and PyO3 binding contract
+(htg-python/src/lib.rs:110-316). See SURVEY.md §2.8."""
+
+import pytest
+
+from htg_spark import fixtures, hgt
+from htg_spark.engine import ElevationEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return ElevationEngine(spark, grids=fixtures.default_catalog_grids())
+
+
+def test_single_point(engine):
+    assert engine.get_elevation(35.5, 138.5) == 500  # service.rs:985-987
+    assert engine.get_elevation(33.3448, -96.1592) == 190
+    assert engine.get_elevation_floor(33.3448, -96.1592) == 191
+
+
+def test_single_point_out_of_bounds_errors(engine):
+    with pytest.raises(ValueError):  # service.rs:1031-1042
+        engine.get_elevation(70.0, 0.0)
+    with pytest.raises(ValueError):
+        engine.get_elevation(0.0, 190.0)
+
+
+def test_missing_tile_returns_none(engine):
+    assert engine.get_elevation(50.0, 50.0) is None  # service.rs:1044-1052
+
+
+def test_void_returns_none(spark):
+    eng = ElevationEngine(spark, grids={(35, 138): fixtures.tile_center(hgt.VOID_VALUE)})
+    assert eng.get_elevation(35.5, 138.5) is None  # service.rs:1064-1075
+
+
+def test_batch_with_defaults(spark):
+    eng = ElevationEngine(spark, grids={(35, 138): fixtures.tile_center(500)})
+    out = eng.get_elevations_batch(
+        [(35.5, 138.5), (50.0, 50.0), (35.1, 138.1)], default=-1
+    )
+    assert out == [500, -1, 0]  # service.rs:1078-1095
+    assert eng.get_elevations_batch([]) == []
+
+
+def test_batch_interpolated(engine):
+    lat = 35 + (1.0 - 600.5 / 1200.0)
+    lon = 139 + 600.5 / 1200.0  # T-interp tile at (35,139)
+    out = engine.get_elevations_batch_interpolated([(lat, lon), (50.0, 50.0)], default=-1.0)
+    assert abs(out[0] - 250.0) <= 5.0  # tile.rs:478-497
+    assert out[1] == -1.0
+
+
+def test_interpolated_single(engine):
+    v = engine.get_elevation_interpolated(35.5, 138.5)
+    assert v == 500.0
+
+
+def test_cache_stats_progress(spark):
+    eng = ElevationEngine(spark, grids=fixtures.default_catalog_grids())
+    s0 = eng.cache_stats()
+    assert s0["hit_count"] == 0 and s0["miss_count"] == 0
+    eng.get_elevation(35.5, 138.5)
+    s1 = eng.cache_stats()
+    assert s1["miss_count"] == 1 and s1["entry_count"] == 1
+    eng.get_elevation(35.6, 138.6)  # same tile -> hit
+    s2 = eng.cache_stats()
+    assert s2["hit_count"] == 1 and s2["hit_rate"] == 0.5  # service.rs:55-63
+
+
+def test_preload_all_and_bbox(spark):
+    eng = ElevationEngine(spark, grids=fixtures.default_catalog_grids())
+    stats = eng.preload()
+    assert stats["tiles_matched"] == 5
+    eng2 = ElevationEngine(spark, grids=fixtures.default_catalog_grids())
+    stats2 = eng2.preload(bounds=(35.2, 138.2, 35.8, 138.8))
+    assert stats2["tiles_matched"] == 1  # strict overlap (service.rs:102-110)
+
+
+def test_module_level_helpers():
+    from htg_spark import VOID_VALUE, filename_to_lat_lon, lat_lon_to_filename
+
+    assert VOID_VALUE == -32768
+    assert lat_lon_to_filename(-12.3, -77.1) == "S13W078.hgt"
+    assert filename_to_lat_lon("S13W078.hgt") == (-13, -78)
