@@ -102,7 +102,8 @@ def catalog_from_dir(spark: SparkSession, path: str) -> DataFrame:
                 out["from_zip"].append(from_zip)
             yield pd.DataFrame(out)
 
-    schema = CATALOG_SCHEMA.add("from_zip", T.BooleanType())
+    # StructType.add mutates in place — build a fresh copy each call
+    schema = T.StructType(list(CATALOG_SCHEMA.fields) + [T.StructField("from_zip", T.BooleanType())])
     cat = raw.mapInPandas(extract, schema=schema)
     # dedupe: plain .hgt wins over zip (service.rs:634-645 HashSet ordering)
     w_cols = ["tile_lat", "tile_lon"]

@@ -415,6 +415,12 @@ class ElevationEngine:
     # -- broadcast (map-only) strategy ----------------------------------------
 
     def _join_broadcast(self, pts: DataFrame, mode: str, knn: bool) -> DataFrame:
+        """Map-only Arrow stage: lat/lon come off the Arrow buffers as
+        zero-copy NumPy views, the kernel runs vectorized, payload columns
+        are forwarded as untouched Arrow arrays (the multi-MB image bytes
+        never enter pandas or get copied)."""
+        import pyarrow as pa
+
         bcast = self._broadcast_blobs()
         centers = self.tile_centers() if knn else None
         cache_cap = self.cache_size
@@ -427,24 +433,44 @@ class ElevationEngine:
         out_schema = out_schema.add("elevation", _elev_type(mode))
         passthrough = [f.name for f in pts.schema.fields if f.name not in ("lat", "lon")]
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
             cache = _executor_cache(token, cache_cap)
             blobs = bcast.value
 
             def get_grid(key):
                 return cache.get(key, blobs.get)
 
-            for pdf in batches:
-                res = kernel_batch(
-                    pdf["lat"].to_numpy(),
-                    pdf["lon"].to_numpy(),
-                    get_grid,
-                    mode,
-                    knn_centers=centers,
+            for batch in batches:
+                lat = batch.column(batch.schema.get_field_index("lat")).to_numpy(
+                    zero_copy_only=False
                 )
-                yield _result_pdf(pdf[passthrough], res, mode)
+                lon = batch.column(batch.schema.get_field_index("lon")).to_numpy(
+                    zero_copy_only=False
+                )
+                res = kernel_batch(lat, lon, get_grid, mode, knn_centers=centers)
+                e = res["elevation"]
+                nan_mask = np.isnan(e)
+                if mode == "bilinear":
+                    elev_arr = pa.array(e, type=pa.float64(), from_pandas=True)  # NaN -> null
+                else:
+                    elev_arr = pa.array(
+                        np.where(nan_mask, 0, e).astype(np.int32), mask=nan_mask
+                    )
+                arrays = [batch.column(batch.schema.get_field_index(c)) for c in passthrough]
+                arrays += [
+                    pa.array(res["lat"], type=pa.float64()),
+                    pa.array(res["lon"], type=pa.float64()),
+                    pa.array(res["tile_lat"], type=pa.int32()),
+                    pa.array(res["tile_lon"], type=pa.int32()),
+                    pa.array(res["in_coverage"]),
+                    pa.array(res["tile_found"]),
+                    pa.array(res["knn_used"]),
+                    elev_arr,
+                ]
+                names = passthrough + [n for n, _t in _APPENDED] + ["elevation"]
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-        return pts.mapInPandas(run, schema=out_schema)
+        return pts.mapInArrow(run, schema=out_schema)
 
     # -- cogroup (shuffle, salted) strategy -------------------------------------
 

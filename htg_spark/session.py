@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cores, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Spark 4.1's BatchedPythonArrowInput calls ArrowWriter.sizeInBytes()
+        # per appended row unless maxBytesPerBatch == Int.MaxValue; that walk
+        # is O(batch) per row -> O(batch^2) per batch and caps the whole
+        # Python-runner channel at ~3.5M rows/s regardless of cores (measured
+        # via JFR). maxRecordsPerBatch=65536 already bounds batch memory.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2**31 - 1))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")

@@ -33,6 +33,9 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # avoid Spark 4.1's per-row sizeInBytes() batch-limit walk (see
+        # htg_spark/session.py) — 5x channel throughput
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2**31 - 1))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

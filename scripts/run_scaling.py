@@ -29,7 +29,11 @@ def build_zip() -> str:
 
 
 def run_one(cores: int, zpath: str, args) -> dict:
+    # taskset pins the WHOLE process tree (JVM task threads + python workers)
+    # to exactly `cores` CPUs — otherwise a local[8] run borrows extra host
+    # cores for its python workers and the "8-core" baseline is dishonest.
     cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
         "spark-submit",
         "--master", f"local[{cores}]",
         "--conf", f"spark.sql.shuffle.partitions={max(cores, 8)}",
@@ -89,7 +93,9 @@ def main():
 Protocol (BASELINE.md): the identical `spark-submit --py-files htg_spark.zip
 jobs/elevation_job.py` job on identical input ({r_small['rows']:,} points,
 {args.mode} kernel, {args.strategy} strategy, best of {args.repeats} timed
-repeats after warm-up) at two parallelism levels.
+repeats after warm-up) at two parallelism levels, each run `taskset`-pinned
+to exactly N CPUs so the core count is honest (JVM task threads AND python
+workers share the pinned set).
 
 | cores | best wall (s) | rows/sec |
 |---|---|---|
