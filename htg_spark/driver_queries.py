@@ -242,6 +242,16 @@ def q_knn_fallback(spark, sf_dir):
     )
 
 
+def q_continent_route(spark, sf_dir):
+    """S5 continent router over the derived points (download.rs:553-581)."""
+    from .operators.geo_misc import continent_col
+
+    pts = derive_points(_events(spark, sf_dir))
+    return pts.select(
+        "event_id", continent_col(F.col("lat"), F.col("lon")).alias("continent")
+    )
+
+
 def q_accuracy_stats(spark, sf_dir):
     """A5-style accuracy aggregate between nearest and floor kernels
     (scripts/compare_elevations.py:136-157) — exact int arithmetic."""
@@ -489,7 +499,22 @@ m AS (
 SELECT b.box_id, COALESCE(m.matched, 0) AS matched
 FROM boxes b LEFT JOIN m ON b.box_id = m.box_id ORDER BY b.box_id
 """
+    continent = (
+        _SQL_PTS
+        + """
+SELECT event_id,
+  CASE
+    WHEN lat >= 15.0 AND lat <= 60.0 AND lon >= -170.0 AND lon <= -50.0 THEN 'North_America'
+    WHEN lat >= -60.0 AND lat <= 15.0 AND lon >= -90.0 AND lon <= -30.0 THEN 'South_America'
+    WHEN lat >= -50.0 AND lat <= -10.0 AND lon >= 110.0 AND lon <= 180.0 THEN 'Australia'
+    WHEN lat >= -35.0 AND lat <= 35.0 AND lon >= -20.0 AND lon <= 55.0 THEN 'Africa'
+    WHEN lat >= 0.0 AND lat <= 60.0 AND lon >= -15.0 AND lon <= 180.0 THEN 'Eurasia'
+    ELSE NULL END AS continent
+FROM keyed
+"""
+    )
     return {
+        "continent_route": continent,
         "elevation_nearest": nearest,
         "elevation_floor": floor_q,
         "elevation_bilinear": bilinear,
@@ -509,6 +534,7 @@ FROM boxes b LEFT JOIN m ON b.box_id = m.box_id ORDER BY b.box_id
 
 def queries():
     return {
+        "continent_route": q_continent_route,
         "elevation_nearest": q_elevation_nearest,
         "elevation_floor": q_elevation_floor,
         "elevation_bilinear": q_elevation_bilinear,
