@@ -273,6 +273,30 @@ def q_accuracy_stats(spark, sf_dir):
     )
 
 
+def q_images_elevation_join(spark, sf_dir):
+    """The north-rule input path end-to-end: synthesized image+caption table
+    (exact input_hint shape) -> phash-derived geotags (JVM-side bit math) ->
+    broadcast elevation join with kNN fallback -> payload invariants.
+
+    No SQL oracle (the image payload is not SQL-decodable) -> the driver
+    records a rows-only check; full row-level verification lives in
+    tests/test_engine_spark.py::test_payload_passthrough.
+    """
+    from . import fixtures
+    from .operators import multimodal
+
+    imgs = spark.createDataFrame(fixtures.make_images_pdf(2000)).repartition(8)
+    eng = get_engine(spark)
+    out = eng.elevation_join(
+        imgs, mode="bilinear", strategy="broadcast", id_col="image_id", knn_fallback=True
+    )
+    stats = multimodal.image_stats(out.select("image_id", "bytes", "w", "h", "fmt"))
+    return out.select(
+        "image_id", "caption", "phash", "lat", "lon", "tile_lat", "tile_lon",
+        "in_coverage", "tile_found", "knn_used", "elevation",
+    ).join(stats, "image_id")
+
+
 def q_tile_info(spark, sf_dir):
     eng = get_engine(spark)
     info = cat_mod.tile_info(eng.catalog)
@@ -546,6 +570,7 @@ def queries():
         "filename_roundtrip": q_filename_roundtrip,
         "knn_fallback": q_knn_fallback,
         "accuracy_stats": q_accuracy_stats,
+        "images_elevation_join": q_images_elevation_join,
         "tile_info": q_tile_info,
         "tile_inventory": q_tile_inventory,
         "bbox_preload": q_bbox_preload,
