@@ -74,9 +74,11 @@ def bench_points(
 def run_join(eng: ElevationEngine, pts: DataFrame, mode: str, strategy: str, **kw):
     """Execute the join and force full materialization; returns (rows, checksum)."""
     out = eng.elevation_join(pts, mode=mode, strategy=strategy, id_col="point_id", **kw)
+    # checksum must be order-insensitive across partition groupings: quantize
+    # to int64 before summing (a float64 sum depends on aggregation order)
     row = out.agg(
         F.count("*").alias("n"),
-        F.sum(F.col("elevation").cast("double")).alias("chk"),
+        F.sum((F.col("elevation").cast("double") * 1000).cast("long")).alias("chk"),
         F.sum(F.col("tile_found").cast("long")).alias("found"),
     ).collect()[0]
     return row["n"], row["chk"], row["found"]

@@ -20,6 +20,7 @@ from pyspark.sql import SparkSession
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--points-path", default=None, help="pre-materialized points parquet; skips generation")
     ap.add_argument("--replicate", type=int, default=16)
     ap.add_argument("--mode", default="nearest", choices=["nearest", "floor", "bilinear"])
     ap.add_argument("--strategy", default="broadcast", choices=["broadcast", "cogroup"])
@@ -50,11 +51,15 @@ def main():
     import shutil
     import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="bench_pts_")
-    bench_points(spark, args.sf_dir, replicate=args.replicate).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    pts = spark.read.parquet(tmp)
+    tmp = None
+    if args.points_path:
+        pts = spark.read.parquet(args.points_path)
+    else:
+        tmp = tempfile.mkdtemp(prefix="bench_pts_")
+        bench_points(spark, args.sf_dir, replicate=args.replicate).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        pts = spark.read.parquet(tmp)
     n = pts.count()
     run_join(eng, pts, mode=args.mode, strategy=args.strategy)  # warm-up
 
@@ -80,7 +85,8 @@ def main():
             }
         )
     )
-    shutil.rmtree(tmp, ignore_errors=True)
+    if tmp:
+        shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
 
