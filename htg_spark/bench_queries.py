@@ -71,6 +71,33 @@ def bench_points(
     return out.repartition(n_parts)
 
 
+def dedup_workload(spark: SparkSession, sf_dir: str, replicate: int = 8):
+    """CPU-bound scaling workload: MinHash signatures over a replicated
+    documents corpus — md5 over word-bigram shingles is ~1000 CPU cycles per
+    byte, so this exercises core scaling independent of memory bandwidth
+    (the complement of the bandwidth-heavy elevation join)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = docs.withColumn("r", F.explode(F.lit(list(range(replicate))))).select(
+        (F.col("doc_id") * replicate + F.col("r")).alias("cid"), "text"
+    )
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    return rep.repartition(n_parts)
+
+
+def run_dedup(spark, corpus):
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(corpus, id_col="cid")
+    row = sigs.agg(F.count("*").alias("n"), F.min("mh0").alias("chk")).collect()[0]
+    return row["n"], row["chk"]
+
+
 def run_join(eng: ElevationEngine, pts: DataFrame, mode: str, strategy: str, **kw):
     """Execute the join and force full materialization; returns (rows, checksum)."""
     out = eng.elevation_join(pts, mode=mode, strategy=strategy, id_col="point_id", **kw)

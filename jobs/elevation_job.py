@@ -22,12 +22,20 @@ def main():
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--points-path", default=None, help="pre-materialized points parquet; skips generation")
     ap.add_argument("--replicate", type=int, default=16)
-    ap.add_argument("--mode", default="nearest", choices=["nearest", "floor", "bilinear"])
+    ap.add_argument(
+        "--mode", default="nearest", choices=["nearest", "floor", "bilinear", "dedup"]
+    )
     ap.add_argument("--strategy", default="broadcast", choices=["broadcast", "cogroup"])
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
-    from htg_spark.bench_queries import bench_engine, bench_points, run_join
+    from htg_spark.bench_queries import (
+        bench_engine,
+        bench_points,
+        dedup_workload,
+        run_dedup,
+        run_join,
+    )
 
     spark = (
         SparkSession.builder.appName("htg-elevation-job")
@@ -41,6 +49,35 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
+
+    if args.mode == "dedup":
+        corpus = dedup_workload(spark, args.sf_dir, replicate=args.replicate).persist()
+        n = corpus.count()
+        run_dedup(spark, corpus)  # warm-up
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            rows, chk = run_dedup(spark, corpus)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        print(
+            json.dumps(
+                {
+                    "job": "minhash_dedup",
+                    "mode": "dedup",
+                    "strategy": "jvm-md5",
+                    "cores": cores,
+                    "rows": n,
+                    "times_sec": [round(t, 3) for t in times],
+                    "best_sec": round(best, 3),
+                    "rows_per_sec": round(n / best),
+                    "checksum": chk,
+                    "found": rows,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     eng = bench_engine(spark)
     eng._broadcast_blobs()

@@ -98,12 +98,29 @@ def _daemon_env():
     return env
 
 
-def start_cluster():
+def start_master():
     env = _daemon_env()
     subprocess.run([f"{SPARK_SBIN}/start-master.sh"], env=env, check=True, capture_output=True)
+
+
+def start_worker(cores: int):
+    """Start the worker pinned to exactly `cores` CPUs; executors and their
+    python workers inherit the affinity, so the whole 'cluster side' of the
+    run is capped at N cores — but split across N/4 executor JVMs, each with
+    its own per-process memory-bandwidth quota (the sandbox throttles BW per
+    process, which is what makes multi-JVM the honest multi-executor shape)."""
+    env = _daemon_env()
+    env["SPARK_WORKER_CORES"] = str(cores)
     subprocess.run(
-        [f"{SPARK_SBIN}/start-worker.sh", MASTER_URL], env=env, check=True, capture_output=True
+        ["taskset", "-c", f"0-{cores - 1}", f"{SPARK_SBIN}/start-worker.sh", MASTER_URL],
+        env=env,
+        check=True,
+        capture_output=True,
     )
+
+
+def stop_worker():
+    subprocess.run([f"{SPARK_SBIN}/stop-worker.sh"], env=_daemon_env(), capture_output=True)
 
 
 def stop_cluster():
@@ -118,8 +135,13 @@ def run_one(cores: int, zpath: str, args) -> dict:
         # multi-executor analog of the north rule — and on this sandbox the
         # only honest shape, since the host throttles memory bandwidth per
         # PROCESS, so a single local-mode JVM caps at one process's quota no
-        # matter how many task threads it runs.
+        # matter how many task threads it runs. Worker (and thus executors +
+        # their python workers) pinned to exactly `cores` CPUs; driver pinned
+        # to the same set.
+        stop_worker()
+        start_worker(cores)
         cmd = [
+            "taskset", "-c", f"0-{cores - 1}",
             "spark-submit",
             "--master", MASTER_URL,
             "--deploy-mode", "client",
@@ -169,6 +191,7 @@ def main():
     ap.add_argument("--mode", default="nearest")
     ap.add_argument("--strategy", default="broadcast")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--trials", type=int, default=2, help="interleaved A/B trials; min per config wins")
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--large", type=int, default=32)
     ap.add_argument(
@@ -188,10 +211,23 @@ def main():
     print(f"generated {n:,} points at {args.points_path}", flush=True)
     if args.standalone:
         stop_cluster()
-        start_cluster()
+        start_master()
     try:
-        r_small = run_one(args.small, zpath, args)
-        r_large = run_one(args.large, zpath, args)
+        # the sandbox host is noisy (shared tenancy): interleave the two
+        # configurations and take the minimum per config across trials so a
+        # noisy window cannot bias one side
+        r_small = r_large = None
+        for trial in range(args.trials):
+            a = run_one(args.small, zpath, args)
+            b = run_one(args.large, zpath, args)
+            print(
+                f"trial {trial}: t{args.small}={a['best_sec']}s t{args.large}={b['best_sec']}s",
+                flush=True,
+            )
+            if r_small is None or a["best_sec"] < r_small["best_sec"]:
+                r_small = a
+            if r_large is None or b["best_sec"] < r_large["best_sec"]:
+                r_large = b
     finally:
         if args.standalone:
             stop_cluster()
