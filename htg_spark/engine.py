@@ -477,6 +477,13 @@ class ElevationEngine:
     def _join_cogroup(
         self, pts: DataFrame, mode: str, knn: bool, id_col: str, n_salts: int
     ) -> DataFrame:
+        """Salted cogroup join with ADAPTIVE skew salting: a histogram
+        pre-pass counts points per tile cell, and each cell gets
+        k(cell) = clamp(ceil(count / target_rows_per_salt), 1, n_salts)
+        salt buckets. Cold tiles cross the shuffle once; only hot-cluster
+        tiles fan out — at 10^12 rows this is the difference between
+        replicating the whole catalog n_salts times and replicating just the
+        skewed cells (SURVEY.md §4 'Skew handling')."""
         if id_col not in pts.columns:
             raise ValueError(f"cogroup strategy needs a unique id column {id_col!r}")
         if knn:
@@ -491,10 +498,38 @@ class ElevationEngine:
             F.col("lon"),
             cells.tile_lat(F.col("lat")).alias("tile_lat"),
             cells.tile_lon(F.col("lon")).alias("tile_lon"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int").alias("salt"),
         )
-        cat = self.catalog.select(
-            "tile_lat", "tile_lon", "data", F.explode(F.lit(list(range(n_salts)))).alias("salt")
+        # histogram pre-pass (narrow columns only; result is bounded by the
+        # number of distinct 1-degree cells, <= 64800 — safe to collect)
+        hist = narrow.groupBy("tile_lat", "tile_lon").count().collect()
+        total_rows = sum(r["count"] for r in hist) or 1
+        slots = pts.sparkSession.sparkContext.defaultParallelism
+        target = max(total_rows / max(slots * 2, 1), 1.0)
+        import math
+
+        salt_rows = [
+            (r["tile_lat"], r["tile_lon"], int(min(max(math.ceil(r["count"] / target), 1), n_salts)))
+            for r in hist
+        ]
+        salt_df = F.broadcast(
+            pts.sparkSession.createDataFrame(
+                salt_rows, "tile_lat int, tile_lon int, k_salt int"
+            )
+        )
+        narrow = narrow.join(salt_df, ["tile_lat", "tile_lon"], "left").withColumn(
+            "salt",
+            F.pmod(F.xxhash64(F.col("_rid")), F.coalesce(F.col("k_salt"), F.lit(1)))
+            .cast("int"),
+        ).drop("k_salt")
+        cat = (
+            self.catalog.join(salt_df, ["tile_lat", "tile_lon"], "left")
+            .withColumn("k_salt", F.coalesce(F.col("k_salt"), F.lit(1)))
+            .select(
+                "tile_lat",
+                "tile_lon",
+                "data",
+                F.explode(F.sequence(F.lit(0), F.col("k_salt") - 1)).alias("salt"),
+            )
         )
 
         id_field = pts.schema[id_col].dataType
