@@ -367,6 +367,7 @@ class ElevationEngine:
         knn_fallback: bool = False,
         n_salts: int = 8,
         strict: bool = False,
+        observe: bool = False,
     ) -> DataFrame:
         """Append elevation columns to `points`.
 
@@ -410,6 +411,23 @@ class ElevationEngine:
             out = out.withColumn(
                 "elevation", F.coalesce(F.col("elevation"), F.lit(default))
             )
+        if observe:
+            from pyspark.sql import Observation
+
+            obs = Observation("elevation_join")
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum((~F.col("in_coverage")).cast("long")).alias("out_of_coverage"),
+                F.sum(
+                    (F.col("in_coverage") & ~F.col("tile_found")).cast("long")
+                ).alias("missing_tile"),
+                F.sum(F.col("knn_used").cast("long")).alias("knn_fallbacks"),
+                F.sum(
+                    (F.col("tile_found") & F.col("elevation").isNull()).cast("long")
+                ).alias("void_hits") if default is None else F.lit(0).alias("void_hits"),
+            )
+            self.last_observation = obs
         return out
 
     # -- broadcast (map-only) strategy ----------------------------------------
