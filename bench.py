@@ -56,10 +56,30 @@ def main():
         rps[name] = round(n / dt)
         total += dt
 
+    # pipeline ops over the driver tables at this sf (dedup / ANN / text)
+    from pyspark.sql import functions as F
+
+    from htg_spark import pipeline_queries as pq
+
+    for name, fn in (
+        ("dedup_exact", pq.q_dedup_exact),
+        ("minhash_signatures", pq.q_minhash_signatures),
+        ("lsh_dedup_pairs", pq.q_lsh_dedup_pairs),
+        ("ann_topk", pq.q_ann_topk),
+        ("text_quality", pq.q_text_quality),
+    ):
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        rows[name] = n
+        rps[name] = round(n / dt) if dt > 0 else 0
+        total += dt
+
     print(
         json.dumps(
             {
-                "metric": "elevation-join wall-clock (5 headline joins)",
+                "metric": "elevation-join + pipeline-ops wall-clock (10 headline queries)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,

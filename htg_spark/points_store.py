@@ -1,0 +1,56 @@
+"""Partitioned storage for the points/images table — the Iceberg-style
+layout (BASELINE.json input_hint; no Iceberg runtime jar in the sandbox, so
+this is hive-partitioned parquet with the same pruning behavior; swap
+`.write.parquet` for `.writeTo(...).using("iceberg")` when the jar exists).
+
+Layout: partitioned by the level-0 tile cell id (`p_cell`), so any bbox or
+tile-range predicate prunes partitions at plan time — the S9/P3 scan story:
+a query for one 1-degree cell reads exactly one directory out of N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells
+
+
+def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write with derived (lat, lon) -> p_cell partition column. Accepts a
+    frame carrying lat/lon columns or a phash column."""
+    work = df
+    if "lat" not in work.columns:
+        work = work.withColumn("lat", cells.lat_from_phash(F.col("phash"))).withColumn(
+            "lon", cells.lon_from_phash(F.col("phash"))
+        )
+    work = work.withColumn(
+        "p_cell", cells.cell_id(cells.tile_lat(F.col("lat")), cells.tile_lon(F.col("lon")))
+    )
+    work.write.mode(mode).partitionBy("p_cell").parquet(path)
+
+
+def read_points(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple | None = None,
+) -> DataFrame:
+    """Read back; a bbox (min_lat, min_lon, max_lat, max_lon) becomes a
+    p_cell range predicate that Spark prunes to matching partition dirs
+    (strict-inequality tile overlap, service.rs:102-110)."""
+    df = spark.read.parquet(path)
+    if bbox is not None:
+        min_lat, min_lon, max_lat, max_lon = bbox
+        import math
+
+        lo_lat, hi_lat = math.floor(min_lat), math.ceil(max_lat) - 1
+        lo_lon, hi_lon = math.floor(min_lon), math.ceil(max_lon) - 1
+        # p_cell = (tile_lat+90)*360 + (tile_lon+180): enumerate the covered
+        # cells (bounded: bboxes span few degrees) -> IN-list prunes exactly
+        cells_in = [
+            (la + 90) * 360 + (lo + 180)
+            for la in range(lo_lat, hi_lat + 1)
+            for lo in range(lo_lon, hi_lon + 1)
+        ]
+        df = df.where(F.col("p_cell").isin(cells_in))
+    return df
