@@ -574,6 +574,10 @@ class ElevationEngine:
             .cogroup(cat.groupBy("tile_lat", "tile_lon", "salt"))
             .applyInPandas(apply, schema=out_schema)
         )
+        extra_cols = [c for c in pts.columns if c not in (id_col, "lat", "lon")]
+        if not extra_cols:
+            # no payload to re-attach: skip the rejoin shuffle entirely
+            return joined.withColumnRenamed("_rid", id_col)
         return pts.drop("lat", "lon").join(
             joined.withColumnRenamed("_rid", id_col), on=id_col, how="inner"
         )
