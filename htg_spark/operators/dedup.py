@@ -125,6 +125,48 @@ def jaccard_verify(
     )
 
 
+def simhash_near_dup_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the 60-bit signature into 4
+    15-bit chunks; by pigeonhole, any pair within hamming distance <= 3
+    shares at least one identical chunk, so a 4-way chunk-equality self-join
+    finds ALL such pairs; the exact hamming distance then filters.
+
+    Output: (id_a, id_b, hamming) for pairs with hamming <= max_hamming.
+    At corpus scale this is the shuffle-on-15-bit-chunk plan — no cross
+    join anywhere.
+    """
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        *[
+            F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.lit(float(15 * c))))
+            .cast("long")
+            .bitwiseAND(F.lit((1 << 15) - 1))
+            .alias(f"ch{c}")
+            for c in range(4)
+        ],
+    )
+    pairs = None
+    for c in range(4):
+        a = chunks.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), F.col(f"ch{c}").alias("ck")
+        )
+        b = chunks.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), F.col(f"ch{c}").alias("ck")
+        )
+        p = a.join(b, "ck").where(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "sig_a", "sig_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash over tokens: per-token md5 -> 15 hex nibbles -> 60 bits;
     per bit, majority vote across the document's tokens (+1/-1, ties -> 0);

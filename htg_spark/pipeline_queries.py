@@ -118,6 +118,14 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(docs, id_col="cid")
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash hamming-radius dedup over the near-dup corpus: banded 15-bit
+    chunk join (pigeonhole-complete for hamming <= 3)."""
+    corpus = neardup_corpus(_docs(spark, sf_dir))
+    sigs = dedup.simhash(corpus, id_col="cid")
+    return dedup.simhash_near_dup_pairs(sigs, id_col="cid", max_hamming=3)
+
+
 # --- text queries ------------------------------------------------------------------
 
 
@@ -268,6 +276,43 @@ votes AS (
 SELECT cid, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY cid
 """
+    simhash_near_dup_sql = (
+        "WITH "
+        + _SQL_NEARDUP_CORPUS
+        + """,
+toks AS (SELECT cid, unnest(string_split(text, ' ')) AS tok FROM corpus),
+th AS (SELECT cid, md5(tok) AS h FROM toks),
+bits AS (
+  SELECT cid, r.range AS b,
+    strpos('0123456789abcdef', substr(h, CAST(r.range // 4 AS INT) + 1, 1)) - 1 AS digit
+  FROM th, range(0, 60) r
+),
+votes AS (
+  SELECT cid, b, sum(((digit // CAST(pow(2, b % 4) AS INT)) % 2) * 2 - 1) AS s
+  FROM bits GROUP BY 1, 2
+),
+sigs AS (
+  SELECT cid, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY cid
+),
+chunks AS (
+  SELECT cid, simhash,
+    (simhash // CAST(pow(2, 0) AS BIGINT)) & 32767 AS ch0,
+    (simhash // CAST(pow(2, 15) AS BIGINT)) & 32767 AS ch1,
+    (simhash // CAST(pow(2, 30) AS BIGINT)) & 32767 AS ch2,
+    (simhash // CAST(pow(2, 45) AS BIGINT)) & 32767 AS ch3
+  FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.cid AS id_a, b.cid AS id_b, a.simhash AS sig_a, b.simhash AS sig_b
+  FROM chunks a JOIN chunks b
+    ON a.cid < b.cid
+   AND (a.ch0 = b.ch0 OR a.ch1 = b.ch1 OR a.ch2 = b.ch2 OR a.ch3 = b.ch3)
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+    )
     text_stats_sql = """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
 SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
@@ -396,6 +441,7 @@ WHERE a.vec_id < b.vec_id
         "minhash_signatures": minhash_sql,
         "lsh_dedup_pairs": lsh_sql,
         "simhash": simhash_sql,
+        "simhash_near_dup": simhash_near_dup_sql,
         "text_stats": text_stats_sql,
         "text_quality": text_quality_sql,
         "lang_id": lang_id_sql,
@@ -412,6 +458,7 @@ def queries():
         "minhash_signatures": q_minhash_signatures,
         "lsh_dedup_pairs": q_lsh_dedup_pairs,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,

@@ -60,6 +60,23 @@ def test_simhash_identical_and_different(docs):
     assert bin(h0 ^ h2).count("1") <= 20
 
 
+def test_simhash_near_dup_pairs(docs):
+    sigs = dedup.simhash(docs)
+    # identical docs 0/1 -> hamming 0; banding must find them
+    pairs = dedup.simhash_near_dup_pairs(sigs, max_hamming=3).toPandas()
+    pairset = {(a, b): h for a, b, h in zip(pairs.id_a, pairs.id_b, pairs.hamming)}
+    assert pairset.get((0, 1)) == 0
+    # pigeonhole completeness: brute-force hamming <= 3 pairs == banded pairs
+    sp = sigs.toPandas().set_index("doc_id")["simhash"]
+    brute = {
+        (a, b)
+        for a in sp.index
+        for b in sp.index
+        if a < b and bin(int(sp[a]) ^ int(sp[b])).count("1") <= 3
+    }
+    assert set(pairset) == brute
+
+
 def test_token_stats_and_quality(docs):
     st = text.token_stats(docs).orderBy("doc_id").toPandas()
     assert st.loc[0, "n_tokens"] == 9
