@@ -110,6 +110,63 @@ def lsh_topk(
     )
 
 
+N_CENTROIDS = 8
+
+
+def ivf_centroids(dim: int, k: int = N_CENTROIDS, seed: int = 7) -> list[list[float]]:
+    """Deterministic IVF 'coarse quantizer' centroids. Seeded and quantized
+    to 3 decimals so the SQL oracle can embed them as literals. (With a
+    trained model you would plug k-means centroids here; the routing,
+    bucketing and probe plumbing below is identical either way.)"""
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), 3) for x in rng.standard_normal(dim)] for _ in range(k)]
+
+
+def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Assigned list = argmax over centroids of dot(vec, centroid); ties go
+    to the lowest centroid index (deterministic, SQL-mirrorable)."""
+    dots = []
+    for c in centroids:
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        dots.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    best = F.greatest(*dots)
+    assigned = F.lit(None).cast("int")
+    for i in reversed(range(len(centroids))):
+        assigned = F.when(dots[i] == best, F.lit(i)).otherwise(assigned)
+    return assigned
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search with nprobe=1: corpus rows are bucketed by nearest
+    centroid; each query searches only its own bucket. The bucket join is
+    the 100TB shape — the inverted lists are just a partitioned layout."""
+    a = ivf_assign_expr(vec_col, centroids)
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), a.alias("lst"))
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), a.alias("lst"))
+    j = q.join(c, "lst").where(F.col("q_id") != F.col("n_id"))
+    cos = (dot_expr("q_vec", "n_vec") / (norm_expr("q_vec") * norm_expr("n_vec"))).alias("cosine")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        j.select("q_id", "n_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cosine")
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.99,

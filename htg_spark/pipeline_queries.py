@@ -19,6 +19,7 @@ from .operators import ann, dedup, text
 
 EMB_DIM = 64
 PLANES = ann.hyperplanes(EMB_DIM, ann.N_PLANES, seed=42)
+CENTROIDS = ann.ivf_centroids(EMB_DIM, ann.N_CENTROIDS, seed=7)
 
 
 def _docs(spark, sf_dir):
@@ -177,6 +178,13 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return emb.select(
         "vec_id", ann.lsh_bucket_expr("embedding", PLANES).alias("bucket")
     )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (nprobe=1) approximate top-k over the bucket of the query's
+    nearest coarse centroid."""
+    emb = _emb(spark, sf_dir)
+    return ann.ivf_topk(emb, emb.where(F.col("vec_id") < 10), CENTROIDS, k=5)
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -412,6 +420,35 @@ SELECT q_id, CAST(rank AS INT) AS rank, n_id, cosine FROM r WHERE rank <= 5
         "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)\n"
         "SELECT vec_id, CAST(" + " + ".join(plane_dots) + " AS INT) AS bucket FROM e"
     )
+    # IVF: argmax over centroid dots, lowest index wins ties
+    cent_dots = []
+    for i, c in enumerate(CENTROIDS):
+        arr = "[" + ", ".join(f"{v!r}" for v in c) + "]::DOUBLE[]"
+        cent_dots.append(
+            f"list_reduce(list_transform(list_zip(v, {arr}), s -> s[1] * s[2]), (a, b) -> a + b) AS d{i}"
+        )
+    best = "GREATEST(" + ", ".join(f"d{i}" for i in range(len(CENTROIDS))) + ")"
+    assign = "NULL"
+    for i in reversed(range(len(CENTROIDS))):
+        assign = f"CASE WHEN d{i} = best THEN {i} ELSE {assign} END"
+    ivf_sql = (
+        "WITH "
+        + _SQL_EMB_D
+        + f""",
+dots AS (SELECT vec_id, v, nrm, {', '.join(cent_dots)} FROM n),
+assigned AS (SELECT *, {best} AS best FROM dots),
+bucketed AS (SELECT vec_id, v, nrm, CAST({assign} AS INT) AS lst FROM assigned),
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+    list_reduce(list_transform(list_zip(q.v, c.v), s -> s[1] * s[2]), (a, b) -> a + b)
+      / (q.nrm * c.nrm) AS cosine
+  FROM bucketed q JOIN bucketed c ON q.lst = c.lst
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank FROM p)
+SELECT q_id, CAST(rank AS INT) AS rank, n_id, cosine FROM r WHERE rank <= 5
+"""
+    )
     near_dup_sql = (
         "WITH "
         + _SQL_EMB_D
@@ -448,6 +485,7 @@ WHERE a.vec_id < b.vec_id
         "doc_fingerprint": fingerprint_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh_buckets": lsh_buckets_sql,
+        "ann_ivf_topk": ivf_sql,
         "embedding_near_dup": near_dup_sql,
     }
 
@@ -465,5 +503,6 @@ def queries():
         "doc_fingerprint": q_doc_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
     }

@@ -284,7 +284,9 @@ All times from `jobs/elevation_job.py`; raw JSON:
 {json.dumps(r_large)}
 ```
 """
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+    # write the per-run snapshot; BENCH_SCALING.md is the curated multi-session
+    # report and is maintained by hand
+    with open(os.path.join(REPO, "BENCH_SCALING_last.md"), "w") as f:
         f.write(md)
 
 

@@ -141,3 +141,17 @@ def test_geojson_feature_collection_file(spark, engine, tmp_path):
     assert f0["properties"] == {"name": "fuji-ish"}
     assert f0["geometry"]["coordinates"][2] == 500.0
     assert f1["geometry"]["coordinates"][2] == 0.0  # default fill
+
+
+def test_batch_dispatch(spark, engine, tmp_path):
+    import pandas as pd
+    import pytest as _pt
+
+    from htg_spark.batch_dispatch import batch_enrich_file
+
+    src = tmp_path / "d.csv"
+    pd.DataFrame({"id": [1], "lat": [35.5], "lon": [138.5]}).to_csv(src, index=False)
+    out = batch_enrich_file(engine, spark, str(src))
+    assert out.endswith("d_elevation.csv")
+    with _pt.raises(ValueError, match="unsupported file extension"):
+        batch_enrich_file(engine, spark, str(tmp_path / "x.txt"))

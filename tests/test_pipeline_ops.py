@@ -144,3 +144,23 @@ def test_lsh_topk_bucket_subset(emb):
     # every reported neighbor shares the query's bucket
     for _, r in out.iterrows():
         assert b[r["q_id"]] == b[r["n_id"]]
+
+
+def test_ivf_topk(emb):
+    df, vecs = emb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cents = ann.ivf_centroids(16, 4, seed=7)
+    out = ann.ivf_topk(df, df.where(F.col("vec_id") < 3), cents, k=5).toPandas()
+    # every neighbor shares the query's assigned centroid bucket
+    assigned = df.select(
+        "vec_id", ann.ivf_assign_expr("embedding", cents).alias("lst")
+    ).toPandas().set_index("vec_id")["lst"]
+    for _, r in out.iterrows():
+        assert assigned[r["q_id"]] == assigned[r["n_id"]]
+    # assignment matches NumPy argmax
+    c = np.array(cents)
+    dots = vecs.astype(np.float64) @ c.T
+    expect = dots.argmax(axis=1)
+    assert list(assigned.sort_index()) == list(expect)
