@@ -219,3 +219,28 @@ def test_phash_geotag_roundtrip():
     assert np.array_equal(np.floor(lon2), np.floor(lon))
     # full-globe encoding reaches out-of-coverage and missing-tile regions
     assert not fixtures.phash_to_lat_lon(fixtures.lat_lon_to_phash(75.5, 10.5))[0] < 60
+
+
+def test_bench_tile_pattern():
+    # T-bench: elev = base + (row+col) % 1000 (benchmarks/create_test_tiles.py:43-50)
+    g = fixtures.tile_bench(150)
+    assert g[0, 0] == 150 and g[1, 0] == 151 and g[500, 500] == 150
+    assert g.dtype == np.int16 and g.shape == (1201, 1201)
+
+
+def test_batch_floor_mode():
+    tiles = {(33, -97): fixtures.tile_round()}
+    out_r = hgt.get_elevations_batch([(33.3448, -96.1592)], tiles, default=-1, mode="nearest")
+    out_f = hgt.get_elevations_batch([(33.3448, -96.1592)], tiles, default=-1, mode="floor")
+    assert list(out_r) == [190] and list(out_f) == [191]
+
+
+def test_zip_tile_bytes_roundtrip():
+    import io
+    import zipfile
+
+    data = hgt.encode_tile(fixtures.tile_center(7))
+    z = fixtures.zip_tile_bytes("N35E138.hgt", data)
+    with zipfile.ZipFile(io.BytesIO(z)) as zf:
+        assert zf.namelist() == ["N35E138.hgt"]
+        assert zf.read("N35E138.hgt") == data
