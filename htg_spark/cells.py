@@ -61,7 +61,10 @@ def tile_filename(t_lat: Column, t_lon: Column) -> Column:
 def filename_to_key(name: Column):
     """Parse '{N|S}dd{E|W}ddd(.hgt)' (case-insensitive, path stripped) back to
     (tile_lat, tile_lon); NULL on malformed input (filename.rs:95-132)."""
-    base = F.element_at(F.split(F.element_at(F.split(name, "/"), -1), r"\\\\"), -1)
+    # split on ONE literal backslash: the JVM regex engine must see the
+    # two-char pattern \\ (Python r"\\"); r"\\\\" would match only *pairs*
+    # of backslashes, leaving Windows-style paths unstripped
+    base = F.element_at(F.split(F.element_at(F.split(name, "/"), -1), r"\\"), -1)
     m = F.regexp_extract(base, r"^([NSns])(\d{2})([EWew])(\d{3})(\.hgt)?$", 0)
     ok = m != ""
     lat_sign = F.when(F.upper(F.substring(base, 1, 1)) == "N", 1).otherwise(-1)

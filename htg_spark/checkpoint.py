@@ -50,6 +50,16 @@ class CheckpointedJob:
                 if name.startswith("bucket-") and name.endswith(".json"):
                     with open(os.path.join(self.manifest_dir, name)) as f:
                         m = json.load(f)
+                    # resuming with a different bucketing would leave stale
+                    # bucket=N dirs in place while rehashed rows land in the
+                    # low buckets -> duplicated rows on read; fail fast
+                    for field, mine in (("n_buckets", self.n_buckets), ("id_col", self.id_col)):
+                        if field in m and m[field] != mine:
+                            raise ValueError(
+                                f"checkpoint at {self.out_dir} was written with "
+                                f"{field}={m[field]!r}; resume requested {mine!r} — "
+                                "refusing to mix bucketings (wipe out_dir or match it)"
+                            )
                     done[m["bucket"]] = m
         return done
 
@@ -104,6 +114,8 @@ class CheckpointedJob:
                     r = stats.get(b)
                     manifest = {
                         "bucket": b,
+                        "n_buckets": self.n_buckets,
+                        "id_col": self.id_col,
                         "rows": int(r["rows"]) if r else 0,
                         "elev_nulls": int(r["elev_nulls"]) if r else 0,
                         "tiles_found": int(r["tiles_found"]) if r else 0,

@@ -91,10 +91,10 @@ class _GridCache:
         return grid
 
 
-_EXECUTOR_CACHE: dict[int, _GridCache] = {}
+_EXECUTOR_CACHE: dict[str, _GridCache] = {}
 
 
-def _executor_cache(token: int, capacity: int) -> _GridCache:
+def _executor_cache(token: str, capacity: int) -> _GridCache:
     c = _EXECUTOR_CACHE.get(token)
     if c is None:
         c = _EXECUTOR_CACHE[token] = _GridCache(capacity)
@@ -240,8 +240,14 @@ class ElevationEngine:
     ):
         from . import catalog as cat_mod
 
+        import uuid
+
         self.spark = spark
         self.cache_size = cache_size
+        # executor-cache namespace: a per-engine UUID, NOT id(self) — Python
+        # recycles ids after GC and executor workers outlive driver objects,
+        # so an id-keyed cache could serve another catalog's grids
+        self._cache_token = uuid.uuid4().hex
         if catalog is not None:
             self.catalog = catalog
         elif grids is not None:
@@ -442,7 +448,7 @@ class ElevationEngine:
         bcast = self._broadcast_blobs()
         centers = self.tile_centers() if knn else None
         cache_cap = self.cache_size
-        token = id(self)
+        token = self._cache_token
         out_schema = T.StructType(
             [f for f in pts.schema.fields if f.name not in ("lat", "lon")]
         )

@@ -17,22 +17,37 @@ candidate pairs only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 N_MINHASH = 4  # 2 bands x 2 rows
 
 
+def bigrams_expr(toks: Column) -> Column:
+    """Word-bigram shingles from an ALREADY-MATERIALIZED token array column.
+
+    The token array must be projected once (e.g. `.select(split(text))`)
+    before this expression: higher-order-function lambdas are interpreted
+    with no common-subexpression elimination, so inlining `split(text)`
+    inside the lambda re-tokenizes the document for every element —
+    O(tokens^2) per doc (this was an 80x slowdown at 5k docs). zip_with of
+    the two one-off slices touches each token O(1) times."""
+    n = F.size(toks)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+
+
 def _shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct word-bigram shingles per document."""
-    bigrams = F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) < 2 THEN array() "
-        f"ELSE transform(sequence(0, size(split({text_col}, ' ')) - 2), "
-        f"i -> concat(split({text_col}, ' ')[i], ' ', split({text_col}, ' ')[i+1])) END"
-    )
+    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("_toks"))
     return (
-        df.select(id_col, F.explode(bigrams).alias("shingle"))
+        toks.select(id_col, F.explode(bigrams_expr(F.col("_toks"))).alias("shingle"))
         .dropDuplicates([id_col, "shingle"])
     )
 
@@ -137,12 +152,13 @@ def simhash_near_dup_pairs(
     At corpus scale this is the shuffle-on-15-bit-chunk plan — no cross
     join anywhere.
     """
+    # exact integer bit extraction: a floor-divide through double would lose
+    # the low bits of any signature >= 2^53 and silently drop pairs
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
         *[
-            F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.lit(float(15 * c))))
-            .cast("long")
+            F.shiftright(F.col("simhash"), 15 * c)
             .bitwiseAND(F.lit((1 << 15) - 1))
             .alias(f"ch{c}")
             for c in range(4)
@@ -171,32 +187,32 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """60-bit SimHash over tokens: per-token md5 -> 15 hex nibbles -> 60 bits;
     per bit, majority vote across the document's tokens (+1/-1, ties -> 0);
     signature = sum(bit_b << b). Near-dups share signatures (or are within a
-    small hamming distance)."""
+    small hamming distance).
+
+    Plan shape: tokens are NOT exploded per bit (the naive tokens x 60-row
+    blowup is 60x the shuffle bytes); instead one groupBy carries 60 map-side
+    partial-agg set-bit counters plus the token count, and the signature is
+    assembled from the counters with exact integer shifts. Majority vote
+    sum(2*bit - 1) > 0 is equivalent to 2*set_count > n_tokens."""
     toks = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).select(id_col, F.md5(F.encode(F.col("tok"), "UTF-8")).alias("h"))
-    # nibble d = hex digit at position p (1-based), bits 4p-4 .. 4p-1
-    exploded = toks.select(
+    # hex digit at position p (1-based) holds bits 4p..4p+3
+    digits = toks.select(
         id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
-        F.col("h"),
-    ).select(
-        id_col,
-        "b",
-        F.conv(F.substring(F.col("h"), F.expr("CAST(b div 4 AS INT) + 1"), 1), 16, 10)
-        .cast("int")
-        .alias("digit"),
+        *[
+            F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10).cast("int").alias(f"d{p}")
+            for p in range(15)
+        ],
     )
-    # bit = (digit >> (b % 4)) & 1, as exact integer arithmetic
-    bit = (
-        F.floor(F.col("digit") / F.pow(F.lit(2.0), (F.col("b") % 4).cast("double"))).cast("int")
-        % 2
-    )
-    vote = bit * 2 - 1
-    votes = exploded.select(id_col, "b", vote.alias("v")).groupBy(id_col, "b").agg(
-        F.sum("v").alias("s")
-    )
-    bitval = F.when(F.col("s") > 0, 1).otherwise(0).cast("long")
-    return votes.groupBy(id_col).agg(
-        F.sum(bitval * F.pow(F.lit(2.0), F.col("b").cast("double")).cast("long")).alias("simhash")
-    )
+    aggs = [F.count("*").alias("n_toks")] + [
+        F.sum(F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))).alias(f"s{b}")
+        for b in range(60)
+    ]
+    counts = digits.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(60):
+        sig = sig + F.when(
+            F.col(f"s{b}") * 2 > F.col("n_toks"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    return counts.select(id_col, sig.cast("long").alias("simhash"))

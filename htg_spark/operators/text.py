@@ -89,16 +89,20 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     """Document fingerprints: full-text md5 plus a winnowing-style shingle
     fingerprint (min md5 over word-bigram shingles — the rolling-hash
     analog, stable under token reordering-free edits)."""
+    from .dedup import bigrams_expr
+
     t = F.col(text_col)
-    bigrams = F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) < 2 THEN array() "
-        f"ELSE transform(sequence(0, size(split({text_col}, ' ')) - 2), "
-        f"i -> concat(split({text_col}, ' ')[i], ' ', split({text_col}, ' ')[i+1])) END"
-    )
-    df2 = df.select(
+    # materialize the token array once, then shingle over the array column
+    # (inlining split() in the lambda is O(tokens^2) — see dedup.bigrams_expr)
+    pre = df.select(
         id_col,
         F.md5(F.encode(t, "UTF-8")).alias("md5_fp"),
-        F.explode_outer(bigrams).alias("shingle"),
+        F.split(t, " ").alias("_toks"),
+    )
+    df2 = pre.select(
+        id_col,
+        "md5_fp",
+        F.explode_outer(bigrams_expr(F.col("_toks"))).alias("shingle"),
     )
     return df2.groupBy(id_col, "md5_fp").agg(
         F.min(F.md5(F.encode(F.col("shingle"), "UTF-8"))).alias("min_shingle_fp")

@@ -69,3 +69,21 @@ def test_kill_resume(spark, engine, points, tmp_path):
     total_rows = sum(m["rows"] for m in done.values())
     assert total_rows == 1200
     assert all("elev_nulls" in m and "wall_s" in m for m in done.values())
+
+
+def test_resume_rejects_mismatched_bucketing(spark, engine, points, tmp_path):
+    """Resuming with a different n_buckets (or id_col) would duplicate rows
+    (stale bucket=N dirs + rehashed low buckets) — must fail fast."""
+    out = str(tmp_path / "job")
+    transform = lambda df: engine.elevation_join(df, mode="nearest", strategy="broadcast")
+    job = CheckpointedJob(out, n_buckets=4, id_col="image_id")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run(points, transform, fail_after=1, wave_size=1)
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        CheckpointedJob(out, n_buckets=8, id_col="image_id").run(points, transform)
+    with pytest.raises(ValueError, match="id_col"):
+        CheckpointedJob(out, n_buckets=4, id_col="other").completed_buckets()
+    # matching bucketing resumes cleanly
+    summary = CheckpointedJob(out, n_buckets=4, id_col="image_id").run(points, transform)
+    assert summary["skipped"] == 1 and summary["processed"] == 3

@@ -206,10 +206,11 @@ def test_filename_expressions_match_python(spark):
     exp = [hgt.coords_to_filename(a, b) for a, b in zip(pdf.t_lat, pdf.t_lon)]
     assert list(got) == exp
     # parse back
-    df2 = spark.createDataFrame(pd.DataFrame({"fn": exp + ["invalid", "n35e138", "/p/N00E000.hgt"]}))
+    extra = ["invalid", "n35e138", "/p/N00E000.hgt", r"C:\tiles\N35E138.hgt"]
+    df2 = spark.createDataFrame(pd.DataFrame({"fn": exp + extra}))
     tl, tn = cells.filename_to_key(df2.fn)
     back = df2.select(tl.alias("a"), tn.alias("b")).toPandas()
-    exp_back = [hgt.filename_to_lat_lon(x) for x in list(exp) + ["invalid", "n35e138", "/p/N00E000.hgt"]]
+    exp_back = [hgt.filename_to_lat_lon(x) for x in list(exp) + extra]
     for i, e in enumerate(exp_back):
         if e is None:
             assert pd.isna(back["a"][i]) and pd.isna(back["b"][i])

@@ -77,6 +77,27 @@ def test_simhash_near_dup_pairs(docs):
     assert set(pairset) == brute
 
 
+def test_simhash_chunks_exact_above_2_53(spark):
+    # regression: a floor-divide through double loses the low bits of
+    # signatures >= 2^53, silently dropping pairs; exact shift/mask must
+    # find this hamming-1 pair whose high bit is set
+    sigs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "simhash": [1, (1 << 59) + 1, (1 << 59) + (1 << 30) + (1 << 16) + 14]})
+    )
+    out = dedup.simhash_near_dup_pairs(sigs, max_hamming=3).toPandas()
+    pairset = {(a, b): h for a, b, h in zip(out.id_a, out.id_b, out.hamming)}
+    assert pairset.get((0, 1)) == 1
+    # brute-force completeness over the high-bit fixture
+    sp = {0: 1, 1: (1 << 59) + 1, 2: (1 << 59) + (1 << 30) + (1 << 16) + 14}
+    brute = {
+        (a, b)
+        for a in sp
+        for b in sp
+        if a < b and bin(sp[a] ^ sp[b]).count("1") <= 3
+    }
+    assert set(pairset) == brute
+
+
 def test_token_stats_and_quality(docs):
     st = text.token_stats(docs).orderBy("doc_id").toPandas()
     assert st.loc[0, "n_tokens"] == 9
