@@ -19,7 +19,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-N_PLANES = 4
+# 16 sign bits -> 65,536 buckets per table. At corpus size N the bucket
+# self-join is ~N^2/2^n_planes rows, so n_planes must grow with log2(N):
+# 16 is sized for ~10^6-10^7 rows/table; at 10^9+ raise to 24-28. Recall is
+# recovered by OR-ing several independent tables (hyperplane_tables), not by
+# fewer bits.
+N_PLANES = 16
 
 
 def hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = 42) -> list[list[float]]:
@@ -27,6 +32,15 @@ def hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = 42) -> list[list
     decimals so literal embedding in SQL text is exact."""
     rng = np.random.default_rng(seed)
     return [[round(float(x), 3) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_tables(
+    dim: int, n_planes: int = 8, n_tables: int = 4, seed: int = 42
+) -> list[list[list[float]]]:
+    """Independent plane sets for multi-table LSH: a pair is a candidate if
+    it collides in ANY table — P(miss) = (1 - p^r)^T drops geometrically in
+    T while each table's bucket join stays selective."""
+    return [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
 
 
 def dot_expr(a: str, b: str) -> Column:
@@ -110,21 +124,92 @@ def lsh_topk(
     )
 
 
-N_CENTROIDS = 8
+def lsh_topk_multi(
+    emb: DataFrame,
+    queries: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table approximate top-k: candidates from ANY table's bucket
+    collision (union + dedup), exact cosine rank on candidates only. Recall
+    rises geometrically with table count at constant per-table join cost."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        *[lsh_bucket_expr(vec_col, p).alias(f"bk{t}") for t, p in enumerate(tables)],
+    )
+    c = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        *[lsh_bucket_expr(vec_col, p).alias(f"bk{t}") for t, p in enumerate(tables)],
+    )
+    cand = None
+    for t in range(len(tables)):
+        p = (
+            q.select("q_id", "q_vec", F.col(f"bk{t}").alias("bk"))
+            .join(c.select("n_id", "n_vec", F.col(f"bk{t}").alias("bk")), "bk")
+            .where(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id", "q_vec", "n_vec")
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["q_id", "n_id"])
+    cos = (dot_expr("q_vec", "n_vec") / (norm_expr("q_vec") * norm_expr("n_vec"))).alias("cosine")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        cand.select("q_id", "n_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cosine")
+    )
+
+
+N_CENTROIDS = 16
 
 
 def ivf_centroids(dim: int, k: int = N_CENTROIDS, seed: int = 7) -> list[list[float]]:
     """Deterministic IVF 'coarse quantizer' centroids. Seeded and quantized
     to 3 decimals so the SQL oracle can embed them as literals. (With a
-    trained model you would plug k-means centroids here; the routing,
+    trained model you would plug train_centroids() output here; the routing,
     bucketing and probe plumbing below is identical either way.)"""
     rng = np.random.default_rng(seed)
     return [[round(float(x), 3) for x in rng.standard_normal(dim)] for _ in range(k)]
 
 
+def train_centroids(
+    sample: np.ndarray, k: int = N_CENTROIDS, iters: int = 10, seed: int = 7
+) -> list[list[float]]:
+    """Lloyd's k-means on a driver-side SAMPLE (bound the sample, not the
+    corpus: at 100 TB you train on ~100k sampled rows and broadcast the
+    centroids — the cluster-side cost is only the assignment pass).
+    Deterministic: seeded init, fixed iteration count, values quantized to
+    3 decimals so they can be embedded as SQL literals."""
+    x = np.asarray(sample, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return [[round(float(v), 3) for v in c] for c in cents]
+
+
 def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     """Assigned list = argmax over centroids of dot(vec, centroid); ties go
     to the lowest centroid index (deterministic, SQL-mirrorable)."""
+    dots = _centroid_dots(vec_col, centroids)
+    best = F.greatest(*dots)
+    assigned = F.lit(None).cast("int")
+    for i in reversed(range(len(centroids))):
+        assigned = F.when(dots[i] == best, F.lit(i)).otherwise(assigned)
+    return assigned
+
+
+def _centroid_dots(vec_col: str, centroids: list[list[float]]) -> list[Column]:
     dots = []
     for c in centroids:
         arr = F.array(*[F.lit(float(v)) for v in c])
@@ -135,11 +220,19 @@ def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> Column:
                 lambda acc, v: acc + v,
             )
         )
-    best = F.greatest(*dots)
-    assigned = F.lit(None).cast("int")
-    for i in reversed(range(len(centroids))):
-        assigned = F.when(dots[i] == best, F.lit(i)).otherwise(assigned)
-    return assigned
+    return dots
+
+
+def ivf_probe_expr(vec_col: str, centroids: list[list[float]], nprobe: int) -> Column:
+    """The `nprobe` centroid indices with the highest dots, ties by lowest
+    index (array<int>, deterministic, SQL-mirrorable via row_number)."""
+    dots = _centroid_dots(vec_col, centroids)
+    # sort desc on (dot, -idx): dot desc, then idx asc on exact ties
+    entries = F.array(
+        *[F.struct(d.alias("d"), F.lit(-i).alias("ni")) for i, d in enumerate(dots)]
+    )
+    top = F.slice(F.sort_array(entries, asc=False), 1, nprobe)
+    return F.transform(top, lambda s: -s["ni"])
 
 
 def ivf_topk(
@@ -147,14 +240,20 @@ def ivf_topk(
     queries: DataFrame,
     centroids: list[list[float]],
     k: int = 5,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF search with nprobe=1: corpus rows are bucketed by nearest
-    centroid; each query searches only its own bucket. The bucket join is
-    the 100TB shape — the inverted lists are just a partitioned layout."""
+    """IVF search: corpus rows are bucketed by nearest centroid (inverted
+    lists = partitioned layout); each query probes its `nprobe` nearest
+    lists. The list equi-join is the 100TB shape — probing more lists
+    multiplies candidates by nprobe/C, never by N."""
     a = ivf_assign_expr(vec_col, centroids)
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), a.alias("lst"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(ivf_probe_expr(vec_col, centroids, nprobe)).alias("lst"),
+    )
     c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), a.alias("lst"))
     j = q.join(c, "lst").where(F.col("q_id") != F.col("n_id"))
     cos = (dot_expr("q_vec", "n_vec") / (norm_expr("q_vec") * norm_expr("n_vec"))).alias("cosine")
@@ -169,11 +268,55 @@ def ivf_topk(
 
 def near_dup_pairs(
     emb: DataFrame,
+    tables: list[list[list[float]]],
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= thr)."""
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= thr)
+    via multi-table LSH candidate generation — the 100-TB shape.
+
+    Candidates = union over tables of same-bucket self-equi-joins (never a
+    cross join); the exact cosine threshold then runs on candidates only.
+    At threshold ~0.999 the per-plane collision probability is ~0.986, so
+    4 tables x 8 planes give P(miss) = (1 - 0.986^8)^4 ~ 1e-4; exact scalar
+    multiples collide in every table. Recall vs the brute-force baseline is
+    asserted in tests/test_pipeline_ops.py."""
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        *[
+            lsh_bucket_expr(vec_col, planes).alias(f"bk{t}")
+            for t, planes in enumerate(tables)
+        ],
+    )
+    cand = None
+    for t in range(len(tables)):
+        a = base.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col(f"bk{t}").alias("bk")
+        )
+        b = base.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col(f"bk{t}").alias("bk")
+        )
+        p = (
+            a.join(b, "bk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    cos = (dot_expr("va", "vb") / (norm_expr("va") * norm_expr("vb"))).alias("cosine")
+    return cand.select("id_a", "id_b", cos).where(F.col("cosine") >= threshold)
+
+
+def near_dup_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact baseline (O(N^2) crossJoin) — for recall assertions
+    on small fixtures ONLY; never run this at corpus scale."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     j = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))

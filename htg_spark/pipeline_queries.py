@@ -20,6 +20,8 @@ from .operators import ann, dedup, text
 EMB_DIM = 64
 PLANES = ann.hyperplanes(EMB_DIM, ann.N_PLANES, seed=42)
 CENTROIDS = ann.ivf_centroids(EMB_DIM, ann.N_CENTROIDS, seed=7)
+NEARDUP_TABLES = ann.hyperplane_tables(EMB_DIM, n_planes=8, n_tables=4, seed=42)
+IVF_NPROBE = 2
 
 
 def _docs(spark, sf_dir):
@@ -181,13 +183,18 @@ def q_ann_lsh_buckets(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF (nprobe=1) approximate top-k over the bucket of the query's
-    nearest coarse centroid."""
+    """IVF approximate top-k: each query probes its nprobe=2 nearest
+    coarse-centroid lists (16 centroids)."""
     emb = _emb(spark, sf_dir)
-    return ann.ivf_topk(emb, emb.where(F.col("vec_id") < 10), CENTROIDS, k=5)
+    return ann.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), CENTROIDS, k=5, nprobe=IVF_NPROBE
+    )
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """Near-dup pairs through the multi-table LSH-bucketed path — NO cross
+    join anywhere in the plan (asserted by scripts/explain_audit.py); the
+    oracle mirrors the same 4x8-plane candidate generation."""
     emb = _emb(spark, sf_dir)
     scaled = emb.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -196,7 +203,7 @@ def q_embedding_near_dup(spark, sf_dir):
         ),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(scaled)
-    out = ann.near_dup_pairs(corpus, threshold=0.999)
+    out = ann.near_dup_pairs(corpus, NEARDUP_TABLES, threshold=0.999)
     return out.select("id_a", "id_b")  # int-only output: threshold-robust
 
 
@@ -409,16 +416,19 @@ r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id 
 SELECT q_id, CAST(rank AS INT) AS rank, n_id, cosine FROM r WHERE rank <= 5
 """
     )
-    plane_dots = []
-    for j, p in enumerate(PLANES):
-        arr = "[" + ", ".join(f"{v!r}" for v in p) + "]::DOUBLE[]"
-        plane_dots.append(
-            f"(CASE WHEN list_reduce(list_transform(list_zip(v, {arr}), s -> s[1] * s[2]), "
-            f"(a, b) -> a + b) > 0 THEN {1 << j} ELSE 0 END)"
-        )
+    def bucket_sql(planes: list[list[float]], vexpr: str = "v") -> str:
+        terms = []
+        for j, p in enumerate(planes):
+            arr = "[" + ", ".join(f"{v!r}" for v in p) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_reduce(list_transform(list_zip({vexpr}, {arr}), s -> s[1] * s[2]), "
+                f"(a, b) -> a + b) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
     lsh_buckets_sql = (
         "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)\n"
-        "SELECT vec_id, CAST(" + " + ".join(plane_dots) + " AS INT) AS bucket FROM e"
+        "SELECT vec_id, CAST(" + bucket_sql(PLANES) + " AS INT) AS bucket FROM e"
     )
     # IVF: argmax over centroid dots, lowest index wins ties
     cent_dots = []
@@ -431,6 +441,9 @@ SELECT q_id, CAST(rank AS INT) AS rank, n_id, cosine FROM r WHERE rank <= 5
     assign = "NULL"
     for i in reversed(range(len(CENTROIDS))):
         assign = f"CASE WHEN d{i} = best THEN {i} ELSE {assign} END"
+    probe_structs = ", ".join(
+        f"struct_pack(idx := {i}, dd := d{i})" for i in range(len(CENTROIDS))
+    )
     ivf_sql = (
         "WITH "
         + _SQL_EMB_D
@@ -438,21 +451,31 @@ SELECT q_id, CAST(rank AS INT) AS rank, n_id, cosine FROM r WHERE rank <= 5
 dots AS (SELECT vec_id, v, nrm, {', '.join(cent_dots)} FROM n),
 assigned AS (SELECT *, {best} AS best FROM dots),
 bucketed AS (SELECT vec_id, v, nrm, CAST({assign} AS INT) AS lst FROM assigned),
+probes AS (
+  SELECT vec_id, v, nrm, CAST(u.idx AS INT) AS lst
+  FROM (SELECT vec_id, v, nrm, unnest([{probe_structs}]) AS u FROM dots WHERE vec_id < 10)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY u.dd DESC, u.idx ASC) <= {IVF_NPROBE}
+),
 p AS (
   SELECT q.vec_id AS q_id, c.vec_id AS n_id,
     list_reduce(list_transform(list_zip(q.v, c.v), s -> s[1] * s[2]), (a, b) -> a + b)
       / (q.nrm * c.nrm) AS cosine
-  FROM bucketed q JOIN bucketed c ON q.lst = c.lst
-  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  FROM probes q JOIN bucketed c ON q.lst = c.lst
+  WHERE c.vec_id <> q.vec_id
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank FROM p)
 SELECT q_id, CAST(rank AS INT) AS rank, n_id, cosine FROM r WHERE rank <= 5
 """
     )
+    nd_buckets = ", ".join(
+        f"CAST({bucket_sql(planes)} AS INT) AS bk{t}"
+        for t, planes in enumerate(NEARDUP_TABLES)
+    )
+    nd_join = " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(len(NEARDUP_TABLES)))
     near_dup_sql = (
         "WITH "
         + _SQL_EMB_D
-        + """,
+        + f""",
 scaled AS (
   SELECT vec_id + 100000 AS vec_id,
     list_transform(v, x -> CAST(CAST(x AS FLOAT) * CAST(1.5 AS FLOAT) AS DOUBLE)) AS v
@@ -465,11 +488,11 @@ nn AS (
   SELECT vec_id, v,
     sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
   FROM corpus
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM nn a CROSS JOIN nn b
-WHERE a.vec_id < b.vec_id
-  AND list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -> x + y)
+),
+bk AS (SELECT vec_id, v, nrm, {nd_buckets} FROM nn)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({nd_join})
+WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -> x + y)
       / (a.nrm * b.nrm) >= 0.999
 """
     )

@@ -148,10 +148,65 @@ def test_cosine_topk_matches_numpy(emb):
         assert got[0] == expect[0]
 
 
-def test_near_dup_pairs(emb):
+def test_near_dup_pairs_bucketed_full_recall(emb):
     df, _ = emb
-    out = ann.near_dup_pairs(df, threshold=0.999).toPandas()
-    assert (3, 5) in set(zip(out["id_a"], out["id_b"]))
+    tables = ann.hyperplane_tables(16, n_planes=8, n_tables=4)
+    out = ann.near_dup_pairs(df, tables, threshold=0.999).toPandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert (3, 5) in got
+    # recall vs the exact all-pairs baseline: scalar multiples collide in
+    # every table, so the bucketed plan must find every brute-force pair
+    exact = ann.near_dup_pairs_exact(df, threshold=0.999).toPandas()
+    want = set(zip(exact["id_a"], exact["id_b"]))
+    assert got == want
+    # and the plan must not contain a cartesian product
+    plan = ann.near_dup_pairs(df, tables, threshold=0.999)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def _clustered_corpus(spark, n_clusters=12, per_cluster=30, dim=16, seed=3):
+    """Clustered fixture: ANN recall is only meaningful when neighbors are
+    closer than random — centers + small perturbations model near-dup
+    crawl shards."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 4.0
+    vecs = np.concatenate(
+        [centers[c] + rng.standard_normal((per_cluster, dim)) * 0.3 for c in range(n_clusters)]
+    ).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def _brute_topk(vecs, q_ids, k):
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    out = {}
+    for q in q_ids:
+        s = sims[q].copy()
+        s[q] = -np.inf
+        out[q] = set(np.argsort(-s, kind="stable")[:k].tolist())
+    return out
+
+
+def test_ivf_trained_centroids_recall(spark):
+    df, vecs = _clustered_corpus(spark)
+    sample = vecs[:: max(1, len(vecs) // 200)]  # driver-side bounded sample
+    cents = ann.train_centroids(sample, k=12, iters=10, seed=7)
+    out = ann.ivf_topk(df, df.where(F.col("vec_id") < 20), cents, k=5, nprobe=2).toPandas()
+    brute = _brute_topk(vecs, range(20), 5)
+    hits = sum(len(set(out[out.q_id == q]["n_id"]) & brute[q]) for q in range(20))
+    recall = hits / (20 * 5)
+    assert recall >= 0.9, f"recall@5 = {recall}"
+
+
+def test_lsh_multi_table_recall(spark):
+    df, vecs = _clustered_corpus(spark)
+    tables = ann.hyperplane_tables(16, n_planes=8, n_tables=6, seed=11)
+    out = ann.lsh_topk_multi(df, df.where(F.col("vec_id") < 20), tables, k=5).toPandas()
+    brute = _brute_topk(vecs, range(20), 5)
+    hits = sum(len(set(out[out.q_id == q]["n_id"]) & brute[q]) for q in range(20))
+    recall = hits / (20 * 5)
+    assert recall >= 0.9, f"recall@5 = {recall}"
 
 
 def test_lsh_topk_bucket_subset(emb):
