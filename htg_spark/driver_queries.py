@@ -242,6 +242,25 @@ def q_knn_fallback(spark, sf_dir):
     )
 
 
+def q_elevation_cogroup_knn(spark, sf_dir):
+    """J6 through the scale path: the same kNN-fallback rows as
+    q_knn_fallback, produced by the two-pass cogroup strategy (first salted
+    cogroup join, then nearest-center assignment + assigned-tile cogroup
+    over the missing remainder). Shares the broadcast-path `knn` oracle."""
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    out = eng.elevation_join(
+        pts, mode="nearest", strategy="cogroup", id_col="event_id",
+        knn_fallback=True, n_salts=4,
+    )
+    return out.where(F.col("knn_used")).select(
+        "event_id",
+        "tile_lat",
+        "tile_lon",
+        F.col("elevation").cast("int").alias("elevation"),
+    )
+
+
 def q_continent_route(spark, sf_dir):
     """S5 continent router over the derived points (download.rs:553-581)."""
     from .operators.geo_misc import continent_col
@@ -549,6 +568,7 @@ FROM keyed
         "cell_ids": cell_ids,
         "filename_roundtrip": filename_roundtrip,
         "knn_fallback": knn,
+        "elevation_cogroup_knn": knn,
         "accuracy_stats": accuracy,
         "tile_info": tile_info_sql,
         "tile_inventory": inventory,
@@ -569,6 +589,7 @@ def queries():
         "cell_ids": q_cell_ids,
         "filename_roundtrip": q_filename_roundtrip,
         "knn_fallback": q_knn_fallback,
+        "elevation_cogroup_knn": q_elevation_cogroup_knn,
         "accuracy_stats": q_accuracy_stats,
         "images_elevation_join": q_images_elevation_join,
         "tile_info": q_tile_info,

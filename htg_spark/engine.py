@@ -101,6 +101,37 @@ def _executor_cache(token: str, capacity: int) -> _GridCache:
     return c
 
 
+def assign_nearest_center(
+    lat: np.ndarray, lon: np.ndarray, centers: np.ndarray, chunk: int = 4096
+) -> np.ndarray:
+    """Nearest catalog tile per point: squared euclidean distance to tile
+    centers, ties broken by lowest (tile_lat, tile_lon). Returns (n, 2)
+    int64 tile keys.
+
+    Centers are scanned in chunks so the distance matrix is bounded at
+    n_points x chunk doubles — a full 14k-tile SRTM catalog against a 64k
+    Arrow batch would otherwise materialize a 7 GB matrix. First-minimum
+    semantics are preserved across chunks by the strict `<` update (within
+    a chunk np.argmin already returns the first = lowest sorted key)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    order = np.lexsort((centers[:, 1], centers[:, 0]))
+    sc = centers[order].astype(np.float64)
+    n = len(lat)
+    best_d = np.full(n, np.inf)
+    best_i = np.zeros(n, dtype=np.int64)
+    rows = np.arange(n)
+    for s in range(0, len(sc), chunk):
+        blk = sc[s : s + chunk]
+        d = (lat[:, None] - (blk[:, 0] + 0.5)) ** 2 + (lon[:, None] - (blk[:, 1] + 0.5)) ** 2
+        bi = np.argmin(d, axis=1)
+        bd = d[rows, bi]
+        upd = bd < best_d
+        best_d[upd] = bd[upd]
+        best_i[upd] = bi[upd] + s
+    return sc[best_i].astype(np.int64)
+
+
 def kernel_batch(
     lat: np.ndarray,
     lon: np.ndarray,
@@ -153,17 +184,7 @@ def kernel_batch(
         # kNN nearest-tile fallback for in-coverage points with no tile (J6)
         if missing_pts and knn_centers is not None and len(knn_centers):
             mi = np.concatenate(missing_pts)
-            centers = knn_centers.astype(np.float64)  # (m, 2) tile SW corners
-            clat = centers[:, 0] + 0.5
-            clon = centers[:, 1] + 0.5
-            # squared euclidean distance point x tile-center; ties -> lowest
-            # (tile_lat, tile_lon) via lexsort-stable argmin over sorted centers
-            order = np.lexsort((centers[:, 1], centers[:, 0]))
-            clat, clon = clat[order], clon[order]
-            sorted_centers = centers[order]
-            d = (lat[mi, None] - clat[None, :]) ** 2 + (lon[mi, None] - clon[None, :]) ** 2
-            nearest = np.argmin(d, axis=1)  # first (lowest key) wins ties
-            tsel = sorted_centers[nearest].astype(np.int64)
+            tsel = assign_nearest_center(lat[mi], lon[mi], knn_centers)
             klat[mi] = tsel[:, 0]
             klon[mi] = tsel[:, 1]
             knn_used[mi] = True
@@ -230,6 +251,9 @@ class ElevationEngine:
     """DataFrame-level elevation service — the `SrtmService` analog
     (API parity table: SURVEY.md §2.8; htg-python/src/lib.rs:110-316)."""
 
+    # raw blobs broadcast only while the catalog fits comfortably in memory
+    BROADCAST_MAX_TILES = 256
+
     def __init__(
         self,
         spark: SparkSession,
@@ -257,6 +281,7 @@ class ElevationEngine:
         else:
             raise ValueError("one of catalog / grids / tile_dir is required")
         self._bcast = None
+        self._n_tiles = None  # lazily counted ONCE (catalog is immutable)
 
     # -- srtm_rs-parity point API (SURVEY.md §2.8; htg-python/src/lib.rs) ----
     #
@@ -329,7 +354,11 @@ class ElevationEngine:
         # warm only: tiles outside the boxes stay queryable (the reference's
         # preload fills the cache, it never narrows coverage)
         _warmed, matched = cat_mod.preload(self.catalog, boxes)
-        self._broadcast_blobs()
+        # blob broadcast collects every tile to the driver — safe only for
+        # broadcast-sized catalogs; past the threshold (exactly when preload
+        # matters most) the warmed catalog persist above is the preload
+        if self.n_tiles() <= self.BROADCAST_MAX_TILES:
+            self._broadcast_blobs()
         return {
             "tiles_matched": matched,
             "tiles_loaded": matched,
@@ -349,6 +378,11 @@ class ElevationEngine:
         }
 
     # -- catalog helpers ---------------------------------------------------
+
+    def n_tiles(self) -> int:
+        if self._n_tiles is None:
+            self._n_tiles = self.catalog.count()
+        return self._n_tiles
 
     def _broadcast_blobs(self):
         if self._bcast is None:
@@ -402,9 +436,12 @@ class ElevationEngine:
                 raise ValueError("coordinates out of SRTM coverage (strict mode)")
 
         if strategy == "auto":
-            # broadcast while the raw catalog fits comfortably in memory
-            n_tiles = self.catalog.count()
-            strategy = "broadcast" if n_tiles <= 256 else "cogroup"
+            # broadcast while the raw catalog fits comfortably in memory;
+            # the count is cached — a Spark action must not sit in the hot
+            # path of every repeated join
+            strategy = (
+                "broadcast" if self.n_tiles() <= self.BROADCAST_MAX_TILES else "cogroup"
+            )
 
         if strategy == "broadcast":
             out = self._join_broadcast(pts, mode, knn_fallback)
@@ -510,12 +547,6 @@ class ElevationEngine:
         skewed cells (SURVEY.md §4 'Skew handling')."""
         if id_col not in pts.columns:
             raise ValueError(f"cogroup strategy needs a unique id column {id_col!r}")
-        if knn:
-            raise NotImplementedError(
-                "kNN fallback is broadcast-strategy only for now: the fallback "
-                "tile is data-dependent, so the cogroup pre-shuffle cannot route "
-                "to it; run a second broadcast pass over the missing-tile rows."
-            )
         narrow = pts.select(
             F.col(id_col).alias("_rid"),
             F.col("lat"),
@@ -580,6 +611,8 @@ class ElevationEngine:
             .cogroup(cat.groupBy("tile_lat", "tile_lon", "salt"))
             .applyInPandas(apply, schema=out_schema)
         )
+        if knn:
+            joined = self._knn_second_pass(joined, mode, out_schema)
         extra_cols = [c for c in pts.columns if c not in (id_col, "lat", "lon")]
         if not extra_cols:
             # no payload to re-attach: skip the rejoin shuffle entirely
@@ -587,3 +620,99 @@ class ElevationEngine:
         return pts.drop("lat", "lon").join(
             joined.withColumnRenamed("_rid", id_col), on=id_col, how="inner"
         )
+
+    def _knn_second_pass(self, joined: DataFrame, mode: str, out_schema) -> DataFrame:
+        """kNN fallback for the cogroup strategy (J6 at scale): the fallback
+        tile is data-dependent, so the first shuffle cannot route to it.
+        Second pass: take the in-coverage missing-tile remainder (narrow
+        rows only), assign each point its nearest catalog tile center
+        (chunked NumPy argmin over broadcast centers — centers are 2 ints
+        per tile, NOT blobs, so this broadcasts fine at any catalog size),
+        then cogroup those rows with the semi-join-pruned catalog keyed by
+        the ASSIGNED tile. Misses are typically a small fraction of rows,
+        so the extra shuffle is proportional to the miss rate."""
+        import pyarrow as pa
+
+        centers = self.tile_centers()
+        if len(centers) == 0:
+            return joined
+        is_miss = F.col("in_coverage") & ~F.col("tile_found")
+        rest = joined.where(~is_miss)
+        miss = joined.where(is_miss).select("_rid", "lat", "lon")
+
+        bc = self.spark.sparkContext.broadcast(centers)
+        rid_field = out_schema["_rid"].dataType
+        assign_schema = T.StructType(
+            [
+                T.StructField("_rid", rid_field),
+                T.StructField("lat", T.DoubleType()),
+                T.StructField("lon", T.DoubleType()),
+                T.StructField("tile_lat", T.IntegerType()),
+                T.StructField("tile_lon", T.IntegerType()),
+            ]
+        )
+
+        def assign(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+            cent = bc.value
+            for batch in batches:
+                lat = batch.column(1).to_numpy(zero_copy_only=False)
+                lon = batch.column(2).to_numpy(zero_copy_only=False)
+                t = assign_nearest_center(lat, lon, cent)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(0),
+                        pa.array(lat, type=pa.float64()),
+                        pa.array(lon, type=pa.float64()),
+                        pa.array(t[:, 0].astype(np.int32)),
+                        pa.array(t[:, 1].astype(np.int32)),
+                    ],
+                    names=["_rid", "lat", "lon", "tile_lat", "tile_lon"],
+                )
+
+        assigned = miss.mapInArrow(assign, schema=assign_schema)
+        # prune the catalog to assigned tiles before the blob shuffle
+        keys = assigned.select("tile_lat", "tile_lon").distinct()
+        cat = self.catalog.join(F.broadcast(keys), ["tile_lat", "tile_lon"], "left_semi")
+
+        def apply_knn(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            if lpdf.empty:
+                return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            grid = hgt.decode_tile(bytes(rpdf["data"].iloc[0])) if len(rpdf) else None
+            lat = lpdf["lat"].to_numpy()
+            lon = lpdf["lon"].to_numpy()
+            tl, tn = int(key[0]), int(key[1])
+            n = len(lpdf)
+            elev = np.full(n, np.nan, dtype=np.float64)
+            if grid is not None:
+                # clamp coordinates into the assigned tile -> frac in [0, 1]
+                # (identical math to kernel_batch's broadcast-path fallback)
+                fr_lat = np.clip(lat - tl, 0.0, 1.0)
+                fr_lon = np.clip(lon - tn, 0.0, 1.0)
+                nm1 = grid.shape[0] - 1.0
+                row_pos = (1.0 - fr_lat) * nm1
+                col_pos = fr_lon * nm1
+                if mode == "bilinear":
+                    elev, _void = hgt.lookup_bilinear_pos(grid, row_pos, col_pos)
+                else:
+                    vals = hgt.lookup_nearest_pos(grid, row_pos, col_pos, rounding=mode)
+                    elev = np.where(
+                        vals == hgt.VOID_VALUE, np.nan, vals.astype(np.float64)
+                    )
+            res = {
+                "lat": lat,
+                "lon": lon,
+                "tile_lat": np.full(n, tl, dtype=np.int32),
+                "tile_lon": np.full(n, tn, dtype=np.int32),
+                "in_coverage": np.ones(n, dtype=bool),
+                "tile_found": np.full(n, grid is not None, dtype=bool),
+                "knn_used": np.ones(n, dtype=bool),
+                "elevation": elev,
+            }
+            return _result_pdf(lpdf[["_rid"]], res, mode)
+
+        second = (
+            assigned.groupBy("tile_lat", "tile_lon")
+            .cogroup(cat.groupBy("tile_lat", "tile_lon"))
+            .applyInPandas(apply_knn, schema=out_schema)
+        )
+        return rest.unionByName(second)

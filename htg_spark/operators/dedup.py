@@ -140,6 +140,67 @@ def jaccard_verify(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "cid",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-duplicate GROUPING: connected components over the verified
+    pair graph, via iterative min-label propagation. Returns one row per
+    vertex: (id_col, group_id, is_canonical) where group_id = the lowest
+    id reachable and the canonical member is the lowest id in its group —
+    the keep/drop decision a dedup pipeline applies after pair finding
+    (the file-level analog is the reference's '.hgt wins' dedupe pick,
+    htg/src/service.rs:626-650).
+
+    Scale shape: each round is one shuffle of (vertex, label) longs joined
+    against the symmetrized edge list — never materializes the transitive
+    closure. Rounds needed = component diameter; near-dup groups are tiny
+    cliques, so 2-3 rounds in practice. localCheckpoint() cuts the plan
+    lineage so round N does not replay rounds 1..N-1. Genuinely iterative,
+    hence driver-verified against a recursive-CTE oracle."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["v"] == nbr["src"], "left")
+            .select(
+                labels["v"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_min"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias(id_col),
+        F.col("label").alias("group_id"),
+        (F.col("v") == F.col("label")).alias("is_canonical"),
+    )
+
+
 def simhash_near_dup_pairs(
     sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:

@@ -116,6 +116,19 @@ def q_lsh_dedup_pairs(spark, sf_dir):
     return dedup.jaccard_verify(corpus, pairs, id_col="cid", threshold=0.5)
 
 
+def q_neardup_groups(spark, sf_dir):
+    """Near-dup grouping end-to-end: MinHash -> LSH candidates -> exact
+    Jaccard verify -> connected components over the is_dup pair graph ->
+    (cid, group_id, is_canonical). The canonical pick is lowest-id-wins;
+    oracle = recursive transitive-closure CTE over the same pairs."""
+    corpus = neardup_corpus(_docs(spark, sf_dir))
+    sigs = dedup.minhash_signatures(corpus, id_col="cid")
+    pairs = dedup.lsh_candidate_pairs(sigs, id_col="cid")
+    verified = dedup.jaccard_verify(corpus, pairs, id_col="cid", threshold=0.5)
+    dup = verified.where(F.col("is_dup")).select("id_a", "id_b")
+    return dedup.connected_components(dup, corpus.select("cid"), id_col="cid")
+
+
 def q_simhash(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("cid"), "text")
     return dedup.simhash(docs, id_col="cid")
@@ -271,6 +284,50 @@ FROM pairs p
 LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
 JOIN sizes za ON za.cid = p.id_a
 JOIN sizes zb ON zb.cid = p.id_b
+"""
+    )
+    groups_sql = (
+        "WITH RECURSIVE "
+        + _SQL_NEARDUP_CORPUS
+        + ", "
+        + _SQL_SHINGLES
+        + ", "
+        + _SQL_SIGS
+        + """,
+bands AS (
+  SELECT cid, mh0 || '|' || mh1 AS band_key FROM sigs
+  UNION ALL
+  SELECT cid, mh2 || '|' || mh3 AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.cid < b.cid
+),
+sizes AS (SELECT cid, count(*) AS n_sh FROM sh GROUP BY cid),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS inter
+  FROM cand p
+  JOIN sh sa ON sa.cid = p.id_a
+  JOIN sh sb ON sb.cid = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+),
+dup AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN sizes za ON za.cid = p.id_a
+  JOIN sizes zb ON zb.cid = p.id_b
+  WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE)
+        / CAST(za.n_sh + zb.n_sh - COALESCE(i.inter, 0) AS DOUBLE) >= 0.5
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM dup UNION SELECT id_b AS a, id_a AS b FROM dup),
+reach(src, dst) AS (
+  SELECT cid, cid FROM corpus
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS cid, min(dst) AS group_id, src = min(dst) AS is_canonical
+FROM reach GROUP BY src
 """
     )
     simhash_sql = """
@@ -500,6 +557,7 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -
         "dedup_exact": dedup_exact_sql,
         "minhash_signatures": minhash_sql,
         "lsh_dedup_pairs": lsh_sql,
+        "neardup_groups": groups_sql,
         "simhash": simhash_sql,
         "simhash_near_dup": simhash_near_dup_sql,
         "text_stats": text_stats_sql,
@@ -518,6 +576,7 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_dedup_pairs": q_lsh_dedup_pairs,
+        "neardup_groups": q_neardup_groups,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "text_stats": q_text_stats,

@@ -151,6 +151,89 @@ def test_knn_fallback(spark, grids):
     assert not bool(k2["knn_used"]) and k2["elevation"] == 500
 
 
+def test_cogroup_knn_equals_broadcast_knn(spark, engine, points_pdf):
+    """J6 via the scale path: the two-pass cogroup kNN fallback must return
+    row-identical results to the broadcast-path kNN for every mode."""
+    df = spark.createDataFrame(points_pdf)
+    for mode in ("nearest", "bilinear"):
+        a = (
+            engine.elevation_join(df, mode=mode, strategy="broadcast", knn_fallback=True)
+            .orderBy("image_id")
+            .toPandas()
+        )
+        b = (
+            engine.elevation_join(df, mode=mode, strategy="cogroup", knn_fallback=True, n_salts=4)
+            .orderBy("image_id")
+            .toPandas()
+        )
+        assert len(a) == len(b) == len(points_pdf)
+        av = a["elevation"].to_numpy(dtype="float64", na_value=np.nan)
+        bv = b["elevation"].to_numpy(dtype="float64", na_value=np.nan)
+        assert np.array_equal(np.isnan(av), np.isnan(bv))
+        m = ~np.isnan(av)
+        assert np.array_equal(av[m], bv[m])
+        for c in ("tile_lat", "tile_lon", "in_coverage", "tile_found", "knn_used"):
+            assert a[c].tolist() == b[c].tolist(), c
+        assert a["knn_used"].any()  # the fixture corpus must exercise the fallback
+
+
+def test_assign_nearest_center_chunked_large_catalog():
+    """Chunked center assignment: identical result to the unchunked argmin
+    on a synthetic 14,000-tile catalog (the full-SRTM shape) — and bounded
+    memory by construction (64k x 4096 doubles per block)."""
+    from htg_spark.engine import assign_nearest_center
+
+    rng = np.random.default_rng(5)
+    lats = rng.integers(-60, 60, size=14000)
+    lons = rng.integers(-180, 180, size=14000)
+    centers = np.unique(np.stack([lats, lons], axis=1), axis=0)
+    lat = rng.uniform(-60, 60, size=65536)
+    lon = rng.uniform(-180, 180, size=65536)
+    got = assign_nearest_center(lat, lon, centers, chunk=1000)
+    # reference: one-shot argmin over lexsorted centers (first-min tie rule)
+    order = np.lexsort((centers[:, 1], centers[:, 0]))
+    sc = centers[order].astype(np.float64)
+    d = (lat[:, None] - (sc[:, 0] + 0.5)) ** 2 + (lon[:, None] - (sc[:, 1] + 0.5)) ** 2
+    want = sc[np.argmin(d, axis=1)].astype(np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_auto_strategy_counts_catalog_once(spark, grids, points_pdf):
+    """The auto-strategy catalog count must be cached — a Spark action in
+    the hot path of every repeated join is a driver-side stall at scale."""
+    eng = ElevationEngine(spark, grids=grids)
+    calls = {"n": 0}
+    orig = eng.catalog.count
+
+    def counting():
+        calls["n"] += 1
+        return orig()
+
+    eng.catalog.count = counting
+    df = spark.createDataFrame(points_pdf.head(50))
+    eng.elevation_join(df, strategy="auto").count()
+    eng.elevation_join(df, strategy="auto").count()
+    eng.elevation_join(df, strategy="auto").count()
+    assert calls["n"] == 1
+
+
+def test_preload_gates_blob_broadcast(spark):
+    """preload on a past-threshold catalog must NOT collect every blob to
+    the driver (that is a driver OOM exactly when preload matters most)."""
+    from htg_spark.catalog import CATALOG_SCHEMA
+
+    rows = [
+        (i // 40, i % 40, 1201, f"T{i:05d}.hgt", bytearray(b"xx"))
+        for i in range(300)
+    ]
+    cat = spark.createDataFrame(rows, CATALOG_SCHEMA)
+    eng = ElevationEngine(spark, catalog=cat)
+    stats = eng.preload()
+    assert stats["tiles_matched"] == 300
+    assert eng._bcast is None  # blobs never collected
+    cat.unpersist()
+
+
 def test_phash_derivation_matches_numpy(spark, engine):
     rng = np.random.default_rng(5)
     lat = 35.0 + rng.random(500) * 2

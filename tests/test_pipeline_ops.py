@@ -77,6 +77,23 @@ def test_simhash_near_dup_pairs(docs):
     assert set(pairset) == brute
 
 
+def test_connected_components_grouping(spark):
+    """Chain 1-2-3 collapses to one group under min-label propagation
+    (needs >1 round: 3 only reaches 1 through 2); 4-5 a pair; 6 a
+    singleton; canonical = lowest id in the group."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 4], "id_b": [2, 3, 5]})
+    )
+    verts = spark.createDataFrame(pd.DataFrame({"cid": [1, 2, 3, 4, 5, 6]}))
+    out = (
+        dedup.connected_components(pairs, verts, id_col="cid")
+        .orderBy("cid")
+        .toPandas()
+    )
+    assert out["group_id"].tolist() == [1, 1, 1, 4, 4, 6]
+    assert out["is_canonical"].tolist() == [True, False, False, True, False, True]
+
+
 def test_simhash_chunks_exact_above_2_53(spark):
     # regression: a floor-divide through double loses the low bits of
     # signatures >= 2^53, silently dropping pairs; exact shift/mask must
