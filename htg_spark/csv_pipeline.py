@@ -30,9 +30,17 @@ from .engine import ElevationEngine
 def _fmt_udf(interpolated: bool):
     @F.pandas_udf(T.StringType())
     def fmt(e: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mask = e.isna().to_numpy()
         if interpolated:
-            return e.map(lambda v: "void" if pd.isna(v) else f"{v:.2f}")
-        return e.map(lambda v: "void" if pd.isna(v) else str(int(v)))
+            # np.char.mod('%.2f', ·) == Python '%.2f' formatting per value
+            # (PyOS_double_to_string: correctly-rounded, half-even) — the
+            # exact Rust {:.2} semantic, without a per-row Python lambda
+            vals = np.char.mod("%.2f", e.fillna(0.0).to_numpy(dtype="float64"))
+        else:
+            vals = e.fillna(0).to_numpy(dtype="int64").astype("U")
+        return pd.Series(np.where(mask, "void", vals), index=e.index)
 
     return fmt
 

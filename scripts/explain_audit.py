@@ -81,6 +81,39 @@ def main():
         )
     )
 
+    cogroup_knn = eng.elevation_join(
+        pts, mode="nearest", strategy="cogroup", id_col="event_id",
+        knn_fallback=True, n_salts=4,
+    )
+    sections.append(
+        (
+            "Cogroup join with kNN fallback (two-pass)",
+            "Expected: the pass-1 cogroup shape above, plus a second "
+            "FlatMapCoGroupsInPandas keyed by the ASSIGNED tile over the "
+            "missing remainder; catalog side of pass 2 is semi-join-pruned "
+            "before any blob moves. Still no cartesian product.",
+            plan_of(cogroup_knn),
+        )
+    )
+
+    from htg_spark import pipeline_queries as pq
+
+    near_dup = pq.q_embedding_near_dup(spark, sf_dir)
+    nd_plan = plan_of(near_dup)
+    sections.append(
+        (
+            "Embedding near-dup (multi-table LSH bucketed)",
+            "Expected: per-table bucket self-equi-joins (SortMergeJoin/"
+            "ShuffledHashJoin on bk) unioned + deduped, cosine on candidates "
+            "only. HARD REQUIREMENT: no CartesianProduct / "
+            "BroadcastNestedLoopJoin anywhere.",
+            nd_plan,
+        )
+    )
+    if "CartesianProduct" in nd_plan or "BroadcastNestedLoopJoin" in nd_plan:
+        print("FATAL: near-dup plan contains a cartesian product", file=sys.stderr)
+        sys.exit(1)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — .explain('formatted') audit of the key plan shapes\n")
         for title, expect, plan in sections:

@@ -78,6 +78,100 @@ def test_preload_all_and_bbox(spark):
     assert stats2["tiles_matched"] == 1  # strict overlap (service.rs:102-110)
 
 
+def test_http_get_elevation_shapes(spark):
+    """GET /elevation response shapes (api_tests.rs:52-147, 166-189)."""
+    from htg_spark import api
+
+    eng = ElevationEngine(spark, grids={(35, 138): fixtures.tile_center(500)})
+    # success: integer elevation, lat/lon echoed, NO interpolated key
+    status, body = api.elevation_response(eng, 35.5, 138.5)
+    assert status == 200
+    assert body == {"elevation": 500, "lat": 35.5, "lon": 138.5}
+    assert isinstance(body["elevation"], int)
+    # interpolate=true: float + interpolated flag
+    status, body = api.elevation_response(eng, 35.5, 138.5, interpolate=True)
+    assert status == 200 and body["interpolated"] is True
+    assert isinstance(body["elevation"], float)
+    # out of bounds -> 400 with the reference error message shape
+    status, body = api.elevation_response(eng, 91.0, 0.0)
+    assert status == 400 and "out of bounds" in body["error"]
+    # missing tile -> 404
+    status, body = api.elevation_response(eng, 50.0, 50.0)
+    assert status == 404 and "No elevation data" in body["error"]
+    # void sample -> 404 too (Ok(None) mapping, handlers.rs:152)
+    void_eng = ElevationEngine(
+        spark, grids={(35, 138): fixtures.tile_center(hgt.VOID_VALUE)}
+    )
+    status, _ = api.elevation_response(void_eng, 35.5, 138.5)
+    assert status == 404
+    # missing params -> 400 (api_tests.rs:133-147)
+    assert api.elevation_response(eng, lon=138.5)[0] == 400
+    assert api.elevation_response(eng, lat=35.5)[0] == 400
+    assert api.elevation_response(eng)[0] == 400
+
+
+def test_http_stats_and_health(spark):
+    """GET /stats progression + /health (api_tests.rs:95-130)."""
+    from htg_spark import api
+
+    eng = ElevationEngine(spark, grids={(35, 138): fixtures.tile_center(500)})
+    status, body = api.stats_response(eng)
+    assert status == 200 and body["cache_hits"] == 0 and body["cache_misses"] == 0
+    api.elevation_response(eng, 35.5, 138.5)
+    _, body = api.stats_response(eng)
+    assert body["cache_misses"] == 1
+    api.elevation_response(eng, 35.6, 138.6)  # same tile -> hit
+    _, body = api.stats_response(eng)
+    assert body["cache_hits"] == 1 and body["cache_misses"] == 1
+
+    status, body = api.health_response()
+    assert status == 200 and body["status"] == "healthy" and body["version"]
+
+
+def test_http_geojson_roundtrip(spark):
+    """POST /elevation GeoJSON round-trips (api_tests.rs:193-331)."""
+    from htg_spark import api
+
+    eng = ElevationEngine(spark, grids={(35, 138): fixtures.tile_center(500)})
+
+    status, body = api.geojson_response(eng, spark, {"type": "Point", "coordinates": [138.5, 35.5]})
+    assert status == 200 and body["type"] == "Point"
+    assert body["coordinates"] == [138.5, 35.5, 500]
+
+    status, body = api.geojson_response(
+        eng, spark,
+        {"type": "MultiPoint", "coordinates": [[138.5, 35.5], [138.5, 35.5]]},
+    )
+    assert status == 200 and len(body["coordinates"]) == 2
+    assert all(c[2] == 500 for c in body["coordinates"])
+
+    status, body = api.geojson_response(
+        eng, spark,
+        {"type": "LineString", "coordinates": [[138.5, 35.5]] * 3},
+    )
+    assert status == 200 and [c[2] for c in body["coordinates"]] == [500] * 3
+
+    status, body = api.geojson_response(
+        eng, spark,
+        {"type": "MultiLineString",
+         "coordinates": [[[138.5, 35.5], [138.5, 35.5]], [[138.5, 35.5], [138.5, 35.5]]]},
+    )
+    assert status == 200
+    assert all(c[2] == 500 for line in body["coordinates"] for c in line)
+
+    # missing tile -> 200 with z=0 (geojson.rs:166), NOT 404
+    status, body = api.geojson_response(eng, spark, {"type": "Point", "coordinates": [50.0, 50.0]})
+    assert status == 200 and body["coordinates"][2] == 0
+
+    # out-of-bounds position -> 400 (api_tests.rs:316-331)
+    status, body = api.geojson_response(eng, spark, {"type": "Point", "coordinates": [0.0, 91.0]})
+    assert status == 400 and "out of bounds" in body["error"]
+
+    # invalid geometry -> 400
+    status, _ = api.geojson_response(eng, spark, {"type": "Nope", "coordinates": []})
+    assert status == 400
+
+
 def test_module_level_helpers():
     from htg_spark import VOID_VALUE, filename_to_lat_lon, lat_lon_to_filename
 
