@@ -45,16 +45,24 @@ def main():
         "nearest_knn": dict(mode="nearest", strategy="broadcast", knn_fallback=True),
         "nearest_cogroup_salted": dict(mode="nearest", strategy="cogroup", n_salts=16),
     }
+    # the host's per-process bandwidth throttle swings wall-clock 2-4x
+    # between sessions (BENCH_SCALING.md protocol): run every query twice,
+    # report the min — steady-state throughput, not the noise draw
+    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+
     times, rows, rps = {}, {}, {}
     total = 0.0
     for name, kw in queries.items():
-        t0 = time.perf_counter()
-        n, chk, found = run_join(eng, pts, **kw)
-        dt = time.perf_counter() - t0
-        times[name] = round(dt, 3)
+        best, n = None, 0
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            n, chk, found = run_join(eng, pts, **kw)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
         rows[name] = n
-        rps[name] = round(n / dt)
-        total += dt
+        rps[name] = round(n / best)
+        total += best
 
     # pipeline ops over the driver tables at this sf (dedup / ANN / text)
     from pyspark.sql import functions as F
@@ -65,21 +73,27 @@ def main():
         ("dedup_exact", pq.q_dedup_exact),
         ("minhash_signatures", pq.q_minhash_signatures),
         ("lsh_dedup_pairs", pq.q_lsh_dedup_pairs),
+        ("neardup_groups", pq.q_neardup_groups),
+        ("simhash", pq.q_simhash),
         ("ann_topk", pq.q_ann_topk),
+        ("embedding_near_dup", pq.q_embedding_near_dup),
         ("text_quality", pq.q_text_quality),
     ):
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        times[name] = round(dt, 3)
+        best, n = None, 0
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
         rows[name] = n
-        rps[name] = round(n / dt) if dt > 0 else 0
-        total += dt
+        rps[name] = round(n / best) if best > 0 else 0
+        total += best
 
     print(
         json.dumps(
             {
-                "metric": "elevation-join + pipeline-ops wall-clock (10 headline queries)",
+                "metric": "elevation-join + pipeline-ops wall-clock (13 headline queries, min of 2 trials)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,

@@ -1,0 +1,193 @@
+"""Tile download pipeline (S4 + K5) — the reference's downloader
+re-expressed as a distributed fetch over a tile-key DataFrame.
+
+The sandbox is offline, so the network source is exercised against a
+``file://`` mirror; everything else is the real shape of
+``htg/src/download.rs``:
+
+- URL templating with ``{filename} {lat_prefix} {lat} {lon_prefix} {lon}
+  {continent}`` placeholders (download.rs:414-441, Custom source) and the
+  continent subdirectory layout of the SRTM3 source (download.rs:389-406)
+- filename component split (K5, download.rs:584-610)
+- retry with LINEAR backoff: sleep ``backoff * attempt`` before attempt N
+  (download.rs:355-360: ``500ms * attempt``)
+- zip / gzip decompression of the payload (download.rs:466-530), size
+  validation via the HGT resolution table
+- skip-if-already-downloaded (download.rs:346-348)
+
+Distribution shape: the key DataFrame is fetched with ``mapInPandas`` —
+each executor pulls its partition's tiles and writes them locally (the
+classic foreachPartition ingest), returning a per-tile manifest row
+instead of a side effect only, so the result is joinable/auditable. At
+scale the keys are ``repartition(n)``-ed to bound per-task fan-out.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import time
+import urllib.request
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from . import hgt
+from .operators.geo_misc import coords_to_continent
+
+
+def split_filename_components(base_name: str) -> tuple[str, str, str, str]:
+    """K5: 'N35E138' -> ('N', '35', 'E', '138') (download.rs:584-599).
+    Raises ValueError on malformed input (the reference's DownloadFailed)."""
+    if len(base_name) != 7:
+        raise ValueError(f"invalid filename format: {base_name!r}")
+    return base_name[0:1], base_name[1:3], base_name[3:4], base_name[4:7]
+
+
+def _coord_from_components(prefix: str, value: str) -> float:
+    """download.rs:602-610: N/E positive, S/W negative, unparseable -> 0."""
+    try:
+        v = float(value)
+    except ValueError:
+        v = 0.0
+    return -v if prefix in ("S", "W") else v
+
+
+def build_url(url_template: str, filename: str) -> str:
+    """Expand the Custom-source URL template (download.rs:414-441)."""
+    if not url_template:
+        raise ValueError("no download URL template configured")
+    base = filename[: -len(".hgt")] if filename.endswith(".hgt") else filename
+    lat_p, lat_s, lon_p, lon_s = split_filename_components(base)
+    continent = ""
+    if "{continent}" in url_template:
+        lat = _coord_from_components(lat_p, lat_s)
+        lon = _coord_from_components(lon_p, lon_s)
+        continent = coords_to_continent(lat, lon) or ""
+    return (
+        url_template.replace("{filename}", base)
+        .replace("{lat_prefix}", lat_p)
+        .replace("{lat}", lat_s)
+        .replace("{lon_prefix}", lon_p)
+        .replace("{lon}", lon_s)
+        .replace("{continent}", continent)
+    )
+
+
+def _default_opener(url: str, attempt: int) -> bytes:
+    with urllib.request.urlopen(url) as r:  # noqa: S310 — file:// mirror in-sandbox
+        return r.read()
+
+
+def decompress(raw: bytes, compression: str) -> bytes:
+    """download.rs:466-530: zip -> first .hgt entry; gzip -> stream; none."""
+    if compression == "zip":
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            hgts = [n for n in zf.namelist() if n.endswith(".hgt")]
+            if not hgts:
+                raise ValueError("no .hgt entry in ZIP archive")
+            return zf.read(hgts[0])
+    if compression == "gzip":
+        return gzip.decompress(raw)
+    if compression == "none":
+        return raw
+    raise ValueError(f"unknown compression {compression!r}")
+
+
+def fetch_one(
+    tile_lat: int,
+    tile_lon: int,
+    url_template: str,
+    dest_dir: str,
+    compression: str = "zip",
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+    opener=None,
+    sleeper=time.sleep,
+) -> dict:
+    """Fetch one tile with the reference's retry loop (download.rs:334-373).
+
+    Returns a manifest dict; never raises (failures are rows, not job
+    aborts — at 14k tiles a handful of 404s must not kill the ingest)."""
+    opener = opener or _default_opener
+    filename = hgt.coords_to_filename(int(tile_lat), int(tile_lon))
+    dest_path = os.path.join(dest_dir, filename)
+    row = {
+        "tile_lat": int(tile_lat),
+        "tile_lon": int(tile_lon),
+        "filename": filename,
+        "url": "",
+        "ok": False,
+        "skipped": False,
+        "attempts": 0,
+        "nbytes": 0,
+        "error": None,
+    }
+    if os.path.exists(dest_path):  # download.rs:346-348
+        row.update(ok=True, skipped=True, nbytes=os.path.getsize(dest_path))
+        return row
+    try:
+        url = build_url(url_template, filename)
+    except ValueError as e:
+        row["error"] = str(e)
+        return row
+    row["url"] = url
+    os.makedirs(dest_dir, exist_ok=True)
+    last_err = None
+    for attempt in range(max_retries + 1):
+        if attempt > 0:
+            sleeper(backoff_s * attempt)  # LINEAR backoff (download.rs:357-359)
+        row["attempts"] = attempt + 1
+        try:
+            raw = opener(url, attempt)
+            data = decompress(raw, compression)
+            hgt.samples_for_size(len(data))  # size validation
+            # unique temp name: concurrent tasks may fetch the same key
+            # (duplicate input rows / speculative execution) — a shared
+            # ".part" would race; atomic replace means last writer wins
+            tmp = f"{dest_path}.part.{os.getpid()}.{id(data)}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, dest_path)  # atomic publish
+            row.update(ok=True, nbytes=len(data))
+            return row
+        except Exception as e:  # noqa: BLE001 — every failure kind retries
+            last_err = e
+    row["error"] = str(last_err)
+    return row
+
+
+MANIFEST_SCHEMA = (
+    "tile_lat int, tile_lon int, filename string, url string, ok boolean, "
+    "skipped boolean, attempts int, nbytes bigint, error string"
+)
+
+
+def fetch_tiles(
+    keys: DataFrame,
+    url_template: str,
+    dest_dir: str,
+    compression: str = "zip",
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+    opener=None,
+) -> DataFrame:
+    """Distributed tile fetch: (tile_lat, tile_lon) keys -> per-tile
+    manifest DataFrame, files written under dest_dir by the executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                fetch_one(
+                    tl, tn, url_template, dest_dir,
+                    compression=compression, max_retries=max_retries,
+                    backoff_s=backoff_s, opener=opener,
+                )
+                for tl, tn in zip(pdf["tile_lat"], pdf["tile_lon"])
+            ]
+            yield pd.DataFrame(rows)
+
+    return keys.select("tile_lat", "tile_lon").mapInPandas(run, schema=MANIFEST_SCHEMA)
