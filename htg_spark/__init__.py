@@ -17,4 +17,4 @@ from .hgt import (  # noqa: F401
     lat_lon_to_filename,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
