@@ -33,7 +33,9 @@ kNN nearest-tile fallback (new, north rule): in-coverage points whose tile
 is absent are assigned the catalog tile with the nearest center (squared
 euclidean in degrees, ties by (tile_lat, tile_lon)), coordinates clamped
 into that tile's [0,1] frac range — half-open boundary semantics preserved
-via the explicit frac-based kernels.
+via the explicit frac-based kernels. Supported by BOTH strategies: in-kernel
+on the broadcast path; a two-pass plan on the cogroup path
+(``_knn_second_pass`` — results row-identical by test).
 """
 
 from __future__ import annotations

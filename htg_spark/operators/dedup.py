@@ -159,7 +159,11 @@ def connected_components(
     closure. Rounds needed = component diameter; near-dup groups are tiny
     cliques, so 2-3 rounds in practice. localCheckpoint() cuts the plan
     lineage so round N does not replay rounds 1..N-1. Genuinely iterative,
-    hence driver-verified against a recursive-CTE oracle."""
+    hence driver-verified against a recursive-CTE oracle.
+
+    Contract: `vertices` defines the universe — pair endpoints absent from
+    it do not appear in the output (they still conduct labels between
+    present vertices only if present themselves, so pass the full corpus)."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
