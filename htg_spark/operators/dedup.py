@@ -43,13 +43,16 @@ def bigrams_expr(toks: Column) -> Column:
     )
 
 
-def _shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct word-bigram shingles per document."""
+def _shingles(
+    df: DataFrame, id_col: str, text_col: str, distinct: bool = True
+) -> DataFrame:
+    """Word-bigram shingles per document; distinct=True gives SET semantics
+    (needed wherever shingles are COUNTED, e.g. Jaccard). Min-hash callers
+    pass distinct=False: min(md5) over the multiset equals min over the set,
+    so the distinct's full-shingle shuffle is pure waste there."""
     toks = df.select(id_col, F.split(F.col(text_col), " ").alias("_toks"))
-    return (
-        toks.select(id_col, F.explode(bigrams_expr(F.col("_toks"))).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
-    )
+    out = toks.select(id_col, F.explode(bigrams_expr(F.col("_toks"))).alias("shingle"))
+    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -68,8 +71,10 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = N_MINHASH
 ) -> DataFrame:
     """k md5-derived min-hash values per document over bigram shingles.
-    h_j(s) = md5(j || ':' || s); signature_j = min over shingles."""
-    sh = _shingles(df, id_col, text_col)
+    h_j(s) = md5(j || ':' || s); signature_j = min over shingles.
+    Plan: ONE shuffle (the map-side-combined min agg); no distinct pass —
+    min over repeated shingles equals min over the shingle set."""
+    sh = _shingles(df, id_col, text_col, distinct=False)
     aggs = [
         F.min(F.md5(F.encode(F.concat(F.lit(f"{j}:"), F.col("shingle")), "UTF-8"))).alias(
             f"mh{j}"

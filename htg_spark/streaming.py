@@ -40,3 +40,70 @@ def tile_hit_counts(enriched_stream: DataFrame, window: str = "1 minute") -> Dat
         .groupBy(F.window("ts", window), "tile_lat", "tile_lon")
         .agg(F.count("*").alias("hits"))
     )
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup ACROSS micro-batches: state = the set of md5
+    content hashes seen within the watermark horizon; the first occurrence
+    passes, later duplicates (same batch or later batches) are dropped.
+    Built on the engine's native stateful dropDuplicates — the state store
+    holds 16-byte hashes, not documents, and the watermark bounds it (the
+    100-TB requirement: without a horizon, exact-dedup state grows forever).
+    """
+    if not stream.isStreaming:
+        raise ValueError("stream_exact_dedup expects a streaming DataFrame")
+    df = stream.withColumn(
+        "grp_hash", F.md5(F.encode(F.col(text_col), "UTF-8"))
+    )
+    if ts_col in df.columns:
+        df = df.withWatermark(ts_col, delay)
+    return df.dropDuplicates(["grp_hash"])
+
+
+def stream_tile_running_stats(enriched_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-tile RUNNING
+    row/null counts and min/max elevation across all micro-batches — the
+    streaming analog of catalog.tile_info for the enriched point stream.
+    State per key is four scalars; output mode 'update' emits the current
+    running value whenever a key sees new rows."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "tile_lat int, tile_lon int, rows long, elev_nulls long, "
+        "min_elev double, max_elev double"
+    )
+    state_schema = "rows long, elev_nulls long, min_elev double, max_elev double"
+
+    def update(key, pdfs, state):
+        rows, nulls, mn, mx = (state.get if state.exists else (0, 0, None, None))
+        for pdf in pdfs:
+            e = pd.to_numeric(pdf["elevation"], errors="coerce")
+            rows += len(pdf)
+            nulls += int(e.isna().sum())
+            if e.notna().any():
+                bmn, bmx = float(e.min()), float(e.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+        state.update((rows, nulls, mn, mx))
+        yield pd.DataFrame(
+            [
+                {
+                    "tile_lat": int(key[0]),
+                    "tile_lon": int(key[1]),
+                    "rows": rows,
+                    "elev_nulls": nulls,
+                    "min_elev": mn,
+                    "max_elev": mx,
+                }
+            ]
+        )
+
+    return enriched_stream.groupBy("tile_lat", "tile_lon").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
