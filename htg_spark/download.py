@@ -39,6 +39,22 @@ from . import hgt
 from .operators.geo_misc import coords_to_continent
 
 
+# known source presets (download.rs:383-406)
+ARDUPILOT_SRTM1 = "https://terrain.ardupilot.org/SRTM1/{filename}.hgt.zip"
+ARDUPILOT_SRTM3 = "https://terrain.ardupilot.org/SRTM3/{continent}/{filename}.hgt.zip"
+
+
+def compression_from_url(url: str) -> str:
+    """Auto-detect payload compression from the URL (download.rs:660-694):
+    .gz -> gzip, .zip -> zip, else none; case-insensitive."""
+    low = url.lower()
+    if low.endswith(".gz"):
+        return "gzip"
+    if low.endswith(".zip"):
+        return "zip"
+    return "none"
+
+
 def split_filename_components(base_name: str) -> tuple[str, str, str, str]:
     """K5: 'N35E138' -> ('N', '35', 'E', '138') (download.rs:584-599).
     Raises ValueError on malformed input (the reference's DownloadFailed)."""
@@ -56,8 +72,12 @@ def _coord_from_components(prefix: str, value: str) -> float:
     return -v if prefix in ("S", "W") else v
 
 
-def build_url(url_template: str, filename: str) -> str:
-    """Expand the Custom-source URL template (download.rs:414-441)."""
+def build_url(url_template: str, filename: str, strict_continent: bool = False) -> str:
+    """Expand the Custom-source URL template (download.rs:414-441).
+
+    strict_continent=True reproduces the SRTM3 preset's contract
+    (download.rs:393-400): an unmappable coordinate is an ERROR, not an
+    empty path segment (the Custom source's `unwrap_or("")`)."""
     if not url_template:
         raise ValueError("no download URL template configured")
     base = filename[: -len(".hgt")] if filename.endswith(".hgt") else filename
@@ -66,7 +86,12 @@ def build_url(url_template: str, filename: str) -> str:
     if "{continent}" in url_template:
         lat = _coord_from_components(lat_p, lat_s)
         lon = _coord_from_components(lon_p, lon_s)
-        continent = coords_to_continent(lat, lon) or ""
+        cont = coords_to_continent(lat, lon)
+        if cont is None and strict_continent:
+            raise ValueError(
+                f"coordinates ({lat}, {lon}) do not map to a known continent"
+            )
+        continent = cont or ""
     return (
         url_template.replace("{filename}", base)
         .replace("{lat_prefix}", lat_p)
@@ -102,7 +127,7 @@ def fetch_one(
     tile_lon: int,
     url_template: str,
     dest_dir: str,
-    compression: str = "zip",
+    compression: str = "auto",
     max_retries: int = 3,
     backoff_s: float = 0.5,
     opener=None,
@@ -135,6 +160,8 @@ def fetch_one(
         row["error"] = str(e)
         return row
     row["url"] = url
+    if compression == "auto":  # download.rs:673-694 auto-detect
+        compression = compression_from_url(url)
     os.makedirs(dest_dir, exist_ok=True)
     last_err = None
     for attempt in range(max_retries + 1):
@@ -170,7 +197,7 @@ def fetch_tiles(
     keys: DataFrame,
     url_template: str,
     dest_dir: str,
-    compression: str = "zip",
+    compression: str = "auto",
     max_retries: int = 3,
     backoff_s: float = 0.5,
     opener=None,

@@ -44,6 +44,48 @@ def test_split_filename_components():
         download.split_filename_components("N35E13")  # download.rs:586-591
 
 
+def test_compression_from_url():
+    """download.rs:660-670 cases, case-insensitive."""
+    assert download.compression_from_url("file.hgt") == "none"
+    assert download.compression_from_url("file.hgt.gz") == "gzip"
+    assert download.compression_from_url("file.hgt.zip") == "zip"
+    assert download.compression_from_url("FILE.HGT.GZ") == "gzip"
+    assert download.compression_from_url("FILE.HGT.ZIP") == "zip"
+    assert download.compression_from_url("https://example.com/srtm/N35E138.hgt.zip") == "zip"
+
+
+def test_source_preset_urls():
+    """download.rs:784-838: SRTM1 flat (works for Antarctica); SRTM3 uses
+    continent subdirectories and ERRORS on unmappable coordinates."""
+    assert (
+        download.build_url(download.ARDUPILOT_SRTM1, "N35E138")
+        == "https://terrain.ardupilot.org/SRTM1/N35E138.hgt.zip"
+    )
+    assert (
+        download.build_url(download.ARDUPILOT_SRTM1, "S70E000")
+        == "https://terrain.ardupilot.org/SRTM1/S70E000.hgt.zip"
+    )
+    assert (
+        download.build_url(download.ARDUPILOT_SRTM3, "S34E151", strict_continent=True)
+        == "https://terrain.ardupilot.org/SRTM3/Australia/S34E151.hgt.zip"
+    )
+    assert (
+        download.build_url(download.ARDUPILOT_SRTM3, "S34E018", strict_continent=True)
+        == "https://terrain.ardupilot.org/SRTM3/Africa/S34E018.hgt.zip"
+    )
+    assert (
+        download.build_url(download.ARDUPILOT_SRTM3, "S04W061", strict_continent=True)
+        == "https://terrain.ardupilot.org/SRTM3/South_America/S04W061.hgt.zip"
+    )
+    with pytest.raises(ValueError, match="continent"):
+        download.build_url(download.ARDUPILOT_SRTM3, "S70E000", strict_continent=True)
+    # Custom template with {continent}: unmappable -> "" (unwrap_or), no error
+    assert (
+        download.build_url("https://example.com/{continent}/{filename}.hgt.zip", "N36W117")
+        == "https://example.com/North_America/N36W117.hgt.zip"
+    )
+
+
 def test_build_url_template_expansion():
     t = "https://x/SRTM3/{continent}/{filename}.hgt.zip"
     assert (
@@ -69,9 +111,9 @@ def test_retry_linear_backoff_then_success(tmp_path):
         return payload
 
     row = download.fetch_one(
-        35, 138, "mock://{filename}", str(tmp_path), opener=flaky,
+        35, 138, "mock://{filename}.hgt.zip", str(tmp_path), opener=flaky,
         backoff_s=0.25, sleeper=delays.append,
-    )
+    )  # compression auto-detected from the .zip URL
     assert row["ok"] and row["attempts"] == 3
     assert delays == [0.25, 0.5]  # linear, not exponential
     assert hgt.decode_tile((tmp_path / "N35E138.hgt").read_bytes())[600, 600] == 500
