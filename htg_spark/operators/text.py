@@ -85,6 +85,38 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def rolling_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base: int = 131,
+    mod: int = 2147483647,
+) -> DataFrame:
+    """Position-sensitive rolling-hash document fingerprint (Rabin-Karp
+    style): per-token 28-bit hash h = int(md5(tok)[:7], 16), folded in
+    order as acc = (acc * base + h) % mod. Unlike the min-shingle
+    fingerprint this changes under ANY token reorder — the classic
+    polynomial fingerprint of the dedup literature.
+
+    Cross-engine exactness: h < 2^28 < mod, so a 0-seeded Spark fold equals
+    DuckDB's first-element-seeded list_reduce (step 1: (0*B + h1) % M = h1);
+    every intermediate fits well inside int64 (acc*131 + h < 2^39) so both
+    engines compute identical exact integers. Runs fully JVM-side."""
+    toks = F.split(F.col(text_col), " ")
+    th = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 7), 16, 10).cast(
+            "long"
+        ),
+    )
+    fp = F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * F.lit(base) + v) % F.lit(mod),
+    )
+    return df.select(id_col, fp.alias("rolling_fp"))
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprints: full-text md5 plus a winnowing-style shingle
     fingerprint (min md5 over word-bigram shingles — the rolling-hash

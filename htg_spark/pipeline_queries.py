@@ -180,6 +180,12 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.fingerprints(_docs(spark, sf_dir))
 
 
+def q_rolling_fingerprint(spark, sf_dir):
+    """Position-sensitive polynomial rolling hash per document (the classic
+    Rabin-Karp fingerprint), exact-integer parity with the SQL oracle."""
+    return text.rolling_fingerprint(_docs(spark, sf_dir))
+
+
 # --- similarity-search queries -------------------------------------------------------
 
 
@@ -458,6 +464,17 @@ sh AS (
 SELECT c.cid AS doc_id, md5(c.text) AS md5_fp, s.min_shingle_fp
 FROM corpus c LEFT JOIN sh s ON s.cid = c.cid
 """
+    rolling_fp_sql = """
+WITH th AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '),
+                   t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hs
+  FROM documents
+)
+SELECT doc_id,
+  list_reduce(hs, (acc, v) -> (acc * 131 + v) % 2147483647) AS rolling_fp
+FROM th
+"""
     ann_topk_sql = (
         "WITH "
         + _SQL_EMB_D
@@ -564,6 +581,7 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -
         "text_quality": text_quality_sql,
         "lang_id": lang_id_sql,
         "doc_fingerprint": fingerprint_sql,
+        "rolling_fingerprint": rolling_fp_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh_buckets": lsh_buckets_sql,
         "ann_ivf_topk": ivf_sql,
@@ -583,6 +601,7 @@ def queries():
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,

@@ -132,6 +132,27 @@ def test_lang_id_detects_real_languages(docs):
     assert out.loc[7, "pred_lang"] == "zh"
 
 
+def test_rolling_fingerprint(spark):
+    """Position-sensitive: a token swap changes the fingerprint (min-shingle
+    would often survive it); value matches the Python reference fold."""
+    import hashlib
+
+    rows = [(0, "a b c"), (1, "b a c"), (2, "a b c")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = text.rolling_fingerprint(df).orderBy("doc_id").toPandas()
+    assert out.loc[0, "rolling_fp"] == out.loc[2, "rolling_fp"]
+    assert out.loc[0, "rolling_fp"] != out.loc[1, "rolling_fp"]
+
+    def ref(t):
+        acc = 0
+        for tok in t.split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:7], 16)
+            acc = (acc * 131 + h) % 2147483647
+        return acc
+
+    assert out["rolling_fp"].tolist() == [ref(t) for _, t in rows]
+
+
 def test_fingerprints(docs):
     fp = text.fingerprints(docs).orderBy("doc_id").toPandas()
     assert fp.loc[0, "md5_fp"] == fp.loc[1, "md5_fp"]
