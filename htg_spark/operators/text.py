@@ -30,6 +30,41 @@ def tokens_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs —
+# the GPT-2-style coarse split, restricted to ASCII classes so the Java
+# and RE2 regex engines tokenize identically (cross-engine oracle parity)
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    # idx=0 = full match (Spark's default is group 1, which this pattern
+    # does not have; DuckDB's regexp_extract_all defaults to 0)
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting under the BPE-ish regex tokenizer: 'don't stop2!' ->
+    [don, ', t, stop, 2, !] (6 tokens vs 2 whitespace tokens). All array
+    expressions — no explode, no shuffle, pure codegen projection."""
+    toks = bpe_tokens_col(F.col(text_col))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_bpe_distinct"),
+        F.when(n > 0, total_len.cast("double") / n.cast("double")).alias(
+            "avg_bpe_token_len"
+        ),
+    )
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token statistics: token count, distinct tokens,
     char count, average token length, type-token ratio (quality proxy)."""

@@ -180,6 +180,12 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.fingerprints(_docs(spark, sf_dir))
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """Token counting under the BPE-ish regex pre-tokenizer (letter / digit
+    / punctuation runs) — the brief's second tokenizer alongside whitespace."""
+    return text.bpe_token_stats(_docs(spark, sf_dir))
+
+
 def q_rolling_fingerprint(spark, sf_dir):
     """Position-sensitive polynomial rolling hash per document (the classic
     Rabin-Karp fingerprint), exact-integer parity with the SQL oracle."""
@@ -464,6 +470,20 @@ sh AS (
 SELECT c.cid AS doc_id, md5(c.text) AS md5_fp, s.min_shingle_fp
 FROM corpus c LEFT JOIN sh s ON s.cid = c.cid
 """
+    bpe_stats_sql = r"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_bpe_distinct,
+  CASE WHEN len(toks) > 0
+       THEN CAST(list_reduce(list_transform(toks, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE)
+       ELSE NULL END AS avg_bpe_token_len
+FROM tk
+"""
     rolling_fp_sql = """
 WITH th AS (
   SELECT doc_id,
@@ -581,6 +601,7 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -
         "text_quality": text_quality_sql,
         "lang_id": lang_id_sql,
         "doc_fingerprint": fingerprint_sql,
+        "bpe_token_stats": bpe_stats_sql,
         "rolling_fingerprint": rolling_fp_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh_buckets": lsh_buckets_sql,
@@ -601,6 +622,7 @@ def queries():
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "bpe_token_stats": q_bpe_token_stats,
         "rolling_fingerprint": q_rolling_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,

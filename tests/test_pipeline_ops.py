@@ -132,6 +132,19 @@ def test_lang_id_detects_real_languages(docs):
     assert out.loc[7, "pred_lang"] == "zh"
 
 
+def test_bpe_token_stats(spark):
+    """BPE-ish regex tokenizer: letter/digit/punct runs split apart."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["don't stop2! now", ""]})
+    )
+    out = text.bpe_token_stats(df).orderBy("doc_id").toPandas()
+    # [don, ', t, stop, 2, !, now] -> 7 tokens, all distinct
+    assert out.loc[0, "n_bpe_tokens"] == 7 and out.loc[0, "n_bpe_distinct"] == 7
+    # lengths 3+1+1+4+1+1+3 = 14 chars over 7 tokens
+    assert out.loc[0, "avg_bpe_token_len"] == 2.0
+    assert out.loc[1, "n_bpe_tokens"] == 0 and pd.isna(out.loc[1, "avg_bpe_token_len"])
+
+
 def test_rolling_fingerprint(spark):
     """Position-sensitive: a token swap changes the fingerprint (min-shingle
     would often survive it); value matches the Python reference fold."""
