@@ -114,6 +114,22 @@ def main():
         print("FATAL: near-dup plan contains a cartesian product", file=sys.stderr)
         sys.exit(1)
 
+    minhash = pq.q_minhash_signatures(spark, sf_dir)
+    mh_plan = plan_of(minhash)
+    sections.append(
+        (
+            "MinHash signatures (single-shuffle)",
+            "Expected: scan -> tokenize/shingle projection -> ONE Exchange "
+            "(the map-side-combined min aggregation). No distinct pass: "
+            "min over the shingle multiset equals min over the set.",
+            mh_plan,
+        )
+    )
+    n_ex = mh_plan.count("Exchange")
+    if n_ex > 2:  # hashagg partial + final share one Exchange; AQE may add a read
+        print(f"FATAL: minhash plan has {n_ex} Exchanges (expected 1)", file=sys.stderr)
+        sys.exit(1)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — .explain('formatted') audit of the key plan shapes\n")
         for title, expect, plan in sections:
