@@ -292,6 +292,63 @@ def q_accuracy_stats(spark, sf_dir):
     )
 
 
+# phash windows for q_images_geotag_join: integer offsets/spans in phash
+# u/v units (u: 2^32/180 per degree of lat; v: 2^31/360 per degree of lon),
+# chosen so decoded coords land in the gradient-catalog window [35,37)x
+# [138,140) with deterministic out-of-coverage (lat 75.x) and missing-tile
+# (lat 50.x / lon 50.x) stripes — all derivable with exact BIGINT math in SQL
+_PW = {
+    "U35": 2982616178, "KU2": 47721858,   # lat [35, ~37)
+    "U75": 3937053355, "KU1": 23860929,   # lat [75, ~76)
+    "U50": 3340530120, "KU09": 21474836,  # lat [50, ~50.9)
+    "V138": 1896943890, "KV2": 11930464,  # lon [138, ~140)
+    "V50": 1371992331, "KV09": 5368709,   # lon [50, ~50.9)
+}
+
+
+def derive_image_phash(events: DataFrame) -> DataFrame:
+    """(image_id, phash) in the exact input_hint geotag encoding, from
+    event_id alone — the SQL-mirrorable twin of fixtures.make_images_pdf's
+    RNG table (same phash layout: u = low 32 bits, v = next 31)."""
+    e = F.col("event_id")
+    p = _PW
+    u = (
+        F.when(e % 37 == 0, F.lit(p["U75"]) + (e * 7) % p["KU1"])
+        .when(e % 11 == 0, F.lit(p["U50"]) + (e * 13) % p["KU09"])
+        .otherwise(F.lit(p["U35"]) + (e * 7919) % p["KU2"])
+    ).cast("long")
+    v = (
+        F.when(e % 37 == 0, F.lit(p["V138"]) + (e * 3) % p["KV2"])
+        .when(e % 11 == 0, F.lit(p["V50"]) + (e * 17) % p["KV09"])
+        .otherwise(F.lit(p["V138"]) + (e * 104729) % p["KV2"])
+    ).cast("long")
+    return events.select(
+        F.concat(F.lit("img_"), e.cast("string")).alias("image_id"),
+        (u + v * F.lit(4294967296).cast("long")).alias("phash"),
+    )
+
+
+def q_images_geotag_join(spark, sf_dir):
+    """The north-rule input path with a FULL oracle: input_hint-shaped
+    (image_id, phash) rows -> JVM-side phash bit-extraction geotags
+    (cells.lat_from_phash) -> broadcast elevation join with kNN fallback.
+    Everything except the binary payload is SQL-computable, so this closes
+    the oracle gap that images_elevation_join (rows-only, payload included)
+    cannot: found-tile gradient lookups, the void rule, out-of-coverage
+    NULLs, and the kNN clamped-fraction path are all value-checked."""
+    eng = get_engine(spark)
+    imgs = derive_image_phash(_events(spark, sf_dir))
+    out = eng.elevation_join(
+        imgs, mode="nearest", strategy="broadcast", id_col="image_id",
+        knn_fallback=True,
+    )
+    return out.select(
+        "image_id", "phash", "lat", "lon", "tile_lat", "tile_lon",
+        "in_coverage", "tile_found", "knn_used",
+        F.col("elevation").cast("int").alias("elevation"),
+    )
+
+
 def q_images_elevation_join(spark, sf_dir):
     """The north-rule input path end-to-end: synthesized image+caption table
     (exact input_hint shape) -> phash-derived geotags (JVM-side bit math) ->
@@ -503,6 +560,91 @@ SELECT CAST(count(*) AS BIGINT) AS n,
 FROM both_e WHERE e_n IS NOT NULL AND e_f IS NOT NULL
 """
     )
+    p = _PW
+    images_geotag = f"""
+WITH img AS (
+  SELECT event_id,
+    CASE WHEN event_id % 37 = 0 THEN {p['U75']} + (event_id * 7) % {p['KU1']}
+         WHEN event_id % 11 = 0 THEN {p['U50']} + (event_id * 13) % {p['KU09']}
+         ELSE {p['U35']} + (event_id * 7919) % {p['KU2']} END AS u,
+    CASE WHEN event_id % 37 = 0 THEN {p['V138']} + (event_id * 3) % {p['KV2']}
+         WHEN event_id % 11 = 0 THEN {p['V50']} + (event_id * 17) % {p['KV09']}
+         ELSE {p['V138']} + (event_id * 104729) % {p['KV2']} END AS v
+  FROM events
+),
+ipts AS (
+  SELECT 'img_' || CAST(event_id AS VARCHAR) AS image_id,
+    u + v * 4294967296 AS phash,
+    -90.0 + (CAST(u AS DOUBLE) / 4294967296.0) * 180.0 AS lat,
+    -180.0 + (CAST(v AS DOUBLE) / 2147483648.0) * 360.0 AS lon
+  FROM img
+),
+ikeyed AS (
+  SELECT *,
+    CAST(floor(lat) AS INTEGER) AS tl, CAST(floor(lon) AS INTEGER) AS tn,
+    (lat >= -60.0 AND lat <= 60.0 AND lon >= -180.0 AND lon <= 180.0) AS in_cov,
+    ((CAST(floor(lat) AS INTEGER) = 35 AND CAST(floor(lon) AS INTEGER) = 138)
+     OR (CAST(floor(lat) AS INTEGER) = 35 AND CAST(floor(lon) AS INTEGER) = 139)
+     OR (CAST(floor(lat) AS INTEGER) = 36 AND CAST(floor(lon) AS INTEGER) = 138)) AS has_tile
+  FROM ipts
+),
+frc AS (
+  SELECT *,
+    (1.0 - (lat - floor(lat))) * 1200.0 AS rp, (lon - floor(lon)) * 1200.0 AS cp
+  FROM ikeyed WHERE in_cov AND has_tile
+),
+frc2 AS (
+  SELECT *,
+    CAST(floor(rp) AS BIGINT) + (CASE WHEN rp - floor(rp) >= 0.5 THEN 1 ELSE 0 END) AS r,
+    CAST(floor(cp) AS BIGINT) + (CASE WHEN cp - floor(cp) >= 0.5 THEN 1 ELSE 0 END) AS c
+  FROM frc
+),
+found_out AS (
+  SELECT image_id, phash, lat, lon, tl AS tile_lat, tn AS tile_lon,
+    TRUE AS in_coverage, TRUE AS tile_found, FALSE AS knn_used,
+    CASE WHEN (r * 1201 + c) % 97 <> 0 THEN CAST((r + c) % 4000 AS INTEGER)
+         ELSE NULL END AS elevation
+  FROM frc2
+),
+ooc_out AS (
+  SELECT image_id, phash, lat, lon, tl AS tile_lat, tn AS tile_lon,
+    FALSE AS in_coverage, FALSE AS tile_found, FALSE AS knn_used,
+    CAST(NULL AS INTEGER) AS elevation
+  FROM ikeyed WHERE NOT in_cov
+),
+icand AS (
+  SELECT k.image_id, k.phash, k.lat, k.lon, tiles.tile_lat AS tla, tiles.tile_lon AS tlo,
+    (k.lat - (tiles.tile_lat + 0.5)) * (k.lat - (tiles.tile_lat + 0.5))
+      + (k.lon - (tiles.tile_lon + 0.5)) * (k.lon - (tiles.tile_lon + 0.5)) AS d
+  FROM ikeyed k CROSS JOIN {_TILES_VALUES}
+  WHERE k.in_cov AND NOT k.has_tile
+),
+ibest AS (
+  SELECT *, row_number() OVER (PARTITION BY image_id ORDER BY d, tla, tlo) AS rn FROM icand
+),
+iclamped AS (
+  SELECT image_id, phash, lat, lon, tla, tlo,
+    (1.0 - LEAST(GREATEST(lat - CAST(tla AS DOUBLE), 0.0), 1.0)) * 1200.0 AS rp,
+    LEAST(GREATEST(lon - CAST(tlo AS DOUBLE), 0.0), 1.0) * 1200.0 AS cp
+  FROM ibest WHERE rn = 1
+),
+irc AS (
+  SELECT *,
+    CAST(floor(rp) AS BIGINT) + (CASE WHEN rp - floor(rp) >= 0.5 THEN 1 ELSE 0 END) AS r,
+    CAST(floor(cp) AS BIGINT) + (CASE WHEN cp - floor(cp) >= 0.5 THEN 1 ELSE 0 END) AS c
+  FROM iclamped
+),
+knn_out AS (
+  SELECT image_id, phash, lat, lon, tla AS tile_lat, tlo AS tile_lon,
+    TRUE AS in_coverage, TRUE AS tile_found, TRUE AS knn_used,
+    CASE WHEN (r * 1201 + c) % 97 <> 0 THEN CAST((r + c) % 4000 AS INTEGER)
+         ELSE NULL END AS elevation
+  FROM irc
+)
+SELECT * FROM found_out
+UNION ALL SELECT * FROM ooc_out
+UNION ALL SELECT * FROM knn_out
+"""
     tile_info_sql = """
 WITH g AS (SELECT r.range AS row, c.range AS col FROM range(0, 1201) r, range(0, 1201) c),
 cells_t AS (
@@ -569,6 +711,7 @@ FROM keyed
         "filename_roundtrip": filename_roundtrip,
         "knn_fallback": knn,
         "elevation_cogroup_knn": knn,
+        "images_geotag_join": images_geotag,
         "accuracy_stats": accuracy,
         "tile_info": tile_info_sql,
         "tile_inventory": inventory,
@@ -591,6 +734,7 @@ def queries():
         "knn_fallback": q_knn_fallback,
         "elevation_cogroup_knn": q_elevation_cogroup_knn,
         "accuracy_stats": q_accuracy_stats,
+        "images_geotag_join": q_images_geotag_join,
         "images_elevation_join": q_images_elevation_join,
         "tile_info": q_tile_info,
         "tile_inventory": q_tile_inventory,
