@@ -41,6 +41,12 @@ CATALOG_SCHEMA = T.StructType(
     ]
 )
 
+# directory-scanned catalogs additionally carry the source URI (binaryFile
+# `path`) — enables the blob_source='path' join strategy that never ships
+# raster bytes through a shuffle; in-memory catalogs have no path column
+# (the engine rejects blob_source='path' for them up front)
+PATH_FIELD = T.StructField("path", T.StringType(), True)
+
 
 def catalog_from_grids(spark: SparkSession, grids: dict) -> DataFrame:
     """Build a catalog DataFrame from {(tile_lat, tile_lon): int16 grid}."""
@@ -74,7 +80,7 @@ def catalog_from_dir(spark: SparkSession, path: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"tile_lat": [], "tile_lon": [], "samples": [], "filename": [], "data": [], "from_zip": []}
+            out = {"tile_lat": [], "tile_lon": [], "samples": [], "filename": [], "data": [], "path": [], "from_zip": []}
             for p, content in zip(pdf["path"], pdf["content"]):
                 name = p.rsplit("/", 1)[-1]
                 from_zip = name.endswith(".hgt.zip")
@@ -99,11 +105,14 @@ def catalog_from_dir(spark: SparkSession, path: str) -> DataFrame:
                 out["samples"].append(samples)
                 out["filename"].append(name)
                 out["data"].append(bytes(content))
+                out["path"].append(p)
                 out["from_zip"].append(from_zip)
             yield pd.DataFrame(out)
 
     # StructType.add mutates in place — build a fresh copy each call
-    schema = T.StructType(list(CATALOG_SCHEMA.fields) + [T.StructField("from_zip", T.BooleanType())])
+    schema = T.StructType(
+        list(CATALOG_SCHEMA.fields) + [PATH_FIELD, T.StructField("from_zip", T.BooleanType())]
+    )
     cat = raw.mapInPandas(extract, schema=schema)
     # dedupe: plain .hgt wins over zip (service.rs:634-645 HashSet ordering)
     w_cols = ["tile_lat", "tile_lon"]

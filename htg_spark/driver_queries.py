@@ -53,6 +53,27 @@ def get_engine(spark: SparkSession) -> ElevationEngine:
     return _ENGINES[key]
 
 
+_PATH_ENGINES: dict[int, ElevationEngine] = {}
+
+
+def get_path_engine(spark: SparkSession) -> ElevationEngine:
+    """Same gradient catalog, but scanned from real .hgt files on disk —
+    backs the blob_source='path' (no-blob-shuffle) strategy queries."""
+    key = id(spark)
+    if key not in _PATH_ENGINES:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="htg_tiles_")
+        g = gradient_void_grid()
+        data = hgt.encode_tile(g)
+        for tl, tn in CATALOG_KEYS:
+            with open(os.path.join(d, hgt.coords_to_filename(tl, tn)), "wb") as f:
+                f.write(data)
+        _PATH_ENGINES[key] = ElevationEngine(spark, tile_dir=d)
+    return _PATH_ENGINES[key]
+
+
 # --- point derivation (Spark side) — MUST mirror _SQL_PTS below -----------------
 
 
@@ -177,6 +198,20 @@ def q_elevation_cogroup(spark, sf_dir):
     pts = derive_points(_events(spark, sf_dir))
     out = eng.elevation_join(
         pts, mode="nearest", strategy="cogroup", id_col="event_id", n_salts=4
+    )
+    return out.select("event_id", F.col("elevation").cast("int").alias("elevation"))
+
+
+def q_elevation_cogroup_path(spark, sf_dir):
+    """The no-blob-shuffle scale plan: catalog side of the cogroup ships
+    ONLY tile source URIs; each task reads its tile from (shared) storage
+    at apply time. At 100 TB of rasters the blobs must never ride a
+    shuffle — this query proves that plan returns the identical rows."""
+    eng = get_path_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    out = eng.elevation_join(
+        pts, mode="nearest", strategy="cogroup", id_col="event_id",
+        n_salts=4, blob_source="path",
     )
     return out.select("event_id", F.col("elevation").cast("int").alias("elevation"))
 
@@ -705,6 +740,7 @@ FROM keyed
         "elevation_bilinear": bilinear,
         "elevation_default_fill": default_fill,
         "elevation_cogroup": nearest,
+        "elevation_cogroup_path": nearest,
         "tile_assignment": tile_assignment,
         "coverage_counts": coverage_counts,
         "cell_ids": cell_ids,
@@ -727,6 +763,7 @@ def queries():
         "elevation_bilinear": q_elevation_bilinear,
         "elevation_default_fill": q_elevation_default_fill,
         "elevation_cogroup": q_elevation_cogroup,
+        "elevation_cogroup_path": q_elevation_cogroup_path,
         "tile_assignment": q_tile_assignment,
         "coverage_counts": q_coverage_counts,
         "cell_ids": q_cell_ids,

@@ -67,6 +67,26 @@ def _elev_type(mode: str):
     return T.DoubleType() if mode == "bilinear" else T.IntegerType()
 
 
+def _read_blob_from_path(path: str) -> bytes:
+    """Executor-side tile fetch from shared storage (blob_source='path'):
+    the real-cluster pattern where rasters live in an object store and
+    only their PATHS ride the shuffle. Handles the .hgt.zip wrapping the
+    directory scan accepts (service.rs:546-576)."""
+    import io
+    import zipfile
+
+    p = path
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+    with open(p, "rb") as f:
+        raw = f.read()
+    if p.endswith(".hgt.zip"):
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            hgts = [n for n in zf.namelist() if n.endswith(".hgt")]
+            raw = zf.read(hgts[0])
+    return raw
+
+
 class _GridCache:
     """Executor-local decoded-grid LRU — the distributed analog of the
     reference's moka tile cache (service.rs:168, capacity in tiles)."""
@@ -410,6 +430,7 @@ class ElevationEngine:
         n_salts: int = 8,
         strict: bool = False,
         observe: bool = False,
+        blob_source: str = "inline",
     ) -> DataFrame:
         """Append elevation columns to `points`.
 
@@ -421,6 +442,13 @@ class ElevationEngine:
 
         strict=True replicates the single-point API contract: raise on any
         out-of-coverage row (service.rs:485-490) instead of defaulting.
+
+        blob_source (cogroup strategy only): 'inline' ships each tile blob
+        through the shuffle at most n_salts times; 'path' ships ONLY the
+        source URI and each task reads its tile from shared storage at
+        apply time — at 100 TB of rasters the blobs must never enter a
+        shuffle, this is that plan. Requires a path-bearing catalog
+        (catalog_from_dir / tile_dir engines).
         """
         if mode not in ("nearest", "floor", "bilinear"):
             raise ValueError(f"bad mode {mode!r}")
@@ -445,10 +473,18 @@ class ElevationEngine:
                 "broadcast" if self.n_tiles() <= self.BROADCAST_MAX_TILES else "cogroup"
             )
 
+        if blob_source not in ("inline", "path"):
+            raise ValueError(f"bad blob_source {blob_source!r}")
+        if blob_source == "path":
+            if strategy != "cogroup":
+                raise ValueError("blob_source='path' requires strategy='cogroup'")
+            if "path" not in self.catalog.columns:
+                raise ValueError("blob_source='path' needs a path-bearing catalog")
+
         if strategy == "broadcast":
             out = self._join_broadcast(pts, mode, knn_fallback)
         elif strategy == "cogroup":
-            out = self._join_cogroup(pts, mode, knn_fallback, id_col, n_salts)
+            out = self._join_cogroup(pts, mode, knn_fallback, id_col, n_salts, blob_source)
         else:
             raise ValueError(f"bad strategy {strategy!r}")
 
@@ -538,7 +574,13 @@ class ElevationEngine:
     # -- cogroup (shuffle, salted) strategy -------------------------------------
 
     def _join_cogroup(
-        self, pts: DataFrame, mode: str, knn: bool, id_col: str, n_salts: int
+        self,
+        pts: DataFrame,
+        mode: str,
+        knn: bool,
+        id_col: str,
+        n_salts: int,
+        blob_source: str = "inline",
     ) -> DataFrame:
         """Salted cogroup join with ADAPTIVE skew salting: a histogram
         pre-pass counts points per tile cell, and each cell gets
@@ -578,13 +620,14 @@ class ElevationEngine:
             F.pmod(F.xxhash64(F.col("_rid")), F.coalesce(F.col("k_salt"), F.lit(1)))
             .cast("int"),
         ).drop("k_salt")
+        blob_col = "data" if blob_source == "inline" else "path"
         cat = (
             self.catalog.join(salt_df, ["tile_lat", "tile_lon"], "left")
             .withColumn("k_salt", F.coalesce(F.col("k_salt"), F.lit(1)))
             .select(
                 "tile_lat",
                 "tile_lon",
-                "data",
+                blob_col,
                 F.explode(F.sequence(F.lit(0), F.col("k_salt") - 1)).alias("salt"),
             )
         )
@@ -598,7 +641,12 @@ class ElevationEngine:
         def apply(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
             if lpdf.empty:
                 return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-            grid = hgt.decode_tile(bytes(rpdf["data"].iloc[0])) if len(rpdf) else None
+            if not len(rpdf):
+                grid = None
+            elif blob_source == "inline":
+                grid = hgt.decode_tile(bytes(rpdf["data"].iloc[0]))
+            else:
+                grid = hgt.decode_tile(_read_blob_from_path(str(rpdf["path"].iloc[0])))
 
             res = kernel_batch(
                 lpdf["lat"].to_numpy(),
@@ -614,7 +662,7 @@ class ElevationEngine:
             .applyInPandas(apply, schema=out_schema)
         )
         if knn:
-            joined = self._knn_second_pass(joined, mode, out_schema)
+            joined = self._knn_second_pass(joined, mode, out_schema, blob_source)
         extra_cols = [c for c in pts.columns if c not in (id_col, "lat", "lon")]
         if not extra_cols:
             # no payload to re-attach: skip the rejoin shuffle entirely
@@ -623,7 +671,9 @@ class ElevationEngine:
             joined.withColumnRenamed("_rid", id_col), on=id_col, how="inner"
         )
 
-    def _knn_second_pass(self, joined: DataFrame, mode: str, out_schema) -> DataFrame:
+    def _knn_second_pass(
+        self, joined: DataFrame, mode: str, out_schema, blob_source: str = "inline"
+    ) -> DataFrame:
         """kNN fallback for the cogroup strategy (J6 at scale): the fallback
         tile is data-dependent, so the first shuffle cannot route to it.
         Second pass: take the in-coverage missing-tile remainder (narrow
@@ -674,12 +724,20 @@ class ElevationEngine:
         assigned = miss.mapInArrow(assign, schema=assign_schema)
         # prune the catalog to assigned tiles before the blob shuffle
         keys = assigned.select("tile_lat", "tile_lon").distinct()
-        cat = self.catalog.join(F.broadcast(keys), ["tile_lat", "tile_lon"], "left_semi")
+        blob_col = "data" if blob_source == "inline" else "path"
+        cat = self.catalog.join(
+            F.broadcast(keys), ["tile_lat", "tile_lon"], "left_semi"
+        ).select("tile_lat", "tile_lon", blob_col)
 
         def apply_knn(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
             if lpdf.empty:
                 return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-            grid = hgt.decode_tile(bytes(rpdf["data"].iloc[0])) if len(rpdf) else None
+            if not len(rpdf):
+                grid = None
+            elif blob_source == "inline":
+                grid = hgt.decode_tile(bytes(rpdf["data"].iloc[0]))
+            else:
+                grid = hgt.decode_tile(_read_blob_from_path(str(rpdf["path"].iloc[0])))
             lat = lpdf["lat"].to_numpy()
             lon = lpdf["lon"].to_numpy()
             tl, tn = int(key[0]), int(key[1])

@@ -198,6 +198,52 @@ def test_assign_nearest_center_chunked_large_catalog():
     assert np.array_equal(got, want)
 
 
+def test_cogroup_blob_source_path(spark, grids, points_pdf, tmp_path):
+    """blob_source='path': the catalog side of the shuffle carries ONLY
+    source URIs; each task reads its tile from shared storage. Results must
+    be row-identical to the inline-blob cogroup and the broadcast path —
+    including through a .hgt.zip tile and with kNN fallback."""
+    from htg_spark import fixtures, hgt as hgt_mod
+
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    for i, ((tl, tn), grid) in enumerate(sorted(grids.items())):
+        name = hgt_mod.coords_to_filename(tl, tn)
+        data = hgt_mod.encode_tile(grid)
+        if i == 0:  # one zip-wrapped tile exercises the re-extract path
+            (tiles / f"{name}.zip").write_bytes(fixtures.zip_tile_bytes(name, data))
+        else:
+            (tiles / name).write_bytes(data)
+    eng = ElevationEngine(spark, tile_dir=str(tiles))
+    df = spark.createDataFrame(points_pdf)
+    a = (
+        eng.elevation_join(df, mode="nearest", strategy="broadcast", knn_fallback=True)
+        .orderBy("image_id")
+        .toPandas()
+    )
+    b = (
+        eng.elevation_join(
+            df, mode="nearest", strategy="cogroup", knn_fallback=True,
+            n_salts=4, blob_source="path",
+        )
+        .orderBy("image_id")
+        .toPandas()
+    )
+    av = a["elevation"].to_numpy(dtype="float64", na_value=np.nan)
+    bv = b["elevation"].to_numpy(dtype="float64", na_value=np.nan)
+    assert np.array_equal(np.isnan(av), np.isnan(bv))
+    assert np.array_equal(av[~np.isnan(av)], bv[~np.isnan(bv)])
+    for c in ("tile_lat", "tile_lon", "in_coverage", "tile_found", "knn_used"):
+        assert a[c].tolist() == b[c].tolist(), c
+
+    # contract errors: in-memory catalog has no paths; broadcast never fetches
+    mem_eng = ElevationEngine(spark, grids=grids)
+    with pytest.raises(ValueError, match="path-bearing"):
+        mem_eng.elevation_join(df, strategy="cogroup", blob_source="path")
+    with pytest.raises(ValueError, match="cogroup"):
+        eng.elevation_join(df, strategy="broadcast", blob_source="path")
+
+
 def test_auto_strategy_counts_catalog_once(spark, grids, points_pdf):
     """The auto-strategy catalog count must be cached — a Spark action in
     the hot path of every repeated join is a driver-side stall at scale."""
