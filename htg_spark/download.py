@@ -132,11 +132,14 @@ def fetch_one(
     backoff_s: float = 0.5,
     opener=None,
     sleeper=time.sleep,
+    strict_continent: bool = False,
 ) -> dict:
     """Fetch one tile with the reference's retry loop (download.rs:334-373).
 
     Returns a manifest dict; never raises (failures are rows, not job
-    aborts — at 14k tiles a handful of 404s must not kill the ingest)."""
+    aborts — at 14k tiles a handful of 404s must not kill the ingest).
+    strict_continent makes an unmappable {continent} a zero-attempt failed
+    row (the SRTM3 contract) instead of retrying a malformed URL."""
     opener = opener or _default_opener
     filename = hgt.coords_to_filename(int(tile_lat), int(tile_lon))
     dest_path = os.path.join(dest_dir, filename)
@@ -155,7 +158,7 @@ def fetch_one(
         row.update(ok=True, skipped=True, nbytes=os.path.getsize(dest_path))
         return row
     try:
-        url = build_url(url_template, filename)
+        url = build_url(url_template, filename, strict_continent=strict_continent)
     except ValueError as e:
         row["error"] = str(e)
         return row
@@ -201,6 +204,7 @@ def fetch_tiles(
     max_retries: int = 3,
     backoff_s: float = 0.5,
     opener=None,
+    strict_continent: bool = False,
 ) -> DataFrame:
     """Distributed tile fetch: (tile_lat, tile_lon) keys -> per-tile
     manifest DataFrame, files written under dest_dir by the executors."""
@@ -212,6 +216,7 @@ def fetch_tiles(
                     tl, tn, url_template, dest_dir,
                     compression=compression, max_retries=max_retries,
                     backoff_s=backoff_s, opener=opener,
+                    strict_continent=strict_continent,
                 )
                 for tl, tn in zip(pdf["tile_lat"], pdf["tile_lon"])
             ]

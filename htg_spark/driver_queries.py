@@ -42,29 +42,35 @@ def gradient_void_grid(samples: int = SAMPLES) -> np.ndarray:
     return g
 
 
-_ENGINES: dict[int, ElevationEngine] = {}
+# engine caches keyed by applicationId — NOT id(spark), which Python
+# recycles after GC (a new session allocated at a dead session's address
+# would receive an engine bound to the stopped SparkContext)
+_ENGINES: dict[str, ElevationEngine] = {}
 
 
 def get_engine(spark: SparkSession) -> ElevationEngine:
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if key not in _ENGINES:
         g = gradient_void_grid()
         _ENGINES[key] = ElevationEngine(spark, grids={k: g for k in CATALOG_KEYS})
     return _ENGINES[key]
 
 
-_PATH_ENGINES: dict[int, ElevationEngine] = {}
+_PATH_ENGINES: dict[str, ElevationEngine] = {}
 
 
 def get_path_engine(spark: SparkSession) -> ElevationEngine:
     """Same gradient catalog, but scanned from real .hgt files on disk —
     backs the blob_source='path' (no-blob-shuffle) strategy queries."""
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if key not in _PATH_ENGINES:
+        import atexit
         import os
+        import shutil
         import tempfile
 
         d = tempfile.mkdtemp(prefix="htg_tiles_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         g = gradient_void_grid()
         data = hgt.encode_tile(g)
         for tl, tn in CATALOG_KEYS:

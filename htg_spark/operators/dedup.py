@@ -177,6 +177,7 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("label")
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["dst"] == labels["v"])
@@ -191,7 +192,7 @@ def connected_components(
                     labels["label"], F.coalesce(F.col("nbr_min"), labels["label"])
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: cuts lineage AND materializes `new`
         )
         changed = (
             new.alias("n")
@@ -200,9 +201,19 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # `new` is materialized, so the previous round's blocks are dead —
+        # release them instead of pinning max_iter label-table copies
+        labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            "(component diameter exceeds max_iter) — returning partial labels "
+            "would silently split components; raise max_iter"
+        )
     return labels.select(
         F.col("v").alias(id_col),
         F.col("label").alias("group_id"),

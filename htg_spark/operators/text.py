@@ -31,9 +31,11 @@ def tokens_col(text: Column) -> Column:
 
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs —
-# the GPT-2-style coarse split, restricted to ASCII classes so the Java
-# and RE2 regex engines tokenize identically (cross-engine oracle parity)
-BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+# the GPT-2-style coarse split. The whitespace class is spelled out
+# explicitly instead of \s because Java's \s includes vertical tab (\x0B)
+# while RE2/DuckDB's does not — the one ASCII character where the engines
+# disagree; an explicit class makes Java and RE2 tokenize identically
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f\\x0B]+"
 
 
 def bpe_tokens_col(text: Column) -> Column:

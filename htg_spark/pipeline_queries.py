@@ -472,7 +472,7 @@ FROM corpus c LEFT JOIN sh s ON s.cid = c.cid
 """
     bpe_stats_sql = r"""
 WITH tk AS (
-  SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+') AS toks
+  SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f\x0B]+') AS toks
   FROM documents
 )
 SELECT doc_id,

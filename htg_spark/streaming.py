@@ -51,17 +51,27 @@ def stream_exact_dedup(
     """Streaming exact dedup ACROSS micro-batches: state = the set of md5
     content hashes seen within the watermark horizon; the first occurrence
     passes, later duplicates (same batch or later batches) are dropped.
-    Built on the engine's native stateful dropDuplicates — the state store
-    holds 16-byte hashes, not documents, and the watermark bounds it (the
-    100-TB requirement: without a horizon, exact-dedup state grows forever).
-    """
+
+    State bounding: plain ``dropDuplicates(["grp_hash"])`` would NEVER
+    evict (the engine only ages out state when the watermark column is part
+    of the dedup keys), so with a timestamp column this uses
+    ``dropDuplicatesWithinWatermark`` — a key's state is evicted once the
+    watermark passes its event time + delay (observed: numRowsTotal
+    decreases). Guarantee: duplicates within the delay of each other ALWAYS
+    drop; a duplicate arriving after the horizon MAY be re-emitted once its
+    predecessor's state is evicted (engine best-effort — eviction lags the
+    watermark by a batch). Without a timestamp column the state is
+    unbounded by construction; callers get exact global dedup and own the
+    state-size consequence."""
     if not stream.isStreaming:
         raise ValueError("stream_exact_dedup expects a streaming DataFrame")
     df = stream.withColumn(
         "grp_hash", F.md5(F.encode(F.col(text_col), "UTF-8"))
     )
     if ts_col in df.columns:
-        df = df.withWatermark(ts_col, delay)
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            ["grp_hash"]
+        )
     return df.dropDuplicates(["grp_hash"])
 
 

@@ -156,6 +156,23 @@ def test_skip_if_exists(tmp_path):
     assert row["ok"] and row["skipped"] and row["attempts"] == 0
 
 
+def test_strict_continent_through_fetch(tmp_path):
+    """SRTM3's unmappable-continent contract must be reachable from the
+    fetch entry points: zero attempts, no retries on a malformed URL."""
+    calls = {"n": 0}
+
+    def opener(url, attempt):
+        calls["n"] += 1
+        raise OSError("should not be called")
+
+    row = download.fetch_one(
+        -70, 0, download.ARDUPILOT_SRTM3, str(tmp_path),
+        opener=opener, strict_continent=True, sleeper=lambda s: None,
+    )
+    assert not row["ok"] and row["attempts"] == 0 and "continent" in row["error"]
+    assert calls["n"] == 0  # failed fast, never fetched
+
+
 def test_distributed_fetch_roundtrip(spark, mirror, tmp_path):
     """The full ingest: keys DF -> mapInPandas fetch over the file:// mirror
     -> catalog_from_dir over the downloaded files -> engine lookup parity."""

@@ -135,7 +135,7 @@ def test_lang_id_detects_real_languages(docs):
 def test_bpe_token_stats(spark):
     """BPE-ish regex tokenizer: letter/digit/punct runs split apart."""
     df = spark.createDataFrame(
-        pd.DataFrame({"doc_id": [0, 1], "text": ["don't stop2! now", ""]})
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["don't stop2! now", "", "a\x0bb"]})
     )
     out = text.bpe_token_stats(df).orderBy("doc_id").toPandas()
     # [don, ', t, stop, 2, !, now] -> 7 tokens, all distinct
@@ -143,6 +143,31 @@ def test_bpe_token_stats(spark):
     # lengths 3+1+1+4+1+1+3 = 14 chars over 7 tokens
     assert out.loc[0, "avg_bpe_token_len"] == 2.0
     assert out.loc[1, "n_bpe_tokens"] == 0 and pd.isna(out.loc[1, "avg_bpe_token_len"])
+    # vertical tab: the one ASCII char where Java \s and RE2 \s disagree —
+    # the explicit whitespace class must make BOTH engines see [a, b]
+    assert out.loc[2, "n_bpe_tokens"] == 2
+    import duckdb
+
+    from htg_spark import pipeline_queries as pq
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [2], "text": ["a\x0bb"]}))
+    duck = con.execute(pq.oracle_sql()["bpe_token_stats"]).df()
+    assert int(duck["n_bpe_tokens"][0]) == 2
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter must raise, never return split groups."""
+    n = 8
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    verts = spark.createDataFrame(pd.DataFrame({"cid": list(range(n))}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, verts, id_col="cid", max_iter=2)
+    # and converges fine with enough rounds
+    out = dedup.connected_components(pairs, verts, id_col="cid", max_iter=n).toPandas()
+    assert set(out["group_id"]) == {0}
 
 
 def test_rolling_fingerprint(spark):
