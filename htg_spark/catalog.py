@@ -18,8 +18,6 @@ resolution, ``htg-cli/src/commands/list.rs:40-114``).
 
 from __future__ import annotations
 
-import io
-import zipfile
 from collections.abc import Iterator
 
 import numpy as np
@@ -85,11 +83,10 @@ def catalog_from_dir(spark: SparkSession, path: str) -> DataFrame:
                 name = p.rsplit("/", 1)[-1]
                 from_zip = name.endswith(".hgt.zip")
                 if from_zip:
-                    with zipfile.ZipFile(io.BytesIO(content)) as zf:
-                        hgts = [n for n in zf.namelist() if n.endswith(".hgt")]
-                        if not hgts:
-                            continue
-                        content = zf.read(hgts[0])
+                    try:
+                        content = hgt.extract_hgt_from_zip(content)
+                    except ValueError:
+                        continue
                     name = name[: -len(".zip")]
                 elif not name.endswith(".hgt"):
                     continue

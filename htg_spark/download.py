@@ -25,11 +25,9 @@ scale the keys are ``repartition(n)``-ed to bound per-task fan-out.
 from __future__ import annotations
 
 import gzip
-import io
 import os
 import time
 import urllib.request
-import zipfile
 from collections.abc import Iterator
 
 import pandas as pd
@@ -110,11 +108,7 @@ def _default_opener(url: str, attempt: int) -> bytes:
 def decompress(raw: bytes, compression: str) -> bytes:
     """download.rs:466-530: zip -> first .hgt entry; gzip -> stream; none."""
     if compression == "zip":
-        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
-            hgts = [n for n in zf.namelist() if n.endswith(".hgt")]
-            if not hgts:
-                raise ValueError("no .hgt entry in ZIP archive")
-            return zf.read(hgts[0])
+        return hgt.extract_hgt_from_zip(raw)
     if compression == "gzip":
         return gzip.decompress(raw)
     if compression == "none":

@@ -72,18 +72,13 @@ def _read_blob_from_path(path: str) -> bytes:
     the real-cluster pattern where rasters live in an object store and
     only their PATHS ride the shuffle. Handles the .hgt.zip wrapping the
     directory scan accepts (service.rs:546-576)."""
-    import io
-    import zipfile
-
     p = path
     if p.startswith("file:"):
         p = p[len("file:"):]
     with open(p, "rb") as f:
         raw = f.read()
     if p.endswith(".hgt.zip"):
-        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
-            hgts = [n for n in zf.namelist() if n.endswith(".hgt")]
-            raw = zf.read(hgts[0])
+        raw = hgt.extract_hgt_from_zip(raw)
     return raw
 
 

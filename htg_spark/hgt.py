@@ -68,6 +68,20 @@ def encode_tile(grid: np.ndarray) -> bytes:
     return np.ascontiguousarray(grid, dtype=">i2").tobytes()
 
 
+def extract_hgt_from_zip(raw: bytes) -> bytes:
+    """First .hgt entry of a ZIP archive (service.rs:546-576 /
+    download.rs:500-530) — the single shared implementation for the
+    catalog scan, the download pipeline, and path-fetch joins."""
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        hgts = [n for n in zf.namelist() if n.endswith(".hgt")]
+        if not hgts:
+            raise ValueError("no .hgt entry in ZIP archive")
+        return zf.read(hgts[0])
+
+
 # --- key math (service.rs:493; filename.rs:38-132) -----------------------------
 
 

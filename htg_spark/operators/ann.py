@@ -124,6 +124,11 @@ def lsh_topk(
     )
 
 
+def _bucket_cols(vec_col: str, tables: list[list[list[float]]]) -> list[Column]:
+    """One bucket column per LSH table: bk0..bk{T-1}."""
+    return [lsh_bucket_expr(vec_col, p).alias(f"bk{t}") for t, p in enumerate(tables)]
+
+
 def lsh_topk_multi(
     emb: DataFrame,
     queries: DataFrame,
@@ -136,14 +141,12 @@ def lsh_topk_multi(
     collision (union + dedup), exact cosine rank on candidates only. Recall
     rises geometrically with table count at constant per-table join cost."""
     q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        *[lsh_bucket_expr(vec_col, p).alias(f"bk{t}") for t, p in enumerate(tables)],
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        *_bucket_cols(vec_col, tables),
     )
     c = emb.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        *[lsh_bucket_expr(vec_col, p).alias(f"bk{t}") for t, p in enumerate(tables)],
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        *_bucket_cols(vec_col, tables),
     )
     cand = None
     for t in range(len(tables)):
@@ -285,10 +288,7 @@ def near_dup_pairs(
     base = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        *[
-            lsh_bucket_expr(vec_col, planes).alias(f"bk{t}")
-            for t, planes in enumerate(tables)
-        ],
+        *_bucket_cols(vec_col, tables),
     )
     cand = None
     for t in range(len(tables)):
