@@ -394,6 +394,37 @@ class ElevationEngine:
             "hit_rate": (c.hits / total) if total else 0.0,
         }
 
+    def clear_cache(self):
+        """Invalidate cached decoded grids (service.rs:617; the reference
+        KEEPS the cumulative hit/miss counters — test_clear_cache asserts
+        miss_count continues at 2 after a clear). Executor-side caches are
+        namespaced by the engine token, so rotating it makes every reused
+        worker re-decode on the next job."""
+        import uuid
+
+        self._local_cache().data.clear()
+        self._cache_token = uuid.uuid4().hex
+
+    def cache_capacity(self) -> int:
+        """service.rs:1174-1180."""
+        return self.cache_size
+
+    @classmethod
+    def from_env(cls, spark: SparkSession) -> "ElevationEngine":
+        """Construct from the reference's environment contract
+        (service.rs:773-822): HTG_DATA_DIR (required — error if unset),
+        HTG_CACHE_SIZE (default 100). HTG_PRELOAD bounds parsing lives in
+        operators.geo_misc.parse_preload_bounds (htg-service main.rs)."""
+        import os
+
+        data_dir = os.environ.get("HTG_DATA_DIR")
+        if not data_dir:
+            raise ValueError(
+                "HTG_DATA_DIR environment variable is not set (service.rs:817-822)"
+            )
+        cache_size = int(os.environ.get("HTG_CACHE_SIZE", "100"))
+        return cls(spark, tile_dir=data_dir, cache_size=cache_size)
+
     # -- catalog helpers ---------------------------------------------------
 
     def n_tiles(self) -> int:

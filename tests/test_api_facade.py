@@ -69,6 +69,39 @@ def test_cache_stats_progress(spark):
     assert s2["hit_count"] == 1 and s2["hit_rate"] == 0.5  # service.rs:55-63
 
 
+def test_clear_cache_and_capacity(spark):
+    """service.rs:1155-1180: clearing invalidates entries but keeps the
+    cumulative counters; capacity echoes the configured size."""
+    eng = ElevationEngine(spark, grids={(35, 138): fixtures.tile_center(500)}, cache_size=10)
+    assert eng.cache_capacity() == 10
+    assert eng.get_elevation(35.5, 138.5) == 500
+    assert eng.cache_stats()["miss_count"] == 1
+    eng.clear_cache()
+    assert eng.cache_stats()["entry_count"] == 0
+    assert eng.get_elevation(35.5, 138.5) == 500  # re-decoded
+    s = eng.cache_stats()
+    assert s["miss_count"] == 2 and s["entry_count"] == 1
+
+
+def test_from_env(spark, tmp_path, monkeypatch):
+    """service.rs:1220-1288: HTG_DATA_DIR required, HTG_CACHE_SIZE default 100."""
+    from htg_spark import hgt as hgt_mod
+
+    monkeypatch.delenv("HTG_DATA_DIR", raising=False)
+    with pytest.raises(ValueError, match="HTG_DATA_DIR"):
+        ElevationEngine.from_env(spark)
+
+    (tmp_path / "N35E138.hgt").write_bytes(hgt_mod.encode_tile(fixtures.tile_center(500)))
+    monkeypatch.setenv("HTG_DATA_DIR", str(tmp_path))
+    monkeypatch.setenv("HTG_CACHE_SIZE", "50")
+    eng = ElevationEngine.from_env(spark)
+    assert eng.cache_capacity() == 50
+    assert eng.get_elevation(35.5, 138.5) == 500
+
+    monkeypatch.delenv("HTG_CACHE_SIZE")
+    assert ElevationEngine.from_env(spark).cache_capacity() == 100  # default
+
+
 def test_preload_all_and_bbox(spark):
     eng = ElevationEngine(spark, grids=fixtures.default_catalog_grids())
     stats = eng.preload()
@@ -76,6 +109,12 @@ def test_preload_all_and_bbox(spark):
     eng2 = ElevationEngine(spark, grids=fixtures.default_catalog_grids())
     stats2 = eng2.preload(bounds=(35.2, 138.2, 35.8, 138.8))
     assert stats2["tiles_matched"] == 1  # strict overlap (service.rs:102-110)
+    # multiple boxes union (service.rs:1325-1341) and no-match (rs:1427-1440)
+    eng3 = ElevationEngine(spark, grids=fixtures.default_catalog_grids())
+    stats3 = eng3.preload(bounds=[(35.2, 138.2, 35.8, 138.8), (33.1, -96.9, 33.2, -96.8)])
+    assert stats3["tiles_matched"] == 2
+    eng4 = ElevationEngine(spark, grids=fixtures.default_catalog_grids())
+    assert eng4.preload(bounds=(-10.0, -10.0, -9.0, -9.0))["tiles_matched"] == 0
 
 
 def test_http_get_elevation_shapes(spark):
