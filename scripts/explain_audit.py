@@ -96,6 +96,32 @@ def main():
         )
     )
 
+    from htg_spark.driver_queries import get_path_engine
+
+    path_eng = get_path_engine(spark)
+    cg_path = path_eng.elevation_join(
+        pts, mode="nearest", strategy="cogroup", id_col="event_id",
+        n_salts=4, blob_source="path",
+    )
+    import re as _re
+
+    cgp_plan = plan_of(cg_path)
+    sections.append(
+        (
+            "Cogroup join, blob_source='path' (no-blob-shuffle)",
+            "Expected: catalog side of the shuffle carries ONLY "
+            "(tile_lat, tile_lon, path, salt); NO Exchange anywhere carries "
+            "the binary `data` column — at 100 TB of rasters the tiles must "
+            "never ride a shuffle (tasks read them from shared storage).",
+            cgp_plan,
+        )
+    )
+    # hard gate: no formatted-plan Exchange block may list the data column
+    ex_blocks = _re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*\]", cgp_plan)
+    if any(_re.search(r"\bdata#", b) for b in ex_blocks):
+        print("FATAL: path-strategy plan shuffles the binary data column", file=sys.stderr)
+        sys.exit(1)
+
     from htg_spark import pipeline_queries as pq
 
     near_dup = pq.q_embedding_near_dup(spark, sf_dir)
