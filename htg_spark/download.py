@@ -127,13 +127,18 @@ def fetch_one(
     opener=None,
     sleeper=time.sleep,
     strict_continent: bool = False,
+    checksums: dict | None = None,
 ) -> dict:
     """Fetch one tile with the reference's retry loop (download.rs:334-373).
 
     Returns a manifest dict; never raises (failures are rows, not job
     aborts — at 14k tiles a handful of 404s must not kill the ingest).
     strict_continent makes an unmappable {continent} a zero-attempt failed
-    row (the SRTM3 contract) instead of retrying a malformed URL."""
+    row (the SRTM3 contract) instead of retrying a malformed URL.
+    checksums: optional {(tile_lat, tile_lon): md5-hex} of the DECOMPRESSED
+    payload (the object-store-manifest integrity pattern); a mismatch
+    retries (could be a truncated transfer) and ends as a failed row —
+    size validation alone cannot catch a right-sized wrong tile."""
     opener = opener or _default_opener
     filename = hgt.coords_to_filename(int(tile_lat), int(tile_lon))
     dest_path = os.path.join(dest_dir, filename)
@@ -169,6 +174,15 @@ def fetch_one(
             raw = opener(url, attempt)
             data = decompress(raw, compression)
             hgt.samples_for_size(len(data))  # size validation
+            if checksums is not None:
+                import hashlib
+
+                want = checksums.get((int(tile_lat), int(tile_lon)))
+                got = hashlib.md5(data).hexdigest()
+                if want is not None and got != want:
+                    raise ValueError(
+                        f"checksum mismatch for {filename}: got {got}, want {want}"
+                    )
             # unique temp name: concurrent tasks may fetch the same key
             # (duplicate input rows / speculative execution) — a shared
             # ".part" would race; atomic replace means last writer wins
@@ -199,9 +213,12 @@ def fetch_tiles(
     backoff_s: float = 0.5,
     opener=None,
     strict_continent: bool = False,
+    checksums: dict | None = None,
 ) -> DataFrame:
     """Distributed tile fetch: (tile_lat, tile_lon) keys -> per-tile
-    manifest DataFrame, files written under dest_dir by the executors."""
+    manifest DataFrame, files written under dest_dir by the executors.
+    checksums (optional, broadcast-sized: 32 hex chars per tile) enables
+    per-tile integrity verification against a source manifest."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -210,7 +227,7 @@ def fetch_tiles(
                     tl, tn, url_template, dest_dir,
                     compression=compression, max_retries=max_retries,
                     backoff_s=backoff_s, opener=opener,
-                    strict_continent=strict_continent,
+                    strict_continent=strict_continent, checksums=checksums,
                 )
                 for tl, tn in zip(pdf["tile_lat"], pdf["tile_lon"])
             ]

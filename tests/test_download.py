@@ -147,6 +147,37 @@ def test_gzip_and_size_validation(tmp_path):
     assert not row2["ok"]
 
 
+def test_checksum_validation(tmp_path):
+    """Integrity hook: a right-sized WRONG tile (size validation passes)
+    must fail on checksum; the correct tile with the matching md5 passes;
+    tiles absent from the manifest are not checked."""
+    import hashlib
+
+    good = hgt.encode_tile(fixtures.tile_center(500))
+    wrong = hgt.encode_tile(fixtures.tile_center(501))  # same size!
+    sums = {(35, 138): hashlib.md5(good).hexdigest()}
+
+    row = download.fetch_one(
+        35, 138, "mock://{filename}", str(tmp_path), compression="none",
+        opener=lambda u, a: wrong, max_retries=1, sleeper=lambda s: None,
+        checksums=sums,
+    )
+    assert not row["ok"] and "checksum mismatch" in row["error"]
+    assert not os.path.exists(tmp_path / "N35E138.hgt")
+
+    row2 = download.fetch_one(
+        35, 138, "mock://{filename}", str(tmp_path), compression="none",
+        opener=lambda u, a: good, checksums=sums, sleeper=lambda s: None,
+    )
+    assert row2["ok"]
+    # unmanifested tile: no checksum enforced
+    row3 = download.fetch_one(
+        36, 138, "mock://{filename}", str(tmp_path), compression="none",
+        opener=lambda u, a: wrong, checksums=sums, sleeper=lambda s: None,
+    )
+    assert row3["ok"]
+
+
 def test_skip_if_exists(tmp_path):
     (tmp_path / "N35E138.hgt").write_bytes(b"\x00" * 8)
     row = download.fetch_one(
