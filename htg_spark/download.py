@@ -154,8 +154,25 @@ def fetch_one(
         "error": None,
     }
     if os.path.exists(dest_path):  # download.rs:346-348
-        row.update(ok=True, skipped=True, nbytes=os.path.getsize(dest_path))
-        return row
+        # skip-if-already-downloaded must not bypass the integrity check:
+        # when the manifest carries a checksum for this tile, hash the
+        # existing file before trusting it — a corrupt/truncated leftover
+        # from a prior run would otherwise be trusted forever. Mismatch ->
+        # fall through and re-download. Without a manifest entry the skip
+        # is unconditional (the reference's behavior).
+        existing_ok = True
+        if checksums is not None and checksums.get((int(tile_lat), int(tile_lon))):
+            import hashlib
+
+            try:
+                with open(dest_path, "rb") as f:
+                    got = hashlib.md5(f.read()).hexdigest()
+                existing_ok = got == checksums[(int(tile_lat), int(tile_lon))]
+            except OSError:
+                existing_ok = False
+        if existing_ok:
+            row.update(ok=True, skipped=True, nbytes=os.path.getsize(dest_path))
+            return row
     try:
         url = build_url(url_template, filename, strict_continent=strict_continent)
     except ValueError as e:

@@ -71,10 +71,31 @@ def _read_blob_from_path(path: str) -> bytes:
     """Executor-side tile fetch from shared storage (blob_source='path'):
     the real-cluster pattern where rasters live in an object store and
     only their PATHS ride the shuffle. Handles the .hgt.zip wrapping the
-    directory scan accepts (service.rs:546-576)."""
-    p = path
-    if p.startswith("file:"):
-        p = p[len("file:"):]
+    directory scan accepts (service.rs:546-576).
+
+    The binaryFile `path` column is a URI: percent-decoded here, and
+    non-local schemes (hdfs://, s3a://, ...) raise a clear error rather
+    than failing inside open() — on a real cluster plug an fsspec/Hadoop
+    filesystem in at this single seam. file://host paths (non-local host)
+    are rejected for the same reason."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        if u.scheme == "file" and u.netloc not in ("", "localhost"):
+            raise NotImplementedError(
+                f"non-local file URI {path!r}: blob_source='path' reads via "
+                "the local filesystem in this build (mount the store or swap "
+                "_read_blob_from_path for an fsspec-backed reader)"
+            )
+        p = unquote(u.path) if u.scheme == "file" else path
+    else:
+        raise NotImplementedError(
+            f"unsupported filesystem scheme {u.scheme!r} in {path!r}: this "
+            "build reads tiles from a locally-mounted filesystem; swap "
+            "_read_blob_from_path for an fsspec/Hadoop FS reader for "
+            "hdfs:// or s3a:// catalogs"
+        )
     with open(p, "rb") as f:
         raw = f.read()
     if p.endswith(".hgt.zip"):
@@ -108,44 +129,60 @@ class _GridCache:
         return grid
 
 
-_EXECUTOR_CACHE: dict[str, _GridCache] = {}
+# Per-worker cache registry, LRU over engine tokens: long-lived Python
+# workers outlive driver-side engines, and clear_cache() rotates the token,
+# so stale tokens must be EVICTED (not just orphaned) or every rotation
+# strands up to cache_size decoded grids per worker forever.
+_MAX_CACHE_TOKENS = 4
+_EXECUTOR_CACHE: "OrderedDict[str, _GridCache]" = OrderedDict()
 
 
 def _executor_cache(token: str, capacity: int) -> _GridCache:
     c = _EXECUTOR_CACHE.get(token)
     if c is None:
         c = _EXECUTOR_CACHE[token] = _GridCache(capacity)
+        while len(_EXECUTOR_CACHE) > _MAX_CACHE_TOKENS:
+            _EXECUTOR_CACHE.popitem(last=False)
+    else:
+        _EXECUTOR_CACHE.move_to_end(token)
     return c
 
 
 def assign_nearest_center(
-    lat: np.ndarray, lon: np.ndarray, centers: np.ndarray, chunk: int = 4096
+    lat: np.ndarray, lon: np.ndarray, centers: np.ndarray, chunk: int = 4096,
+    point_chunk: int = 8192,
 ) -> np.ndarray:
     """Nearest catalog tile per point: squared euclidean distance to tile
     centers, ties broken by lowest (tile_lat, tile_lon). Returns (n, 2)
     int64 tile keys.
 
-    Centers are scanned in chunks so the distance matrix is bounded at
-    n_points x chunk doubles — a full 14k-tile SRTM catalog against a 64k
-    Arrow batch would otherwise materialize a 7 GB matrix. First-minimum
-    semantics are preserved across chunks by the strict `<` update (within
-    a chunk np.argmin already returns the first = lowest sorted key)."""
+    BOTH axes are chunked so the transient distance matrix is bounded at
+    point_chunk x chunk doubles (~256 MB) regardless of Arrow batch size
+    and catalog size — a full 14k-tile SRTM catalog against a 64k-row
+    batch would otherwise materialize a 7 GB matrix. First-minimum
+    semantics are preserved across center chunks by the strict `<` update
+    (within a chunk np.argmin already returns the first = lowest sorted
+    key)."""
     lat = np.asarray(lat, dtype=np.float64)
     lon = np.asarray(lon, dtype=np.float64)
     order = np.lexsort((centers[:, 1], centers[:, 0]))
     sc = centers[order].astype(np.float64)
     n = len(lat)
-    best_d = np.full(n, np.inf)
     best_i = np.zeros(n, dtype=np.int64)
-    rows = np.arange(n)
-    for s in range(0, len(sc), chunk):
-        blk = sc[s : s + chunk]
-        d = (lat[:, None] - (blk[:, 0] + 0.5)) ** 2 + (lon[:, None] - (blk[:, 1] + 0.5)) ** 2
-        bi = np.argmin(d, axis=1)
-        bd = d[rows, bi]
-        upd = bd < best_d
-        best_d[upd] = bd[upd]
-        best_i[upd] = bi[upd] + s
+    for ps in range(0, n, point_chunk):
+        pe = min(ps + point_chunk, n)
+        plat = lat[ps:pe, None]
+        plon = lon[ps:pe, None]
+        best_d = np.full(pe - ps, np.inf)
+        rows = np.arange(pe - ps)
+        for s in range(0, len(sc), chunk):
+            blk = sc[s : s + chunk]
+            d = (plat - (blk[:, 0] + 0.5)) ** 2 + (plon - (blk[:, 1] + 0.5)) ** 2
+            bi = np.argmin(d, axis=1)
+            bd = d[rows, bi]
+            upd = bd < best_d
+            best_d[upd] = bd[upd]
+            best_i[ps:pe][upd] = bi[upd] + s
     return sc[best_i].astype(np.int64)
 
 
@@ -268,8 +305,12 @@ class ElevationEngine:
     """DataFrame-level elevation service — the `SrtmService` analog
     (API parity table: SURVEY.md §2.8; htg-python/src/lib.rs:110-316)."""
 
-    # raw blobs broadcast only while the catalog fits comfortably in memory
+    # raw blobs broadcast only while the catalog fits comfortably in memory.
+    # BOTH gates apply: tile count alone is not a size (256 SRTM1 tiles are
+    # ~6.6 GB — enough to OOM a stock driver — while 256 SRTM3 tiles are
+    # ~740 MB), so the byte gate measures sum(length(data)) once.
     BROADCAST_MAX_TILES = 256
+    BROADCAST_MAX_BYTES = 512 << 20  # 512 MB of raw tile blobs
 
     def __init__(
         self,
@@ -298,7 +339,8 @@ class ElevationEngine:
         else:
             raise ValueError("one of catalog / grids / tile_dir is required")
         self._bcast = None
-        self._n_tiles = None  # lazily counted ONCE (catalog is immutable)
+        # lazily measured ONCE (catalog is immutable): (n_tiles, total_bytes)
+        self._catalog_stats: tuple[int, int] | None = None
 
     # -- srtm_rs-parity point API (SURVEY.md §2.8; htg-python/src/lib.rs) ----
     #
@@ -357,12 +399,31 @@ class ElevationEngine:
         res = kernel_batch(arr[:, 0], arr[:, 1], self._local_get_grid, "bilinear")
         return [float(default) if np.isnan(v) else float(v) for v in res["elevation"]]
 
-    def preload(self, bounds=None):
+    def preload(self, bounds=None, blocking: bool = True):
         """Warm the catalog (service.rs:685-722): persist + count, optional
-        bbox pruning. Returns a PreloadStats-like dict."""
+        bbox pruning. Returns a PreloadStats-like dict.
+
+        blocking=False reproduces the reference's background-thread variant
+        (htg-python/src/lib.rs:297-300): the warm-up runs on a daemon
+        thread and this call returns None immediately; wait_preload()
+        joins the thread and returns the stats."""
         import time as _time
 
         from . import catalog as cat_mod
+
+        if not blocking:
+            # InheritableThread propagates the py4j auth/session context
+            # (plain threading.Thread can race SparkContext shutdown)
+            from pyspark import InheritableThread
+
+            def _bg():
+                self._preload_stats = self.preload(bounds, blocking=True)
+
+            self._preload_stats = None
+            t = InheritableThread(target=_bg, daemon=True)
+            self._preload_thread = t
+            t.start()
+            return None
 
         t0 = _time.perf_counter()
         boxes = None
@@ -374,13 +435,21 @@ class ElevationEngine:
         # blob broadcast collects every tile to the driver — safe only for
         # broadcast-sized catalogs; past the threshold (exactly when preload
         # matters most) the warmed catalog persist above is the preload
-        if self.n_tiles() <= self.BROADCAST_MAX_TILES:
+        if self._fits_broadcast():
             self._broadcast_blobs()
         return {
             "tiles_matched": matched,
             "tiles_loaded": matched,
             "elapsed_ms": round((_time.perf_counter() - t0) * 1000, 1),
         }
+
+    def wait_preload(self, timeout: float | None = None):
+        """Join a preload(blocking=False) thread; returns its stats dict
+        (None if no background preload ran or it has not finished)."""
+        t = getattr(self, "_preload_thread", None)
+        if t is not None:
+            t.join(timeout)
+        return getattr(self, "_preload_stats", None)
 
     def cache_stats(self):
         """Driver-side decoded-grid cache counters (CacheStats analog,
@@ -427,10 +496,26 @@ class ElevationEngine:
 
     # -- catalog helpers ---------------------------------------------------
 
+    def _measure_catalog(self) -> tuple[int, int]:
+        """(n_tiles, total_blob_bytes) in ONE cached aggregation — a Spark
+        action must not sit in the hot path of every repeated join."""
+        if self._catalog_stats is None:
+            row = self.catalog.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("data")).alias("nbytes"),
+            ).collect()[0]
+            self._catalog_stats = (int(row["n"]), int(row["nbytes"] or 0))
+        return self._catalog_stats
+
     def n_tiles(self) -> int:
-        if self._n_tiles is None:
-            self._n_tiles = self.catalog.count()
-        return self._n_tiles
+        return self._measure_catalog()[0]
+
+    def catalog_bytes(self) -> int:
+        return self._measure_catalog()[1]
+
+    def _fits_broadcast(self) -> bool:
+        n, nbytes = self._measure_catalog()
+        return n <= self.BROADCAST_MAX_TILES and nbytes <= self.BROADCAST_MAX_BYTES
 
     def _broadcast_blobs(self):
         if self._bcast is None:
@@ -492,12 +577,9 @@ class ElevationEngine:
                 raise ValueError("coordinates out of SRTM coverage (strict mode)")
 
         if strategy == "auto":
-            # broadcast while the raw catalog fits comfortably in memory;
-            # the count is cached — a Spark action must not sit in the hot
-            # path of every repeated join
-            strategy = (
-                "broadcast" if self.n_tiles() <= self.BROADCAST_MAX_TILES else "cogroup"
-            )
+            # broadcast while the raw catalog fits comfortably in memory —
+            # gated on tile count AND total blob bytes (both cached)
+            strategy = "broadcast" if self._fits_broadcast() else "cogroup"
 
         if blob_source not in ("inline", "path"):
             raise ValueError(f"bad blob_source {blob_source!r}")
@@ -714,6 +796,14 @@ class ElevationEngine:
         centers = self.tile_centers()
         if len(centers) == 0:
             return joined
+        # Materialize pass 1 ONCE before splitting it into rest/miss: the
+        # two union branches would otherwise each embed the full pass-1
+        # subtree and the expensive cogroup kernel stage would execute
+        # TWICE (Spark SQL has no cross-branch common-subtree reuse). A
+        # lazy localCheckpoint swaps the subtree for one shared RDD — no
+        # driver-side job at plan-build time, and the checkpoint writes
+        # only the narrow pass-1 output, not the inputs.
+        joined = joined.localCheckpoint(eager=False)
         is_miss = F.col("in_coverage") & ~F.col("tile_found")
         rest = joined.where(~is_miss)
         miss = joined.where(is_miss).select("_rid", "lat", "lon")

@@ -85,16 +85,32 @@ def main():
         pts, mode="nearest", strategy="cogroup", id_col="event_id",
         knn_fallback=True, n_salts=4,
     )
+    knn_plan = plan_of(cogroup_knn)
     sections.append(
         (
             "Cogroup join with kNN fallback (two-pass)",
-            "Expected: the pass-1 cogroup shape above, plus a second "
-            "FlatMapCoGroupsInPandas keyed by the ASSIGNED tile over the "
-            "missing remainder; catalog side of pass 2 is semi-join-pruned "
+            "Expected: pass 1 is a SHARED checkpointed RDD (Scan ExistingRDD "
+            "— materialized once before the rest/miss split), so exactly ONE "
+            "FlatMapCoGroupsInPandas appears: pass 2, keyed by the ASSIGNED "
+            "tile over the missing remainder, catalog side semi-join-pruned "
             "before any blob moves. Still no cartesian product.",
-            plan_of(cogroup_knn),
+            knn_plan,
         )
     )
+    # hard gate: the pass-1 cogroup must NOT be duplicated into both union
+    # branches — one cogroup node total (pass 2), pass 1 hidden behind the
+    # checkpoint's Scan ExistingRDD. Count "(N) Node" detail headers: the
+    # formatted dump prints every node twice (tree line + details block).
+    import re as _re2
+
+    n_cg = len(_re2.findall(r"\(\d+\) FlatMapCoGroupsInPandas", knn_plan))
+    if n_cg != 1 or "Scan ExistingRDD" not in knn_plan:
+        print(
+            f"FATAL: kNN plan has {n_cg} cogroup nodes (expected 1 + a "
+            "checkpointed pass-1 Scan ExistingRDD) — pass 1 executes twice",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
     from htg_spark.driver_queries import get_path_engine
 

@@ -117,6 +117,21 @@ def test_preload_all_and_bbox(spark):
     assert eng4.preload(bounds=(-10.0, -10.0, -9.0, -9.0))["tiles_matched"] == 0
 
 
+def test_preload_nonblocking(spark):
+    """preload(bounds, blocking=False) parity (htg-python/src/lib.rs:297-300):
+    returns None immediately, warms on a background thread; stats become
+    retrievable after wait_preload(). Queries keep working either way."""
+    eng = ElevationEngine(spark, grids=fixtures.default_catalog_grids())
+    assert eng.preload(blocking=False) is None
+    stats = eng.wait_preload(timeout=120)
+    assert stats is not None and stats["tiles_matched"] == 5
+    assert eng.get_elevation(35.5, 138.5) is not None
+    # bounded variant through the same path
+    eng2 = ElevationEngine(spark, grids=fixtures.default_catalog_grids())
+    assert eng2.preload(bounds=(35.2, 138.2, 35.8, 138.8), blocking=False) is None
+    assert eng2.wait_preload(timeout=120)["tiles_matched"] == 1
+
+
 def test_http_get_elevation_shapes(spark):
     """GET /elevation response shapes (api_tests.rs:52-147, 166-189)."""
     from htg_spark import api

@@ -187,6 +187,32 @@ def test_skip_if_exists(tmp_path):
     assert row["ok"] and row["skipped"] and row["attempts"] == 0
 
 
+def test_skip_revalidates_against_checksum(tmp_path):
+    """A leftover file that fails its manifest checksum must NOT be skipped:
+    the corrupt copy is re-downloaded and atomically replaced. A leftover
+    that MATCHES its checksum still short-circuits with zero fetches."""
+    import hashlib
+
+    good = hgt.encode_tile(fixtures.tile_center(500))
+    sums = {(35, 138): hashlib.md5(good).hexdigest()}
+    dest = tmp_path / "N35E138.hgt"
+    dest.write_bytes(good[:100] + b"\x00" * (len(good) - 100))  # corrupt leftover
+
+    row = download.fetch_one(
+        35, 138, "mock://{filename}", str(tmp_path), compression="none",
+        opener=lambda u, a: good, checksums=sums, sleeper=lambda s: None,
+    )
+    assert row["ok"] and not row["skipped"] and row["attempts"] == 1
+    assert dest.read_bytes() == good  # corrupt copy replaced
+
+    row2 = download.fetch_one(
+        35, 138, "mock://{filename}", str(tmp_path), compression="none",
+        opener=lambda u, a: (_ for _ in ()).throw(OSError("must not fetch")),
+        checksums=sums,
+    )
+    assert row2["ok"] and row2["skipped"] and row2["attempts"] == 0
+
+
 def test_strict_continent_through_fetch(tmp_path):
     """SRTM3's unmappable-continent contract must be reachable from the
     fetch entry points: zero attempts, no retries on a malformed URL."""

@@ -196,6 +196,10 @@ def test_assign_nearest_center_chunked_large_catalog():
     d = (lat[:, None] - (sc[:, 0] + 0.5)) ** 2 + (lon[:, None] - (sc[:, 1] + 0.5)) ** 2
     want = sc[np.argmin(d, axis=1)].astype(np.int64)
     assert np.array_equal(got, want)
+    # point-axis chunking (bounds peak memory independent of batch size)
+    # must not change a single assignment
+    got2 = assign_nearest_center(lat, lon, centers, chunk=1000, point_chunk=777)
+    assert np.array_equal(got2, want)
 
 
 def test_cogroup_blob_source_path(spark, grids, points_pdf, tmp_path):
@@ -249,18 +253,82 @@ def test_auto_strategy_counts_catalog_once(spark, grids, points_pdf):
     the hot path of every repeated join is a driver-side stall at scale."""
     eng = ElevationEngine(spark, grids=grids)
     calls = {"n": 0}
-    orig = eng.catalog.count
+    orig = eng.catalog.agg
 
-    def counting():
+    def counting(*a, **k):
         calls["n"] += 1
-        return orig()
+        return orig(*a, **k)
 
-    eng.catalog.count = counting
+    eng.catalog.agg = counting
     df = spark.createDataFrame(points_pdf.head(50))
     eng.elevation_join(df, strategy="auto").count()
     eng.elevation_join(df, strategy="auto").count()
     eng.elevation_join(df, strategy="auto").count()
     assert calls["n"] == 1
+
+
+def test_broadcast_byte_gate(spark, grids, points_pdf):
+    """Auto strategy gates on catalog BYTES, not just tile count: a
+    few-but-huge-tiles catalog must route to cogroup (collecting it to the
+    driver is the OOM the gate exists to prevent), while the fixture-sized
+    catalog still picks broadcast."""
+    df = spark.createDataFrame(points_pdf.head(50))
+
+    eng = ElevationEngine(spark, grids=grids)
+    assert eng.catalog_bytes() == len(grids) * 2 * 1201 * 1201
+    plan = eng.elevation_join(df, strategy="auto")._jdf.queryExecution().toString()
+    assert "MapInArrow" in plan and "FlatMapCoGroupsInPandas" not in plan
+
+    big = ElevationEngine(spark, grids=grids)
+    big.BROADCAST_MAX_BYTES = 1000  # few tiles, "huge" relative to the gate
+    plan = big.elevation_join(df, strategy="auto")._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert big._bcast is None  # blobs never collected to the driver
+
+
+def test_knn_second_pass_runs_pass1_once(spark, engine, points_pdf):
+    """The cogroup+kNN plan must materialize pass 1 before the rest/miss
+    split: exactly ONE FlatMapCoGroupsInPandas in the final plan (pass 2) —
+    pass 1 is a shared checkpointed RDD, not two copies of the subtree."""
+    df = spark.createDataFrame(points_pdf)
+    out = engine.elevation_join(
+        df, mode="nearest", strategy="cogroup", knn_fallback=True, n_salts=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+
+
+def test_executor_cache_token_lru():
+    """clear_cache() rotates the engine token; long-lived Python workers
+    must EVICT stale tokens' decoded grids, not orphan them forever."""
+    from htg_spark import engine as eng_mod
+
+    eng_mod._EXECUTOR_CACHE.clear()
+    for i in range(eng_mod._MAX_CACHE_TOKENS + 3):
+        eng_mod._executor_cache(f"tok{i}", capacity=4)
+    assert len(eng_mod._EXECUTOR_CACHE) == eng_mod._MAX_CACHE_TOKENS
+    assert "tok0" not in eng_mod._EXECUTOR_CACHE  # oldest evicted
+    # touching an existing token refreshes it (LRU, not FIFO)
+    eng_mod._executor_cache("tok3", capacity=4)
+    eng_mod._executor_cache("tokX", capacity=4)
+    assert "tok3" in eng_mod._EXECUTOR_CACHE
+    eng_mod._EXECUTOR_CACHE.clear()
+
+
+def test_read_blob_from_path_uri_handling(tmp_path):
+    """The binaryFile path column is a URI: percent-encoded characters must
+    decode, and non-local schemes must fail with a clear contract error
+    (not a bogus FileNotFoundError deep inside a task)."""
+    from htg_spark.engine import _read_blob_from_path
+
+    p = tmp_path / "tile dir" / "N35E138.hgt"
+    p.parent.mkdir()
+    p.write_bytes(b"\x01\x02\x03")
+    uri = "file://" + str(p.parent).replace(" ", "%20") + "/N35E138.hgt"
+    assert _read_blob_from_path(uri) == b"\x01\x02\x03"
+    assert _read_blob_from_path(str(p)) == b"\x01\x02\x03"
+    with pytest.raises(NotImplementedError, match="s3a"):
+        _read_blob_from_path("s3a://bucket/N35E138.hgt")
 
 
 def test_preload_gates_blob_broadcast(spark):
