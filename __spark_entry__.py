@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from htg_spark import driver_queries, pipeline_queries
+from htg_spark import driver_queries, enrich_queries, pipeline_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,8 +28,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**driver_queries.queries(), **pipeline_queries.queries()}
+    return {
+        **driver_queries.queries(),
+        **pipeline_queries.queries(),
+        **enrich_queries.queries(),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**driver_queries.oracle_sql(), **pipeline_queries.oracle_sql()}
+    return {
+        **driver_queries.oracle_sql(),
+        **pipeline_queries.oracle_sql(),
+        **enrich_queries.oracle_sql(),
+    }

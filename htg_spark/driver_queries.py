@@ -390,28 +390,97 @@ def q_images_geotag_join(spark, sf_dir):
     )
 
 
-def q_images_elevation_join(spark, sf_dir):
-    """The north-rule input path end-to-end: synthesized image+caption table
-    (exact input_hint shape) -> phash-derived geotags (JVM-side bit math) ->
-    broadcast elevation join with kNN fallback -> payload invariants.
+def derive_images_table(events: DataFrame) -> DataFrame:
+    """Full input_hint-shaped image table derived deterministically from
+    event_id — every non-binary consequence is a closed form DuckDB can
+    mirror, while the payloads are REAL encoded images (raw / P6 PPM /
+    zlib) that the Spark side must actually decode:
 
-    No SQL oracle (the image payload is not SQL-decodable) -> the driver
-    records a rows-only check; full row-level verification lives in
-    tests/test_engine_spark.py::test_payload_passthrough.
+    - w = 4 + e%13, h = 4 + e%11, fmt = [raw, ppm, rawz][e%3]
+    - pixel k (row-major over h x w x 3): (e*31 + 7k) % 256 — channel
+      means are exact-integer sums / (w*h), bit-identical across engines
+    - caption = 'caption {e%7} of image {e}' (md5-checkable in SQL)
+    - phash: the same coverage-window formulas as derive_image_phash
     """
-    from . import fixtures
+    import pandas as pd
+
+    from . import fixtures as fx
+
+    p = _PW
+
+    def gen(batches):
+        for pdf in batches:
+            e = pdf["event_id"].to_numpy(dtype=np.int64)
+            w = (4 + e % 13).astype(np.int32)
+            h = (4 + e % 11).astype(np.int32)
+            fmts = np.array(["raw", "ppm", "rawz"])[e % 3]
+            u = np.where(
+                e % 37 == 0, p["U75"] + (e * 7) % p["KU1"],
+                np.where(e % 11 == 0, p["U50"] + (e * 13) % p["KU09"],
+                         p["U35"] + (e * 7919) % p["KU2"]),
+            )
+            v = np.where(
+                e % 37 == 0, p["V138"] + (e * 3) % p["KV2"],
+                np.where(e % 11 == 0, p["V50"] + (e * 17) % p["KV09"],
+                         p["V138"] + (e * 104729) % p["KV2"]),
+            )
+            phash = u + v * 4294967296
+            payloads, caps = [], []
+            for i in range(len(e)):
+                n = int(h[i]) * int(w[i]) * 3
+                k = np.arange(n, dtype=np.int64)
+                px = ((int(e[i]) * 31 + 7 * k) % 256).astype(np.uint8)
+                payloads.append(
+                    fx.encode_image(px.reshape(int(h[i]), int(w[i]), 3), str(fmts[i]))
+                )
+                caps.append(f"caption {int(e[i]) % 7} of image {int(e[i])}")
+            yield pd.DataFrame(
+                {
+                    "image_id": [f"img_{int(x)}" for x in e],
+                    "bytes": payloads,
+                    "w": w,
+                    "h": h,
+                    "fmt": fmts,
+                    "caption": caps,
+                    "phash": phash,
+                }
+            )
+
+    return events.select("event_id").mapInPandas(
+        gen,
+        schema=(
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long"
+        ),
+    )
+
+
+def q_images_elevation_join(spark, sf_dir):
+    """The north-rule input path end-to-end with a FULL value oracle:
+    input_hint-shaped image rows (REAL raw/ppm/rawz payloads) ->
+    phash-derived geotags -> broadcast elevation join with kNN fallback ->
+    vectorized payload decode (multimodal.image_stats). The binary column
+    itself is projected out of the result, but everything it determines —
+    per-channel means from the actual decode, caption md5, fmt — is
+    value-checked against closed forms; pixel-exact round-trip/PSNR checks
+    live in tests/test_engine_spark.py::test_payload_passthrough and
+    tests/test_multimodal.py."""
     from .operators import multimodal
 
-    imgs = spark.createDataFrame(fixtures.make_images_pdf(2000)).repartition(8)
+    imgs = derive_images_table(_events(spark, sf_dir))
     eng = get_engine(spark)
     out = eng.elevation_join(
-        imgs, mode="bilinear", strategy="broadcast", id_col="image_id", knn_fallback=True
+        imgs, mode="nearest", strategy="broadcast", id_col="image_id",
+        knn_fallback=True,
     )
     stats = multimodal.image_stats(out.select("image_id", "bytes", "w", "h", "fmt"))
     return out.select(
-        "image_id", "caption", "phash", "lat", "lon", "tile_lat", "tile_lon",
-        "in_coverage", "tile_found", "knn_used", "elevation",
-    ).join(stats, "image_id")
+        "image_id", "phash", "lat", "lon", "tile_lat", "tile_lon",
+        "in_coverage", "tile_found", "knn_used",
+        F.col("elevation").cast("int").alias("elevation"),
+        F.md5(F.encode(F.col("caption"), "UTF-8")).alias("caption_md5"),
+        "fmt",
+    ).join(stats.select("image_id", "mean_r", "mean_g", "mean_b"), "image_id")
 
 
 def q_tile_info(spark, sf_dir):
@@ -602,7 +671,9 @@ FROM both_e WHERE e_n IS NOT NULL AND e_f IS NOT NULL
 """
     )
     p = _PW
-    images_geotag = f"""
+    # shared CTE body (geotag decode -> keyed -> found/ooc/knn branches);
+    # used by BOTH images_geotag_join and images_elevation_join oracles
+    images_cte = f"""
 WITH img AS (
   SELECT event_id,
     CASE WHEN event_id % 37 = 0 THEN {p['U75']} + (event_id * 7) % {p['KU1']}
@@ -681,11 +752,55 @@ knn_out AS (
     CASE WHEN (r * 1201 + c) % 97 <> 0 THEN CAST((r + c) % 4000 AS INTEGER)
          ELSE NULL END AS elevation
   FROM irc
-)
+)"""
+    images_geotag = (
+        images_cte
+        + """
 SELECT * FROM found_out
 UNION ALL SELECT * FROM ooc_out
 UNION ALL SELECT * FROM knn_out
 """
+    )
+    # images_elevation_join: the geotag/elevation branches above, joined to
+    # closed-form payload consequences — decoded channel means (exact int
+    # pixel sums / (w*h)), caption md5, fmt — of the deterministic table
+    # derive_images_table builds (real binary payloads on the Spark side)
+    images_elev = (
+        images_cte
+        + """,
+pxk AS (
+  SELECT event_id,
+    unnest(generate_series(0, (4 + event_id % 13) * (4 + event_id % 11) * 3 - 1)) AS k
+  FROM events
+),
+chan AS (
+  SELECT event_id,
+    CAST(sum(CASE WHEN k % 3 = 0 THEN (event_id * 31 + 7 * k) % 256 END) AS DOUBLE) AS sr,
+    CAST(sum(CASE WHEN k % 3 = 1 THEN (event_id * 31 + 7 * k) % 256 END) AS DOUBLE) AS sg,
+    CAST(sum(CASE WHEN k % 3 = 2 THEN (event_id * 31 + 7 * k) % 256 END) AS DOUBLE) AS sb
+  FROM pxk GROUP BY event_id
+),
+istats AS (
+  SELECT 'img_' || CAST(e.event_id AS VARCHAR) AS image_id,
+    md5('caption ' || CAST(e.event_id % 7 AS VARCHAR)
+        || ' of image ' || CAST(e.event_id AS VARCHAR)) AS caption_md5,
+    CASE e.event_id % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'ppm' ELSE 'rawz' END AS fmt,
+    c.sr / CAST((4 + e.event_id % 13) * (4 + e.event_id % 11) AS DOUBLE) AS mean_r,
+    c.sg / CAST((4 + e.event_id % 13) * (4 + e.event_id % 11) AS DOUBLE) AS mean_g,
+    c.sb / CAST((4 + e.event_id % 13) * (4 + e.event_id % 11) AS DOUBLE) AS mean_b
+  FROM events e JOIN chan c ON c.event_id = e.event_id
+),
+uo AS (
+  SELECT * FROM found_out
+  UNION ALL SELECT * FROM ooc_out
+  UNION ALL SELECT * FROM knn_out
+)
+SELECT uo.image_id, uo.phash, uo.lat, uo.lon, uo.tile_lat, uo.tile_lon,
+  uo.in_coverage, uo.tile_found, uo.knn_used, uo.elevation,
+  s.caption_md5, s.fmt, s.mean_r, s.mean_g, s.mean_b
+FROM uo JOIN istats s ON s.image_id = uo.image_id
+"""
+    )
     tile_info_sql = """
 WITH g AS (SELECT r.range AS row, c.range AS col FROM range(0, 1201) r, range(0, 1201) c),
 cells_t AS (
@@ -754,6 +869,7 @@ FROM keyed
         "knn_fallback": knn,
         "elevation_cogroup_knn": knn,
         "images_geotag_join": images_geotag,
+        "images_elevation_join": images_elev,
         "accuracy_stats": accuracy,
         "tile_info": tile_info_sql,
         "tile_inventory": inventory,

@@ -216,6 +216,17 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_lsh_topk_multi(spark, sf_dir):
+    """Multi-table LSH approximate top-k (the scale path's actual search
+    query, not just bucket assignment): candidates from ANY of the 4x8-plane
+    tables' bucket collisions, exact cosine rank on candidates only.
+    Deterministic fixed planes shared with the SQL oracle."""
+    emb = _emb(spark, sf_dir)
+    return ann.lsh_topk_multi(
+        emb, emb.where(F.col("vec_id") < 10), NEARDUP_TABLES, k=5
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Near-dup pairs through the multi-table LSH-bucketed path — NO cross
     join anywhere in the plan (asserted by scripts/explain_audit.py); the
@@ -566,6 +577,26 @@ SELECT q_id, CAST(rank AS INT) AS rank, n_id, cosine FROM r WHERE rank <= 5
         for t, planes in enumerate(NEARDUP_TABLES)
     )
     nd_join = " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(len(NEARDUP_TABLES)))
+    lsh_topk_multi_sql = (
+        "WITH "
+        + _SQL_EMB_D
+        + f""",
+bk AS (SELECT vec_id, v, nrm, {nd_buckets} FROM n),
+cand AS (
+  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+  FROM bk a JOIN bk b ON b.vec_id <> a.vec_id AND ({nd_join})
+  WHERE a.vec_id < 10
+),
+p AS (
+  SELECT c.q_id, c.n_id,
+    list_reduce(list_transform(list_zip(q.v, d.v), s -> s[1] * s[2]), (x, y) -> x + y)
+      / (q.nrm * d.nrm) AS cosine
+  FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n d ON d.vec_id = c.n_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank FROM p)
+SELECT q_id, CAST(rank AS INT) AS rank, n_id, cosine FROM r WHERE rank <= 5
+"""
+    )
     near_dup_sql = (
         "WITH "
         + _SQL_EMB_D
@@ -605,6 +636,7 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -
         "rolling_fingerprint": rolling_fp_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh_buckets": lsh_buckets_sql,
+        "ann_lsh_topk_multi": lsh_topk_multi_sql,
         "ann_ivf_topk": ivf_sql,
         "embedding_near_dup": near_dup_sql,
     }
@@ -626,6 +658,7 @@ def queries():
         "rolling_fingerprint": q_rolling_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk_multi": q_ann_lsh_topk_multi,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
     }
