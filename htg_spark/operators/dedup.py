@@ -222,38 +222,67 @@ def connected_components(
 
 
 def simhash_near_dup_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    sig_bits: int = 60,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: band the 60-bit signature into 4
-    15-bit chunks; by pigeonhole, any pair within hamming distance <= 3
-    shares at least one identical chunk, so a 4-way chunk-equality self-join
-    finds ALL such pairs; the exact hamming distance then filters.
+    """SimHash near-duplicate pairs via block banding (the Manku-style
+    hamming-distance index): split the signature into `n_blocks` blocks; a
+    pair within hamming distance h differs in at most h blocks, so it
+    agrees on SOME (n_blocks - h)-block combination — keying a self-join on
+    every such combination is pigeonhole-complete, and the exact hamming
+    distance then filters false candidates.
+
+    n_blocks is the CORPUS-SIZE knob (params.params_for): the default
+    h+1 blocks joins on single 15-bit blocks (right at ~10^3-10^6 docs);
+    larger corpora raise n_blocks so each join key concatenates
+    (n_blocks - h) blocks — e.g. 8 blocks at 10^9 rows gives 35-bit keys
+    (expected bucket occupancy << 1) at the cost of C(8,3) = 56 join
+    branches. Join count grows polynomially; key selectivity grows
+    exponentially — the right trade at scale.
 
     Output: (id_a, id_b, hamming) for pairs with hamming <= max_hamming.
-    At corpus scale this is the shuffle-on-15-bit-chunk plan — no cross
-    join anywhere.
+    No cross join anywhere at any parameterization.
     """
+    from itertools import combinations
+
+    h = max_hamming
+    b = n_blocks if n_blocks is not None else h + 1
+    if b <= h:
+        raise ValueError(f"n_blocks={b} must exceed max_hamming={h} (pigeonhole)")
+    base, rem = divmod(sig_bits, b)
+    widths = [base + (1 if i < rem else 0) for i in range(b)]
+    offs = [sum(widths[:i]) for i in range(b)]
     # exact integer bit extraction: a floor-divide through double would lose
     # the low bits of any signature >= 2^53 and silently drop pairs
-    chunks = sigs.select(
+    blocks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
         *[
-            F.shiftright(F.col("simhash"), 15 * c)
-            .bitwiseAND(F.lit((1 << 15) - 1))
-            .alias(f"ch{c}")
-            for c in range(4)
+            F.shiftright(F.col("simhash"), offs[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .alias(f"blk{i}")
+            for i in range(b)
         ],
     )
     pairs = None
-    for c in range(4):
-        a = chunks.select(
-            F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), F.col(f"ch{c}").alias("ck")
+    for combo in combinations(range(b), b - h):
+        # pack the combo's blocks into ONE long key (total <= sig_bits bits)
+        key = F.lit(0).cast("long")
+        shift = 0
+        for i in combo:
+            key = key + F.shiftleft(F.col(f"blk{i}").cast("long"), shift)
+            shift += widths[i]
+        kdf = blocks.select(id_col, "simhash", key.alias("ck"))
+        a = kdf.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "ck"
         )
-        b = chunks.select(
-            F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), F.col(f"ch{c}").alias("ck")
+        bb = kdf.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "ck"
         )
-        p = a.join(b, "ck").where(F.col("id_a") < F.col("id_b")).select(
+        p = a.join(bb, "ck").where(F.col("id_a") < F.col("id_b")).select(
             "id_a", "id_b", "sig_a", "sig_b"
         )
         pairs = p if pairs is None else pairs.unionByName(p)

@@ -1,0 +1,88 @@
+"""Corpus-size-adaptive parameters for the sketch / ANN operators.
+
+Every sketch operator in this package has a selectivity knob that must grow
+with corpus size N or its candidate join degenerates toward all-pairs:
+
+- sign-LSH planes: a bucket self-join produces ~N^2 / 2^planes candidate
+  rows per table, so planes must track log2(N). Recall is recovered by
+  OR-ing independent tables, never by removing planes.
+- SimHash blocks (Manku/Das/Garcia-Molina-style block banding): a pair
+  within hamming distance h shares at least b-h of b signature blocks, so
+  keying on every (b-h)-block combination is pigeonhole-complete. The
+  effective key width is (b-h) * (sig_bits/b) bits — growing b widens the
+  key (more selective buckets) at the cost of C(b, h) join branches.
+- IVF centroids: classic sqrt(N) rule for balancing list length against
+  number of lists; nprobe ~ sqrt(centroids) keeps recall at a few percent
+  of the corpus scanned.
+
+params_for(n_rows) centralizes those rules. At the driver-fixture scale
+(n ~= 10^3) it returns exactly the constants the oracle queries pin
+(pipeline_queries derives its module constants from it), so tuning the
+rules can never silently drift the correctness gate.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PipelineParams:
+    n_rows: int
+    # sign-LSH (single-table top-k buckets, ann.lsh_bucket_expr)
+    lsh_planes: int
+    # multi-table LSH (near-dup + multi-table top-k)
+    neardup_planes: int
+    neardup_tables: int
+    # SimHash block banding (dedup.simhash_near_dup_pairs)
+    simhash_bits: int
+    simhash_blocks: int
+    simhash_key_bits: int  # (blocks - max_hamming) * floor(bits / blocks)
+    # IVF (ann.ivf_topk)
+    ivf_centroids: int
+    ivf_nprobe: int
+    # MinHash banding (dedup.minhash_signatures / lsh_candidate_pairs)
+    minhash_k: int
+    band_rows: int
+
+
+def _clamp(v: int, lo: int, hi: int) -> int:
+    return max(lo, min(hi, v))
+
+
+def simhash_blocks_for(n_rows: int, max_hamming: int = 3, sig_bits: int = 60) -> int:
+    """Smallest block count b > max_hamming whose (b-h)-block key reaches
+    ~log2(N)+5 bits (expected bucket size << 1 per key), capped so every
+    block keeps >= 4 bits. At n~10^3 this is b = h+1 = 4 — the plain
+    one-block-per-band scheme the fixture oracles pin."""
+    want = min(int(math.ceil(math.log2(max(n_rows, 2)))) + 5, (3 * sig_bits) // 4)
+    b = max_hamming + 1
+    while (b - max_hamming) * (sig_bits // b) < want and sig_bits // (b + 1) >= 4:
+        b += 1
+    return b
+
+
+def params_for(n_rows: int, max_hamming: int = 3) -> PipelineParams:
+    n = max(int(n_rows), 2)
+    lg = math.log2(n)
+    sig_bits = 60
+    blocks = simhash_blocks_for(n, max_hamming, sig_bits)
+    centroids = _clamp(1 << round(math.log2(max(math.sqrt(n) / 2.0, 2.0))), 16, 65536)
+    return PipelineParams(
+        n_rows=n,
+        # ~N per-table bucket occupancy of 1: planes ~= log2(N); 16 floor
+        # keeps fixture behavior, 28 cap bounds plan size (add tables past it)
+        lsh_planes=_clamp(int(math.ceil(lg)), 16, 28),
+        neardup_planes=_clamp(int(math.floor(lg)) - 2, 8, 16),
+        neardup_tables=4,
+        simhash_bits=sig_bits,
+        simhash_blocks=blocks,
+        simhash_key_bits=(blocks - max_hamming) * (sig_bits // blocks),
+        ivf_centroids=centroids,
+        ivf_nprobe=max(2, round(math.sqrt(centroids) / 2.0)),
+        # 2x2 banding (threshold ~0.7) up to 10^6 docs; 8 hashes / 2-row
+        # bands past that sharpen the candidate threshold curve
+        minhash_k=4 if n < 10**6 else 8,
+        band_rows=2,
+    )

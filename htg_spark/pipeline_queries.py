@@ -16,12 +16,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import ann, dedup, text
+from .operators.params import params_for
 
 EMB_DIM = 64
-PLANES = ann.hyperplanes(EMB_DIM, ann.N_PLANES, seed=42)
-CENTROIDS = ann.ivf_centroids(EMB_DIM, ann.N_CENTROIDS, seed=7)
-NEARDUP_TABLES = ann.hyperplane_tables(EMB_DIM, n_planes=8, n_tables=4, seed=42)
-IVF_NPROBE = 2
+# Corpus-size-adaptive sizing: params_for at the driver fixture scale
+# (documents/embeddings ~ 10^3 rows) returns exactly the constants the
+# DuckDB oracles pin, so the sizing rules and the correctness gate can
+# never silently drift apart (test_pipeline_ops pins both ends).
+P = params_for(1000)
+PLANES = ann.hyperplanes(EMB_DIM, P.lsh_planes, seed=42)
+CENTROIDS = ann.ivf_centroids(EMB_DIM, P.ivf_centroids, seed=7)
+NEARDUP_TABLES = ann.hyperplane_tables(
+    EMB_DIM, n_planes=P.neardup_planes, n_tables=P.neardup_tables, seed=42
+)
+IVF_NPROBE = P.ivf_nprobe
 
 
 def _docs(spark, sf_dir):
@@ -135,11 +143,18 @@ def q_simhash(spark, sf_dir):
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash hamming-radius dedup over the near-dup corpus: banded 15-bit
-    chunk join (pigeonhole-complete for hamming <= 3)."""
+    """SimHash hamming-radius dedup over the near-dup corpus: Manku-style
+    block banding (pigeonhole-complete for hamming <= 3); block count comes
+    from params_for (4 single-block bands at fixture scale)."""
     corpus = neardup_corpus(_docs(spark, sf_dir))
     sigs = dedup.simhash(corpus, id_col="cid")
-    return dedup.simhash_near_dup_pairs(sigs, id_col="cid", max_hamming=3)
+    return dedup.simhash_near_dup_pairs(
+        sigs,
+        id_col="cid",
+        max_hamming=3,
+        n_blocks=P.simhash_blocks,
+        sig_bits=P.simhash_bits,
+    )
 
 
 # --- text queries ------------------------------------------------------------------

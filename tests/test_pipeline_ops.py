@@ -115,6 +115,60 @@ def test_simhash_chunks_exact_above_2_53(spark):
     assert set(pairset) == brute
 
 
+def test_simhash_block_count_is_a_pure_selectivity_knob(docs):
+    """Raising n_blocks (the corpus-size knob) must never change the result
+    set — only candidate-join selectivity. Same pairs at b=4 (fixture
+    default), b=6 (~10^6 rows), b=8 (~10^9 rows)."""
+    sigs = dedup.simhash(docs)
+    base = dedup.simhash_near_dup_pairs(sigs, max_hamming=3).toPandas()
+    ref = set(zip(base.id_a, base.id_b, base.hamming))
+    for b in (6, 8):
+        out = dedup.simhash_near_dup_pairs(sigs, max_hamming=3, n_blocks=b).toPandas()
+        assert set(zip(out.id_a, out.id_b, out.hamming)) == ref, f"n_blocks={b}"
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(sigs, max_hamming=3, n_blocks=3)
+
+
+def test_params_for_pins_scale_points():
+    """The sizing rules at the corpus sizes a user would actually hit.
+    Fixture scale must reproduce the oracle-pinned constants exactly;
+    larger scales must grow every selectivity knob monotonically."""
+    from htg_spark.operators.params import params_for
+
+    p3 = params_for(10**3)
+    # fixture scale == the constants every DuckDB oracle pins
+    assert p3.lsh_planes == ann.N_PLANES == 16
+    assert p3.ivf_centroids == ann.N_CENTROIDS == 16 and p3.ivf_nprobe == 2
+    assert p3.minhash_k == dedup.N_MINHASH == 4 and p3.band_rows == 2
+    assert (p3.neardup_planes, p3.neardup_tables) == (8, 4)
+    assert p3.simhash_blocks == 4 and p3.simhash_key_bits == 15
+
+    p6, p9, p12 = params_for(10**6), params_for(10**9), params_for(10**12)
+    assert (p6.lsh_planes, p9.lsh_planes, p12.lsh_planes) == (20, 28, 28)
+    assert (p6.simhash_blocks, p9.simhash_blocks, p12.simhash_blocks) == (6, 8, 12)
+    # effective join-key width tracks log2(N)+5 (bucket occupancy << 1)
+    assert (p6.simhash_key_bits, p9.simhash_key_bits, p12.simhash_key_bits) == (30, 35, 45)
+    assert (p6.ivf_centroids, p9.ivf_centroids, p12.ivf_centroids) == (512, 16384, 65536)
+    assert p6.ivf_nprobe < p9.ivf_nprobe <= p12.ivf_nprobe
+    assert p6.minhash_k == p9.minhash_k == 8
+    # every block keeps >= 4 bits at any scale (join keys stay meaningful)
+    for n in (10**3, 10**6, 10**9, 10**12, 10**15):
+        p = params_for(n)
+        assert p.simhash_bits // p.simhash_blocks >= 4
+
+
+def test_fixture_params_match_pipeline_constants():
+    """pipeline_queries derives its module constants from params_for(1000);
+    if the sizing rules drift, this fails before the driver oracle does."""
+    from htg_spark import pipeline_queries as pq
+
+    assert len(pq.PLANES) == pq.P.lsh_planes
+    assert len(pq.CENTROIDS) == pq.P.ivf_centroids
+    assert len(pq.NEARDUP_TABLES) == pq.P.neardup_tables
+    assert len(pq.NEARDUP_TABLES[0]) == pq.P.neardup_planes
+    assert pq.IVF_NPROBE == pq.P.ivf_nprobe
+
+
 def test_token_stats_and_quality(docs):
     st = text.token_stats(docs).orderBy("doc_id").toPandas()
     assert st.loc[0, "n_tokens"] == 9
