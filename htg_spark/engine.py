@@ -681,24 +681,19 @@ class ElevationEngine:
 
     # -- cogroup (shuffle, salted) strategy -------------------------------------
 
-    def _join_cogroup(
-        self,
-        pts: DataFrame,
-        mode: str,
-        knn: bool,
-        id_col: str,
-        n_salts: int,
-        blob_source: str = "inline",
-    ) -> DataFrame:
-        """Salted cogroup join with ADAPTIVE skew salting: a histogram
-        pre-pass counts points per tile cell, and each cell gets
+    def _salted_inputs(
+        self, pts: DataFrame, id_col: str, n_salts: int, blob_source: str = "inline"
+    ):
+        """Adaptive-salt shuffle inputs for the cogroup join: returns
+        (narrow, cat) where `narrow` is (_rid, lat, lon, tile_lat, tile_lon,
+        salt) and `cat` is the catalog replicated k_salt(cell) times per
+        cell. The histogram pre-pass counts points per 1-degree cell
+        (bounded by 64,800 cells — safe to collect) and gives each cell
         k(cell) = clamp(ceil(count / target_rows_per_salt), 1, n_salts)
-        salt buckets. Cold tiles cross the shuffle once; only hot-cluster
-        tiles fan out — at 10^12 rows this is the difference between
-        replicating the whole catalog n_salts times and replicating just the
-        skewed cells (SURVEY.md §4 'Skew handling')."""
-        if id_col not in pts.columns:
-            raise ValueError(f"cogroup strategy needs a unique id column {id_col!r}")
+        salt buckets, so only hot cells replicate their tile blob and cold
+        cells cross the shuffle once. Exposed separately from _join_cogroup
+        so the skew-stress test can assert the group-size distribution the
+        shuffle actually partitions on."""
         narrow = pts.select(
             F.col(id_col).alias("_rid"),
             F.col("lat"),
@@ -706,8 +701,6 @@ class ElevationEngine:
             cells.tile_lat(F.col("lat")).alias("tile_lat"),
             cells.tile_lon(F.col("lon")).alias("tile_lon"),
         )
-        # histogram pre-pass (narrow columns only; result is bounded by the
-        # number of distinct 1-degree cells, <= 64800 — safe to collect)
         hist = narrow.groupBy("tile_lat", "tile_lon").count().collect()
         total_rows = sum(r["count"] for r in hist) or 1
         slots = pts.sparkSession.sparkContext.defaultParallelism
@@ -739,6 +732,27 @@ class ElevationEngine:
                 F.explode(F.sequence(F.lit(0), F.col("k_salt") - 1)).alias("salt"),
             )
         )
+        return narrow, cat
+
+    def _join_cogroup(
+        self,
+        pts: DataFrame,
+        mode: str,
+        knn: bool,
+        id_col: str,
+        n_salts: int,
+        blob_source: str = "inline",
+    ) -> DataFrame:
+        """Salted cogroup join with ADAPTIVE skew salting: a histogram
+        pre-pass counts points per tile cell, and each cell gets
+        k(cell) = clamp(ceil(count / target_rows_per_salt), 1, n_salts)
+        salt buckets. Cold tiles cross the shuffle once; only hot-cluster
+        tiles fan out — at 10^12 rows this is the difference between
+        replicating the whole catalog n_salts times and replicating just the
+        skewed cells (SURVEY.md §4 'Skew handling')."""
+        if id_col not in pts.columns:
+            raise ValueError(f"cogroup strategy needs a unique id column {id_col!r}")
+        narrow, cat = self._salted_inputs(pts, id_col, n_salts, blob_source)
 
         id_field = pts.schema[id_col].dataType
         out_schema = T.StructType([T.StructField("_rid", id_field)])

@@ -298,6 +298,65 @@ def test_knn_second_pass_runs_pass1_once(spark, engine, points_pdf):
     assert plan.count("FlatMapCoGroupsInPandas") == 1
 
 
+def test_cogroup_adaptive_salting_spreads_hot_tile(spark, engine, grids):
+    """Skew stress (SURVEY.md §4): 90% of points land in ONE 1-degree cell.
+    The adaptive salt pre-pass must fan that cell out across n_salts shuffle
+    groups of near-equal size (max/median <= 2 at n_salts=8), keep cold
+    cells at one un-replicated group each, and replicate the hot tile's
+    catalog blob exactly n_salts times — and the salted result must still
+    equal the broadcast join row-for-row."""
+    rng = np.random.default_rng(7)
+    n_hot, n_cold = 9000, 1000
+    lat = np.concatenate(
+        [35.0 + rng.random(n_hot), 33.0 + rng.random(n_cold)]
+    )
+    lon = np.concatenate(
+        [138.0 + rng.random(n_hot), -97.0 + rng.random(n_cold)]
+    )
+    pdf = pd.DataFrame(
+        {"image_id": [f"s{i:05d}" for i in range(n_hot + n_cold)], "lat": lat, "lon": lon}
+    )
+    df = spark.createDataFrame(pdf)
+
+    narrow, cat = engine._salted_inputs(df, "image_id", n_salts=8)
+    groups = (
+        narrow.groupBy("tile_lat", "tile_lon", "salt").count().toPandas()
+    )
+    hot = groups[(groups.tile_lat == 35) & (groups.tile_lon == 138)]
+    cold = groups[(groups.tile_lat == 33) & (groups.tile_lon == -97)]
+    # hot cell fans out to all 8 salts; cold cell crosses the shuffle once
+    assert sorted(hot["salt"]) == list(range(8))
+    assert cold["salt"].tolist() == [0]
+    # xxhash64 spreads the hot cell evenly: max/median rows per group <= 2
+    assert hot["count"].max() / hot["count"].median() <= 2.0
+    # no group exceeds 2x the per-slot target the pre-pass aimed for
+    slots = spark.sparkContext.defaultParallelism
+    target = (n_hot + n_cold) / (slots * 2)
+    assert groups["count"].max() <= 2 * target
+    # catalog replication is hot-cell-only: 8 copies of the hot blob, 1 of
+    # every other tile (cold cells never pay the replication)
+    cat_counts = cat.groupBy("tile_lat", "tile_lon").count().toPandas()
+    hot_cat = cat_counts[(cat_counts.tile_lat == 35) & (cat_counts.tile_lon == 138)]
+    assert hot_cat["count"].tolist() == [8]
+    assert (cat_counts[~((cat_counts.tile_lat == 35) & (cat_counts.tile_lon == 138))]["count"] == 1).all()
+
+    a = (
+        engine.elevation_join(df, mode="nearest", strategy="broadcast")
+        .orderBy("image_id")
+        .toPandas()
+    )
+    b = (
+        engine.elevation_join(df, mode="nearest", strategy="cogroup", n_salts=8)
+        .orderBy("image_id")
+        .toPandas()
+    )
+    av = a["elevation"].to_numpy(dtype="float64", na_value=np.nan)
+    bv = b["elevation"].to_numpy(dtype="float64", na_value=np.nan)
+    assert np.array_equal(np.isnan(av), np.isnan(bv))
+    m = ~np.isnan(av)
+    assert np.array_equal(av[m], bv[m])
+
+
 def test_executor_cache_token_lru():
     """clear_cache() rotates the engine token; long-lived Python workers
     must EVICT stale tokens' decoded grids, not orphan them forever."""
