@@ -50,19 +50,22 @@ def main():
     # report the min — steady-state throughput, not the noise draw
     n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
 
-    times, rows, rps = {}, {}, {}
-    total = 0.0
-    for name, kw in queries.items():
-        best, n = None, 0
-        for _ in range(n_trials):
-            t0 = time.perf_counter()
-            n, chk, found = run_join(eng, pts, **kw)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-        rows[name] = n
-        rps[name] = round(n / best)
-        total += best
+    def time_joins(points, trials):
+        t, r, rp = {}, {}, {}
+        for name, kw in queries.items():
+            best, n = None, 0
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                n, chk, found = run_join(eng, points, **kw)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            t[name] = round(best, 3)
+            r[name] = n
+            rp[name] = round(n / best)
+        return t, r, rp
+
+    times, rows, rps = time_joins(pts, n_trials)
+    total = sum(times.values())
 
     # pipeline ops over the driver tables at this sf (dedup / ANN / text)
     from pyspark.sql import functions as F
@@ -90,6 +93,30 @@ def main():
         rps[name] = round(n / best) if best > 0 else 0
         total += best
 
+    # sf1 section: the same five geospatial queries at 10x the point volume
+    # (replicate scaled so input rows = one order of magnitude up) — catches
+    # constant factors the sf0.1 numbers hide. One trial each (the section
+    # exists to compare rows/s across scales, not to re-measure host noise);
+    # opt out with SPARK_GRAFT_SF1=0.
+    sf1 = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        pts1 = bench_points(spark, sf_dir, replicate=replicate * 10).persist()
+        n_rows1 = pts1.count()
+        run_join(eng, pts1, mode="nearest", strategy="broadcast")  # warm
+        t1, r1, rp1 = time_joins(pts1, trials=1)
+        pts1.unpersist()
+        sf1 = {
+            "replicate": replicate * 10,
+            "input_rows": n_rows1,
+            "queries": t1,
+            "rows": r1,
+            "rows_per_sec": rp1,
+            # steady-state check: rows/s at 10x volume vs the sf0.1 rate
+            "rps_ratio_vs_sf": {
+                k: round(rp1[k] / rps[k], 3) for k in rp1 if rps.get(k)
+            },
+        }
+
     print(
         json.dumps(
             {
@@ -104,6 +131,7 @@ def main():
                 "cpus": cpus,
                 "replicate": replicate,
                 "warmup_sec": warmup_sec,
+                "sf1": sf1,
             }
         )
     )
