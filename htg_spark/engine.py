@@ -15,7 +15,7 @@ once, apply the kernel, reassemble in input order) — as Spark plan shapes:
   narrow ``(row id, lat, lon, tile key, salt)`` and shuffled by
   ``(tile_lat, tile_lon, salt)``; the catalog side is exploded x n_salts so
   each hot tile's points spread over ``n_salts`` tasks while each tile blob
-  crosses the shuffle at most ``n_salts`` times; a grouped ``applyInPandas``
+  crosses the shuffle at most ``n_salts`` times; a grouped ``applyInArrow``
   cogroup applies the kernel per (tile, salt) bucket; the multi-MB image
   payload NEVER rides the tile shuffle — it is joined back by row id at the
   end (plan-shape decision per SURVEY.md §4).
@@ -44,7 +44,6 @@ from collections import OrderedDict
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -281,24 +280,42 @@ def kernel_batch(
     }
 
 
-def _result_pdf(pdf: pd.DataFrame, res: dict, mode: str) -> pd.DataFrame:
-    out = pdf.copy()
-    out["lat"] = res["lat"]
-    out["lon"] = res["lon"]
-    out["tile_lat"] = res["tile_lat"]
-    out["tile_lon"] = res["tile_lon"]
-    out["in_coverage"] = res["in_coverage"]
-    out["tile_found"] = res["tile_found"]
-    out["knn_used"] = res["knn_used"]
+def _result_table(rid, res: dict, mode: str):
+    """Assemble the kernel's NumPy outputs straight into a pyarrow.Table
+    for the cogroup hot path. Skipping a per-group pandas DataFrame
+    round-trip (construct + block consolidation + Arrow re-conversion per
+    GROUP, and groups are small under salting) keeps the grouped kernel
+    stage's constant cost at the Arrow floor."""
+    import pyarrow as pa
+
     e = res["elevation"]
+    nan_mask = np.isnan(e)
     if mode == "bilinear":
-        out["elevation"] = e  # float64, NaN -> NULL via Arrow
+        elev = pa.array(e, type=pa.float64(), from_pandas=True)  # NaN -> null
     else:
-        out["elevation"] = pd.array(
-            np.where(np.isnan(e), 0, e).astype(np.int64), dtype="Int32"
-        )
-        out.loc[np.isnan(e), "elevation"] = pd.NA
-    return out
+        elev = pa.array(np.where(nan_mask, 0, e).astype(np.int32), mask=nan_mask)
+    arrays = [
+        rid,
+        pa.array(res["lat"], type=pa.float64()),
+        pa.array(res["lon"], type=pa.float64()),
+        pa.array(np.asarray(res["tile_lat"], dtype=np.int32)),
+        pa.array(np.asarray(res["tile_lon"], dtype=np.int32)),
+        pa.array(np.asarray(res["in_coverage"], dtype=bool)),
+        pa.array(np.asarray(res["tile_found"], dtype=bool)),
+        pa.array(np.asarray(res["knn_used"], dtype=bool)),
+        elev,
+    ]
+    names = ["_rid"] + [n for n, _t in _APPENDED] + ["elevation"]
+    return pa.Table.from_arrays(arrays, names=names)
+
+
+def _group_grid(rtbl, blob_source: str):
+    """Decode the (single) tile blob of a cogroup's catalog side, or None."""
+    if rtbl.num_rows == 0:
+        return None
+    if blob_source == "inline":
+        return hgt.decode_tile(rtbl.column("data")[0].as_py())
+    return hgt.decode_tile(_read_blob_from_path(str(rtbl.column("path")[0].as_py())))
 
 
 class ElevationEngine:
@@ -760,28 +777,28 @@ class ElevationEngine:
             out_schema = out_schema.add(name, typ)
         out_schema = out_schema.add("elevation", _elev_type(mode))
 
-        def apply(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-            if lpdf.empty:
-                return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-            if not len(rpdf):
-                grid = None
-            elif blob_source == "inline":
-                grid = hgt.decode_tile(bytes(rpdf["data"].iloc[0]))
-            else:
-                grid = hgt.decode_tile(_read_blob_from_path(str(rpdf["path"].iloc[0])))
-
+        def apply(key, ltbl, rtbl):
+            # Arrow-native grouped kernel: to_numpy on the Arrow columns is
+            # zero-copy for float64, and the result goes straight back into
+            # Arrow arrays — no per-group pandas DataFrame in either
+            # direction (the per-group constant cost is what dominates this
+            # stage once salting makes groups small).
+            lat = ltbl.column("lat").to_numpy(zero_copy_only=False)
+            lon = ltbl.column("lon").to_numpy(zero_copy_only=False)
+            grid = None if ltbl.num_rows == 0 else _group_grid(rtbl, blob_source)
+            klat, klon = key[0].as_py(), key[1].as_py()
             res = kernel_batch(
-                lpdf["lat"].to_numpy(),
-                lpdf["lon"].to_numpy(),
-                (lambda k, _g=grid, _key=key: _g if (k[0], k[1]) == (key[0], key[1]) else None),
+                lat,
+                lon,
+                (lambda k, _g=grid: _g if (k[0], k[1]) == (klat, klon) else None),
                 mode,
             )
-            return _result_pdf(lpdf[["_rid"]], res, mode)
+            return _result_table(ltbl.column("_rid"), res, mode)
 
         joined = (
             narrow.groupBy("tile_lat", "tile_lon", "salt")
             .cogroup(cat.groupBy("tile_lat", "tile_lon", "salt"))
-            .applyInPandas(apply, schema=out_schema)
+            .applyInArrow(apply, schema=out_schema)
         )
         if knn:
             joined = self._knn_second_pass(joined, mode, out_schema, blob_source)
@@ -859,19 +876,12 @@ class ElevationEngine:
             F.broadcast(keys), ["tile_lat", "tile_lon"], "left_semi"
         ).select("tile_lat", "tile_lon", blob_col)
 
-        def apply_knn(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-            if lpdf.empty:
-                return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-            if not len(rpdf):
-                grid = None
-            elif blob_source == "inline":
-                grid = hgt.decode_tile(bytes(rpdf["data"].iloc[0]))
-            else:
-                grid = hgt.decode_tile(_read_blob_from_path(str(rpdf["path"].iloc[0])))
-            lat = lpdf["lat"].to_numpy()
-            lon = lpdf["lon"].to_numpy()
-            tl, tn = int(key[0]), int(key[1])
-            n = len(lpdf)
+        def apply_knn(key, ltbl, rtbl):
+            grid = None if ltbl.num_rows == 0 else _group_grid(rtbl, blob_source)
+            lat = ltbl.column("lat").to_numpy(zero_copy_only=False)
+            lon = ltbl.column("lon").to_numpy(zero_copy_only=False)
+            tl, tn = int(key[0].as_py()), int(key[1].as_py())
+            n = ltbl.num_rows
             elev = np.full(n, np.nan, dtype=np.float64)
             if grid is not None:
                 # clamp coordinates into the assigned tile -> frac in [0, 1]
@@ -898,11 +908,11 @@ class ElevationEngine:
                 "knn_used": np.ones(n, dtype=bool),
                 "elevation": elev,
             }
-            return _result_pdf(lpdf[["_rid"]], res, mode)
+            return _result_table(ltbl.column("_rid"), res, mode)
 
         second = (
             assigned.groupBy("tile_lat", "tile_lon")
             .cogroup(cat.groupBy("tile_lat", "tile_lon"))
-            .applyInPandas(apply_knn, schema=out_schema)
+            .applyInArrow(apply_knn, schema=out_schema)
         )
         return rest.unionByName(second)

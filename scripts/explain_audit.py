@@ -50,8 +50,9 @@ def main():
             "Salted cogroup join (scale path)",
             "Expected: points side exchanges ONLY narrow columns (id, lat, lon, "
             "tile key, salt); catalog side exchanges each blob at most n_salts "
-            "times; FlatMapCoGroupsInPandas applies the kernel; payload re-joins "
-            "by id afterwards.",
+            "times; FlatMapCoGroupsInArrow applies the kernel (Arrow-native, "
+            "no per-group pandas round-trip); payload re-joins by id "
+            "afterwards.",
             plan_of(cogroup),
         )
     )
@@ -91,7 +92,7 @@ def main():
             "Cogroup join with kNN fallback (two-pass)",
             "Expected: pass 1 is a SHARED checkpointed RDD (Scan ExistingRDD "
             "— materialized once before the rest/miss split), so exactly ONE "
-            "FlatMapCoGroupsInPandas appears: pass 2, keyed by the ASSIGNED "
+            "FlatMapCoGroupsInArrow appears: pass 2, keyed by the ASSIGNED "
             "tile over the missing remainder, catalog side semi-join-pruned "
             "before any blob moves. Still no cartesian product.",
             knn_plan,
@@ -103,7 +104,7 @@ def main():
     # formatted dump prints every node twice (tree line + details block).
     import re as _re2
 
-    n_cg = len(_re2.findall(r"\(\d+\) FlatMapCoGroupsInPandas", knn_plan))
+    n_cg = len(_re2.findall(r"\(\d+\) FlatMapCoGroupsIn(?:Pandas|Arrow)", knn_plan))
     if n_cg != 1 or "Scan ExistingRDD" not in knn_plan:
         print(
             f"FATAL: kNN plan has {n_cg} cogroup nodes (expected 1 + a "

@@ -277,25 +277,25 @@ def test_broadcast_byte_gate(spark, grids, points_pdf):
     eng = ElevationEngine(spark, grids=grids)
     assert eng.catalog_bytes() == len(grids) * 2 * 1201 * 1201
     plan = eng.elevation_join(df, strategy="auto")._jdf.queryExecution().toString()
-    assert "MapInArrow" in plan and "FlatMapCoGroupsInPandas" not in plan
+    assert "MapInArrow" in plan and "FlatMapCoGroupsIn" not in plan
 
     big = ElevationEngine(spark, grids=grids)
     big.BROADCAST_MAX_BYTES = 1000  # few tiles, "huge" relative to the gate
     plan = big.elevation_join(df, strategy="auto")._jdf.queryExecution().toString()
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "FlatMapCoGroupsInArrow" in plan
     assert big._bcast is None  # blobs never collected to the driver
 
 
 def test_knn_second_pass_runs_pass1_once(spark, engine, points_pdf):
     """The cogroup+kNN plan must materialize pass 1 before the rest/miss
-    split: exactly ONE FlatMapCoGroupsInPandas in the final plan (pass 2) —
+    split: exactly ONE FlatMapCoGroupsInArrow in the final plan (pass 2) —
     pass 1 is a shared checkpointed RDD, not two copies of the subtree."""
     df = spark.createDataFrame(points_pdf)
     out = engine.elevation_join(
         df, mode="nearest", strategy="cogroup", knn_fallback=True, n_salts=4
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert plan.count("FlatMapCoGroupsInArrow") == 1
 
 
 def test_cogroup_adaptive_salting_spreads_hot_tile(spark, engine, grids):
