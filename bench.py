@@ -95,15 +95,16 @@ def main():
 
     # sf1 section: the same five geospatial queries at 10x the point volume
     # (replicate scaled so input rows = one order of magnitude up) — catches
-    # constant factors the sf0.1 numbers hide. One trial each (the section
-    # exists to compare rows/s across scales, not to re-measure host noise);
-    # opt out with SPARK_GRAFT_SF1=0.
+    # constant factors the sf0.1 numbers hide. Same min-of-N protocol as the
+    # sf0.1 block (the host-noise rule applies to ANY cross-config ratio,
+    # CLAUDE.md); opt out with SPARK_GRAFT_SF1=0.
     sf1 = None
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        sf1_trials = int(os.environ.get("SPARK_GRAFT_SF1_TRIALS", "2"))
         pts1 = bench_points(spark, sf_dir, replicate=replicate * 10).persist()
         n_rows1 = pts1.count()
         run_join(eng, pts1, mode="nearest", strategy="broadcast")  # warm
-        t1, r1, rp1 = time_joins(pts1, trials=1)
+        t1, r1, rp1 = time_joins(pts1, trials=sf1_trials)
         pts1.unpersist()
         sf1 = {
             "replicate": replicate * 10,

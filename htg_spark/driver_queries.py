@@ -155,6 +155,34 @@ _SQL_NEAREST_ELEV = """
        THEN CAST((r + c) % 4000 AS INTEGER) ELSE NULL END
 """
 
+# bilinear closed form — the ONE copy of the bit-parity-critical corner CTE
+# and interpolation expression (tile.rs:277-281 float-op order, any-void ->
+# NULL); shared by the elevation_bilinear oracle here and the csv_interp
+# oracle in enrich_queries so the two can never desynchronize.
+_SQL_BILINEAR_RC = """
+rc AS (
+  SELECT *,
+    CAST(floor(rp) AS BIGINT) AS r0, CAST(floor(cp) AS BIGINT) AS c0,
+    LEAST(CAST(floor(rp) AS BIGINT) + 1, 1200) AS r1,
+    LEAST(CAST(floor(cp) AS BIGINT) + 1, 1200) AS c1,
+    rp - floor(rp) AS rw, cp - floor(cp) AS cw
+  FROM pos
+)
+"""
+
+_SQL_BILINEAR_ELEV = """
+  CASE WHEN in_coverage AND has_tile
+        AND ((r0 * 1201 + c0) % 97 <> 0) AND ((r0 * 1201 + c1) % 97 <> 0)
+        AND ((r1 * 1201 + c0) % 97 <> 0) AND ((r1 * 1201 + c1) % 97 <> 0)
+  THEN (CAST((r0 + c0) % 4000 AS DOUBLE)
+          + (CAST((r0 + c1) % 4000 AS DOUBLE) - CAST((r0 + c0) % 4000 AS DOUBLE)) * cw)
+       + ((CAST((r1 + c0) % 4000 AS DOUBLE)
+          + (CAST((r1 + c1) % 4000 AS DOUBLE) - CAST((r1 + c0) % 4000 AS DOUBLE)) * cw)
+         - (CAST((r0 + c0) % 4000 AS DOUBLE)
+          + (CAST((r0 + c1) % 4000 AS DOUBLE) - CAST((r0 + c0) % 4000 AS DOUBLE)) * cw)) * rw
+  ELSE NULL END
+"""
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -550,28 +578,9 @@ def oracle_sql() -> dict[str, str]:
     )
     bilinear = (
         _SQL_PTS
-        + """,
-rc AS (
-  SELECT *,
-    CAST(floor(rp) AS BIGINT) AS r0, CAST(floor(cp) AS BIGINT) AS c0,
-    LEAST(CAST(floor(rp) AS BIGINT) + 1, 1200) AS r1,
-    LEAST(CAST(floor(cp) AS BIGINT) + 1, 1200) AS c1,
-    rp - floor(rp) AS rw, cp - floor(cp) AS cw
-  FROM pos
-)
-SELECT event_id,
-  CASE WHEN in_coverage AND has_tile
-        AND ((r0 * 1201 + c0) % 97 <> 0) AND ((r0 * 1201 + c1) % 97 <> 0)
-        AND ((r1 * 1201 + c0) % 97 <> 0) AND ((r1 * 1201 + c1) % 97 <> 0)
-  THEN (CAST((r0 + c0) % 4000 AS DOUBLE)
-          + (CAST((r0 + c1) % 4000 AS DOUBLE) - CAST((r0 + c0) % 4000 AS DOUBLE)) * cw)
-       + ((CAST((r1 + c0) % 4000 AS DOUBLE)
-          + (CAST((r1 + c1) % 4000 AS DOUBLE) - CAST((r1 + c0) % 4000 AS DOUBLE)) * cw)
-         - (CAST((r0 + c0) % 4000 AS DOUBLE)
-          + (CAST((r0 + c1) % 4000 AS DOUBLE) - CAST((r0 + c0) % 4000 AS DOUBLE)) * cw)) * rw
-  ELSE NULL END AS elevation
-FROM rc
-"""
+        + ", "
+        + _SQL_BILINEAR_RC
+        + f"SELECT event_id, {_SQL_BILINEAR_ELEV} AS elevation FROM rc"
     )
     tile_assignment = (
         _SQL_PTS

@@ -358,6 +358,13 @@ class ElevationEngine:
         self._bcast = None
         # lazily measured ONCE (catalog is immutable): (n_tiles, total_bytes)
         self._catalog_stats: tuple[int, int] | None = None
+        # serializes the lazy one-time catalog work (blob collect+broadcast,
+        # stats agg) against preload(blocking=False)'s background thread —
+        # without it two threads can each collect the full raw-blob catalog
+        # to the driver (2x transient memory) and leak one broadcast
+        import threading
+
+        self._prep_lock = threading.Lock()
 
     # -- srtm_rs-parity point API (SURVEY.md §2.8; htg-python/src/lib.rs) ----
     #
@@ -434,9 +441,13 @@ class ElevationEngine:
             from pyspark import InheritableThread
 
             def _bg():
-                self._preload_stats = self.preload(bounds, blocking=True)
+                try:
+                    self._preload_stats = self.preload(bounds, blocking=True)
+                except BaseException as e:  # surfaced by wait_preload
+                    self._preload_error = e
 
             self._preload_stats = None
+            self._preload_error = None
             t = InheritableThread(target=_bg, daemon=True)
             self._preload_thread = t
             t.start()
@@ -462,10 +473,17 @@ class ElevationEngine:
 
     def wait_preload(self, timeout: float | None = None):
         """Join a preload(blocking=False) thread; returns its stats dict
-        (None if no background preload ran or it has not finished)."""
+        (None if no background preload ran or it has not finished). An
+        exception raised inside the background thread re-raises HERE — the
+        non-blocking variant must not silently lose the error signal its
+        blocking twin would have delivered."""
         t = getattr(self, "_preload_thread", None)
         if t is not None:
             t.join(timeout)
+        err = getattr(self, "_preload_error", None)
+        if err is not None and not (t is not None and t.is_alive()):
+            self._preload_error = None
+            raise err
         return getattr(self, "_preload_stats", None)
 
     def cache_stats(self):
@@ -517,11 +535,13 @@ class ElevationEngine:
         """(n_tiles, total_blob_bytes) in ONE cached aggregation — a Spark
         action must not sit in the hot path of every repeated join."""
         if self._catalog_stats is None:
-            row = self.catalog.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.length("data")).alias("nbytes"),
-            ).collect()[0]
-            self._catalog_stats = (int(row["n"]), int(row["nbytes"] or 0))
+            with self._prep_lock:
+                if self._catalog_stats is None:
+                    row = self.catalog.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.length("data")).alias("nbytes"),
+                    ).collect()[0]
+                    self._catalog_stats = (int(row["n"]), int(row["nbytes"] or 0))
         return self._catalog_stats
 
     def n_tiles(self) -> int:
@@ -536,9 +556,11 @@ class ElevationEngine:
 
     def _broadcast_blobs(self):
         if self._bcast is None:
-            rows = self.catalog.select("tile_lat", "tile_lon", "data").collect()
-            blobs = {(r.tile_lat, r.tile_lon): bytes(r.data) for r in rows}
-            self._bcast = self.spark.sparkContext.broadcast(blobs)
+            with self._prep_lock:
+                if self._bcast is None:
+                    rows = self.catalog.select("tile_lat", "tile_lon", "data").collect()
+                    blobs = {(r.tile_lat, r.tile_lon): bytes(r.data) for r in rows}
+                    self._bcast = self.spark.sparkContext.broadcast(blobs)
         return self._bcast
 
     def tile_centers(self) -> np.ndarray:

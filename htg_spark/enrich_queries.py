@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from .csv_pipeline import enrich_csv_df
 from .driver_queries import (
+    _SQL_BILINEAR_ELEV,
+    _SQL_BILINEAR_RC,
     _SQL_NEAREST_ELEV,
     _SQL_PTS,
     _SQL_ROUND_RC,
@@ -168,33 +170,17 @@ SELECT event_id,
 FROM rc
 """
     )
-    # bilinear closed form (same as driver_queries' bilinear oracle) then
-    # {:.2} formatting; printf('%.2f') is correctly-rounded in DuckDB (fmt)
-    # exactly like Python's %.2f (PyOS_double_to_string)
+    # bilinear closed form (the SHARED _SQL_BILINEAR_* fragments — one copy
+    # of the bit-parity-critical expression) then {:.2} formatting;
+    # printf('%.2f') is correctly-rounded in DuckDB (fmt) exactly like
+    # Python's %.2f (PyOS_double_to_string)
     csv_interp = (
         _SQL_PTS
-        + """,
-rc AS (
-  SELECT *,
-    CAST(floor(rp) AS BIGINT) AS r0, CAST(floor(cp) AS BIGINT) AS c0,
-    LEAST(CAST(floor(rp) AS BIGINT) + 1, 1200) AS r1,
-    LEAST(CAST(floor(cp) AS BIGINT) + 1, 1200) AS c1,
-    rp - floor(rp) AS rw, cp - floor(cp) AS cw
-  FROM pos
-),
+        + ", "
+        + _SQL_BILINEAR_RC
+        + f""",
 e AS (
-  SELECT event_id,
-    CASE WHEN in_coverage AND has_tile
-          AND ((r0 * 1201 + c0) % 97 <> 0) AND ((r0 * 1201 + c1) % 97 <> 0)
-          AND ((r1 * 1201 + c0) % 97 <> 0) AND ((r1 * 1201 + c1) % 97 <> 0)
-    THEN (CAST((r0 + c0) % 4000 AS DOUBLE)
-            + (CAST((r0 + c1) % 4000 AS DOUBLE) - CAST((r0 + c0) % 4000 AS DOUBLE)) * cw)
-         + ((CAST((r1 + c0) % 4000 AS DOUBLE)
-            + (CAST((r1 + c1) % 4000 AS DOUBLE) - CAST((r1 + c0) % 4000 AS DOUBLE)) * cw)
-           - (CAST((r0 + c0) % 4000 AS DOUBLE)
-            + (CAST((r0 + c1) % 4000 AS DOUBLE) - CAST((r0 + c0) % 4000 AS DOUBLE)) * cw)) * rw
-    ELSE NULL END AS elev
-  FROM rc
+  SELECT event_id, {_SQL_BILINEAR_ELEV} AS elev FROM rc
 )
 SELECT event_id,
   CASE WHEN elev IS NULL THEN 'void' ELSE printf('%.2f', elev) END AS elevation

@@ -69,20 +69,37 @@ def params_for(n_rows: int, max_hamming: int = 3) -> PipelineParams:
     sig_bits = 60
     blocks = simhash_blocks_for(n, max_hamming, sig_bits)
     centroids = _clamp(1 << round(math.log2(max(math.sqrt(n) / 2.0, 2.0))), 16, 65536)
+    # Multi-table LSH: planes track log2(N) so per-table bucket occupancy
+    # stays O(1); tables GROW with planes to hold recall (per-plane
+    # collision p >= 0.955 for cosine >= 0.99 near-dups, so per-table
+    # recall p^planes shrinks as planes rise — e.g. 27 planes / 8 tables:
+    # 1 - (1 - 0.955^27)^8 ~= 0.93). Growing only planes (the old rule)
+    # silently traded recall for selectivity past the cap.
+    nd_planes = _clamp(int(math.floor(lg)) - 2, 8, 28)
+    nd_tables = _clamp(4 + (nd_planes - 8) // 4, 4, 12)
+    # MinHash banding: to SHARPEN the candidate threshold curve with N,
+    # band rows r and band count b must grow TOGETHER — threshold
+    # (1/b)^(1/r) stays ~0.71 while a dissimilar pair's per-band collision
+    # s^r shrinks geometrically. Adding bands at fixed r=2 (the old rule)
+    # LOWERS the threshold, i.e. MORE false candidates at scale.
+    if n < 10**6:
+        mk, br = 4, 2  # 2 bands x 2 rows, threshold (1/2)^(1/2) ~= .707
+    elif n < 10**12:
+        mk, br = 16, 4  # 4 bands x 4 rows, threshold (1/4)^(1/4) ~= .707
+    else:
+        mk, br = 36, 6  # 6 bands x 6 rows, threshold (1/6)^(1/6) ~= .742
     return PipelineParams(
         n_rows=n,
         # ~N per-table bucket occupancy of 1: planes ~= log2(N); 16 floor
         # keeps fixture behavior, 28 cap bounds plan size (add tables past it)
         lsh_planes=_clamp(int(math.ceil(lg)), 16, 28),
-        neardup_planes=_clamp(int(math.floor(lg)) - 2, 8, 16),
-        neardup_tables=4,
+        neardup_planes=nd_planes,
+        neardup_tables=nd_tables,
         simhash_bits=sig_bits,
         simhash_blocks=blocks,
         simhash_key_bits=(blocks - max_hamming) * (sig_bits // blocks),
         ivf_centroids=centroids,
         ivf_nprobe=max(2, round(math.sqrt(centroids) / 2.0)),
-        # 2x2 banding (threshold ~0.7) up to 10^6 docs; 8 hashes / 2-row
-        # bands past that sharpen the candidate threshold curve
-        minhash_k=4 if n < 10**6 else 8,
-        band_rows=2,
+        minhash_k=mk,
+        band_rows=br,
     )

@@ -132,6 +132,21 @@ def test_preload_nonblocking(spark):
     assert eng2.wait_preload(timeout=120)["tiles_matched"] == 1
 
 
+def test_preload_nonblocking_error_propagates(spark):
+    """An exception inside the background preload thread must re-raise from
+    wait_preload — the non-blocking variant cannot silently lose the error
+    its blocking twin would have delivered."""
+    import pytest as _pytest
+
+    eng = ElevationEngine(spark, grids=fixtures.default_catalog_grids())
+    assert eng.preload(bounds="not-a-bbox", blocking=False) is None
+    with _pytest.raises(Exception):
+        eng.wait_preload(timeout=120)
+    # the error is consumed once; the engine stays usable afterwards
+    assert eng.preload(blocking=False) is None
+    assert eng.wait_preload(timeout=120)["tiles_matched"] == 5
+
+
 def test_http_get_elevation_shapes(spark):
     """GET /elevation response shapes (api_tests.rs:52-147, 166-189)."""
     from htg_spark import api

@@ -150,7 +150,21 @@ def test_params_for_pins_scale_points():
     assert (p6.simhash_key_bits, p9.simhash_key_bits, p12.simhash_key_bits) == (30, 35, 45)
     assert (p6.ivf_centroids, p9.ivf_centroids, p12.ivf_centroids) == (512, 16384, 65536)
     assert p6.ivf_nprobe < p9.ivf_nprobe <= p12.ivf_nprobe
-    assert p6.minhash_k == p9.minhash_k == 8
+    # multi-table LSH: tables grow WITH planes (recall held as per-table
+    # recall p^planes shrinks), never planes alone
+    assert (p6.neardup_planes, p6.neardup_tables) == (17, 6)
+    assert (p9.neardup_planes, p9.neardup_tables) == (27, 8)
+    assert (p12.neardup_planes, p12.neardup_tables) == (28, 9)
+    # minhash banding: rows and bands grow together — the LSH threshold
+    # (1/b)^(1/r) must never DROP with N (more bands at fixed r would
+    # loosen the candidate filter exactly when N grows)
+    for small, big in ((p3, p6), (p6, p9), (p9, p12)):
+        t_small = (small.band_rows / small.minhash_k) ** (1.0 / small.band_rows)
+        t_big = (big.band_rows / big.minhash_k) ** (1.0 / big.band_rows)
+        assert t_big >= t_small - 1e-9
+        assert big.band_rows >= small.band_rows
+    assert (p6.minhash_k, p6.band_rows) == (16, 4)
+    assert (p12.minhash_k, p12.band_rows) == (36, 6)
     # every block keeps >= 4 bits at any scale (join keys stay meaningful)
     for n in (10**3, 10**6, 10**9, 10**12, 10**15):
         p = params_for(n)
