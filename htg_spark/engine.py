@@ -580,7 +580,7 @@ class ElevationEngine:
         n_salts: int = 8,
         strict: bool = False,
         observe: bool = False,
-        blob_source: str = "inline",
+        blob_source: str | None = None,
     ) -> DataFrame:
         """Append elevation columns to `points`.
 
@@ -598,7 +598,10 @@ class ElevationEngine:
         source URI and each task reads its tile from shared storage at
         apply time — at 100 TB of rasters the blobs must never enter a
         shuffle, this is that plan. Requires a path-bearing catalog
-        (catalog_from_dir / tile_dir engines).
+        (catalog_from_dir / tile_dir engines). Default None = auto: a
+        cogroup join over a path-bearing catalog picks 'path' (the only
+        shape that survives when the raster corpus itself is the 100 TB);
+        in-memory catalogs fall back to 'inline'.
         """
         if mode not in ("nearest", "floor", "bilinear"):
             raise ValueError(f"bad mode {mode!r}")
@@ -620,6 +623,12 @@ class ElevationEngine:
             # gated on tile count AND total blob bytes (both cached)
             strategy = "broadcast" if self._fits_broadcast() else "cogroup"
 
+        if blob_source is None:
+            blob_source = (
+                "path"
+                if strategy == "cogroup" and "path" in self.catalog.columns
+                else "inline"
+            )
         if blob_source not in ("inline", "path"):
             raise ValueError(f"bad blob_source {blob_source!r}")
         if blob_source == "path":

@@ -286,6 +286,41 @@ def test_broadcast_byte_gate(spark, grids, points_pdf):
     assert big._bcast is None  # blobs never collected to the driver
 
 
+def test_auto_blob_source_picks_path(spark, grids, points_pdf, tmp_path):
+    """strategy='auto' past the broadcast gate over a PATH-BEARING catalog
+    must choose the no-blob-shuffle transport on its own — at 100 TB of
+    rasters the blobs must never ride a shuffle, and the user should not
+    have to know the flag. In-memory catalogs keep the inline transport."""
+    from htg_spark import hgt as hgt_mod
+
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    for (tl, tn), grid in sorted(grids.items()):
+        (tiles / hgt_mod.coords_to_filename(tl, tn)).write_bytes(hgt_mod.encode_tile(grid))
+    df = spark.createDataFrame(points_pdf.head(50))
+
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    eng = ElevationEngine(spark, tile_dir=str(tiles))
+    eng.BROADCAST_MAX_BYTES = 1000  # force the cogroup branch
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eng.elevation_join(df, strategy="auto").explain("formatted")
+    plan = buf.getvalue()
+    assert "FlatMapCoGroupsInArrow" in plan
+    # same invariant the plan audit hard-gates for the explicit path query:
+    # no Exchange block may carry the binary data column
+    ex_blocks = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*\]", plan)
+    assert ex_blocks and not any(re.search(r"\bdata#", b) for b in ex_blocks)
+
+    mem = ElevationEngine(spark, grids=grids)
+    mem.BROADCAST_MAX_BYTES = 1000
+    plan = mem.elevation_join(df, strategy="auto")._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInArrow" in plan  # inline fallback still plans
+
+
 def test_knn_second_pass_runs_pass1_once(spark, engine, points_pdf):
     """The cogroup+kNN plan must materialize pass 1 before the rest/miss
     split: exactly ONE FlatMapCoGroupsInArrow in the final plan (pass 2) —
