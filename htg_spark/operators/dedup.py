@@ -184,6 +184,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # the changed flag rides the SAME frame as the label update — the
+        # convergence check is a filter over the already-materialized
+        # checkpoint, not a second labels-vs-labels join per round
         new = (
             labels.join(nbr, labels["v"] == nbr["src"], "left")
             .select(
@@ -191,20 +194,17 @@ def connected_components(
                 F.least(
                     labels["label"], F.coalesce(F.col("nbr_min"), labels["label"])
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_min"), labels["label"]) < labels["label"]).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint()  # eager: cuts lineage AND materializes `new`
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = new.where(F.col("chg")).limit(1).count()
         # `new` is materialized, so the previous round's blocks are dead —
         # release them instead of pinning max_iter label-table copies
         labels.unpersist()
-        labels = new
+        labels = new.drop("chg")
         if changed == 0:
             converged = True
             break
