@@ -267,6 +267,30 @@ def test_auto_strategy_counts_catalog_once(spark, grids, points_pdf):
     assert calls["n"] == 1
 
 
+def test_catalog_measure_is_thread_safe(spark, grids):
+    """preload(blocking=False) runs catalog prep on a background thread;
+    the lazy one-time stats aggregation must run EXACTLY once even under
+    concurrent first calls (the pre-lock race collected the catalog twice)."""
+    import threading
+
+    eng = ElevationEngine(spark, grids=grids)
+    calls = {"n": 0}
+    orig = eng.catalog.agg
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    eng.catalog.agg = counting
+    threads = [threading.Thread(target=eng.n_tiles) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert calls["n"] == 1
+    assert eng.n_tiles() == len(fixtures.default_catalog_grids())
+
+
 def test_broadcast_byte_gate(spark, grids, points_pdf):
     """Auto strategy gates on catalog BYTES, not just tile count: a
     few-but-huge-tiles catalog must route to cogroup (collecting it to the
