@@ -269,6 +269,137 @@ def ivf_topk(
     )
 
 
+# -- product quantization (IVF-PQ, asymmetric distance) ----------------------
+
+N_PQ_SUB = 8  # subspaces: dim 64 -> 8 dims per sub-codebook
+# codes per sub-codebook: 16 (4-bit) keeps the fixture-scale SQL oracle
+# tractable; the classic at-scale setting is 256 (8-bit) — params_for's rule.
+N_PQ_CODES = 16
+
+
+def pq_codebooks(
+    dim: int, m: int = N_PQ_SUB, k: int = N_PQ_CODES, seed: int = 11
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks (m x k x dim/m), quantized to 3
+    decimals for SQL-literal parity (same convention as ivf_centroids).
+    Plug train_pq() output for a data-trained quantizer — the encode/ADC
+    plumbing is identical either way."""
+    rng = np.random.default_rng(seed)
+    d = dim // m
+    return [
+        [[round(float(x), 3) for x in rng.standard_normal(d)] for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def train_pq(
+    sample: np.ndarray, m: int = N_PQ_SUB, k: int = N_PQ_CODES, iters: int = 10, seed: int = 11
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means on a driver-side SAMPLE (the same
+    bounded-sample contract as train_centroids: at 100 TB you train on
+    ~100k sampled rows and broadcast m*k tiny sub-centroids)."""
+    x = np.asarray(sample, dtype=np.float64)
+    d = x.shape[1] // m
+    return [
+        train_centroids(x[:, j * d : (j + 1) * d], k=k, iters=iters, seed=seed + j)
+        for j in range(m)
+    ]
+
+
+def _sub_sqdist(vec_col: str, j: int, d: int, centroid: list[float]) -> Column:
+    """Squared L2 distance between subvector j of `vec_col` and a centroid
+    literal; strict left-to-right double fold (bit-reproducible vs DuckDB
+    list_reduce — 0.0 + x == x)."""
+    sub = F.slice(F.col(vec_col), j * d + 1, d)
+    arr = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(
+            sub, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode_expr(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """PQ codes as array<int> of length m: per subspace, the index of the
+    nearest sub-centroid (first index on exact ties — array_position of
+    array_min, bit-identical to DuckDB list_position/list_min). The encoded
+    corpus carries m small ints per vector instead of the full embedding —
+    the memory step that makes 10^9+-row search feasible."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    codes = []
+    for j in range(m):
+        darr = F.array(*[_sub_sqdist(vec_col, j, d, c) for c in codebooks[j]])
+        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_lut_expr(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """Flattened m*k ADC lookup table for a QUERY vector:
+    lut[j*k + i] = ||query_sub_j - codebook[j][i]||^2 (0-based layout)."""
+    d = len(codebooks[0][0])
+    return F.array(
+        *[
+            _sub_sqdist(vec_col, j, d, c)
+            for j, book in enumerate(codebooks)
+            for c in book
+        ]
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search with Asymmetric Distance Computation (Jegou et al.,
+    'Product Quantization for Nearest Neighbor Search'): corpus rows carry
+    only (inverted-list id, m PQ codes); each query probes its `nprobe`
+    lists and ranks candidates by ADC = sum over subspaces of
+    lut[j*k + code_j] — per-candidate cost is m table lookups, no vector
+    math, and the corpus side of the join is ~m bytes/vector. This is the
+    complement of ivf_topk for the regime where even the raw embedding
+    column is too wide to shuffle. Output: (q_id, rank, n_id, adc) ranked
+    by ascending approximate squared L2 distance, ties by n_id."""
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    a = ivf_assign_expr(vec_col, centroids)
+    c = emb.select(
+        F.col(id_col).alias("n_id"),
+        a.alias("lst"),
+        pq_encode_expr(vec_col, codebooks).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        pq_lut_expr(vec_col, codebooks).alias("lut"),
+        F.explode(ivf_probe_expr(vec_col, centroids, nprobe)).alias("lst"),
+    )
+    j = q.join(c, "lst").where(F.col("q_id") != F.col("n_id"))
+    adc = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.col("codes"),
+            lambda jj, cc: F.element_at(F.col("lut"), jj * kk + cc + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id").asc())
+    return (
+        j.select("q_id", "n_id", adc.alias("adc"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "adc")
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     tables: list[list[list[float]]],

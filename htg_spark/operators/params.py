@@ -42,6 +42,9 @@ class PipelineParams:
     # IVF (ann.ivf_topk)
     ivf_centroids: int
     ivf_nprobe: int
+    # PQ (ann.pq_adc_topk): m subspaces, codes per sub-codebook
+    pq_m: int
+    pq_codes: int
     # MinHash banding (dedup.minhash_signatures / lsh_candidate_pairs)
     minhash_k: int
     band_rows: int
@@ -100,6 +103,11 @@ def params_for(n_rows: int, max_hamming: int = 3) -> PipelineParams:
         simhash_key_bits=(blocks - max_hamming) * (sig_bits // blocks),
         ivf_centroids=centroids,
         ivf_nprobe=max(2, round(math.sqrt(centroids) / 2.0)),
+        # PQ codes: 16 (4-bit) keeps the fixture SQL oracle tractable; the
+        # classic at-scale setting is 256 (8-bit, Jegou et al.) — code width
+        # is a quantization-error knob, independent of N beyond that step
+        pq_m=8,
+        pq_codes=16 if n < 10**6 else 256,
         minhash_k=mk,
         band_rows=br,
     )

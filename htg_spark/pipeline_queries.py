@@ -30,6 +30,7 @@ NEARDUP_TABLES = ann.hyperplane_tables(
     EMB_DIM, n_planes=P.neardup_planes, n_tables=P.neardup_tables, seed=42
 )
 IVF_NPROBE = P.ivf_nprobe
+PQ_CODEBOOKS = ann.pq_codebooks(EMB_DIM, P.pq_m, P.pq_codes, seed=11)
 
 
 def _docs(spark, sf_dir):
@@ -239,6 +240,22 @@ def q_ann_lsh_topk_multi(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return ann.lsh_topk_multi(
         emb, emb.where(F.col("vec_id") < 10), NEARDUP_TABLES, k=5
+    )
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """IVF-PQ approximate top-k with asymmetric distance computation: the
+    corpus side of the join carries only (inverted-list id, m PQ codes) —
+    the memory-side scale path when even the embedding column is too wide
+    to shuffle. Deterministic fixed codebooks shared with the SQL oracle."""
+    emb = _emb(spark, sf_dir)
+    return ann.pq_adc_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        CENTROIDS,
+        PQ_CODEBOOKS,
+        k=5,
+        nprobe=IVF_NPROBE,
     )
 
 
@@ -587,6 +604,51 @@ r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id 
 SELECT q_id, CAST(rank AS INT) AS rank, n_id, cosine FROM r WHERE rank <= 5
 """
     )
+    # IVF-PQ / ADC: per-subspace squared distances drive BOTH the corpus
+    # encode (argmin -> code) and the query LUT; fold order matches the
+    # Spark _sub_sqdist expression bit-for-bit
+    pq_m, pq_k, pq_d = len(PQ_CODEBOOKS), len(PQ_CODEBOOKS[0]), len(PQ_CODEBOOKS[0][0])
+
+    def sub_sqd(j: int, cent: list[float]) -> str:
+        arr = "[" + ", ".join(f"{v!r}" for v in cent) + "]::DOUBLE[]"
+        lo = j * pq_d + 1
+        return (
+            f"list_reduce(list_transform(list_zip(list_slice(v, {lo}, {lo + pq_d - 1}), {arr}), "
+            f"s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b)"
+        )
+
+    pq_code_exprs = []
+    for j in range(pq_m):
+        dl = "[" + ", ".join(sub_sqd(j, c) for c in PQ_CODEBOOKS[j]) + "]"
+        pq_code_exprs.append(f"CAST(list_position({dl}, list_min({dl})) - 1 AS INT)")
+    pq_codes_list = "[" + ", ".join(pq_code_exprs) + "]"
+    pq_lut = "[" + ", ".join(
+        sub_sqd(j, c) for j in range(pq_m) for c in PQ_CODEBOOKS[j]
+    ) + "]"
+    seq_m = "[" + ", ".join(str(j) for j in range(pq_m)) + "]"
+    pq_sql = (
+        "WITH "
+        + _SQL_EMB_D
+        + f""",
+dots AS (SELECT vec_id, v, {', '.join(cent_dots)} FROM n),
+assigned AS (SELECT *, {best} AS best FROM dots),
+codes AS (SELECT vec_id, CAST({assign} AS INT) AS lst, {pq_codes_list} AS codes FROM assigned),
+probes AS (
+  SELECT vec_id, lut, CAST(u.idx AS INT) AS lst
+  FROM (SELECT vec_id, {pq_lut} AS lut, unnest([{probe_structs}]) AS u FROM dots WHERE vec_id < 10)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY u.dd DESC, u.idx ASC) <= {IVF_NPROBE}
+),
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+    list_reduce(list_transform(list_zip({seq_m}, c.codes),
+                               s -> q.lut[s[1] * {pq_k} + s[2] + 1]),
+                (a, b) -> a + b) AS adc
+  FROM probes q JOIN codes c ON q.lst = c.lst WHERE c.vec_id <> q.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS rank FROM p)
+SELECT q_id, CAST(rank AS INT) AS rank, n_id, adc FROM r WHERE rank <= 5
+"""
+    )
     nd_buckets = ", ".join(
         f"CAST({bucket_sql(planes)} AS INT) AS bk{t}"
         for t, planes in enumerate(NEARDUP_TABLES)
@@ -653,6 +715,7 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -
         "ann_lsh_buckets": lsh_buckets_sql,
         "ann_lsh_topk_multi": lsh_topk_multi_sql,
         "ann_ivf_topk": ivf_sql,
+        "ann_pq_topk": pq_sql,
         "embedding_near_dup": near_dup_sql,
     }
 
@@ -675,5 +738,6 @@ def queries():
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk_multi": q_ann_lsh_topk_multi,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
     }

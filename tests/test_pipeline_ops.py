@@ -142,6 +142,8 @@ def test_params_for_pins_scale_points():
     assert p3.minhash_k == dedup.N_MINHASH == 4 and p3.band_rows == 2
     assert (p3.neardup_planes, p3.neardup_tables) == (8, 4)
     assert p3.simhash_blocks == 4 and p3.simhash_key_bits == 15
+    assert (p3.pq_m, p3.pq_codes) == (8, 16)  # 4-bit codes at fixture scale
+    assert params_for(10**9).pq_codes == 256  # classic 8-bit PQ at scale
 
     p6, p9, p12 = params_for(10**6), params_for(10**9), params_for(10**12)
     assert (p6.lsh_planes, p9.lsh_planes, p12.lsh_planes) == (20, 28, 28)
@@ -341,6 +343,62 @@ def test_ivf_trained_centroids_recall(spark):
     hits = sum(len(set(out[out.q_id == q]["n_id"]) & brute[q]) for q in range(20))
     recall = hits / (20 * 5)
     assert recall >= 0.9, f"recall@5 = {recall}"
+
+
+def test_pq_encode_matches_numpy(emb):
+    df, vecs = emb
+    books = ann.pq_codebooks(16, m=4, k=8, seed=11)
+    out = (
+        df.select("vec_id", ann.pq_encode_expr("embedding", books).alias("codes"))
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    b = np.asarray(books, dtype=np.float64)  # (m, k, d)
+    v = vecs.astype(np.float64)
+    for j in range(4):
+        sub = v[:, j * 4 : (j + 1) * 4]
+        dist = ((sub[:, None, :] - b[j][None, :, :]) ** 2).sum(axis=2)
+        expect = dist.argmin(axis=1)
+        got = np.array([c[j] for c in out["codes"]])
+        assert np.array_equal(got, expect), f"subspace {j}"
+    # codes stay in range -> the m-int encoding really is the whole payload
+    assert all(0 <= c < 8 for codes in out["codes"] for c in codes)
+
+
+def test_pq_adc_trained_recall(spark):
+    """IVF-PQ end-to-end on the clustered corpus with TRAINED codebooks.
+    Two honest properties of ADC (it approximates L2 through quantized
+    cells): (a) at ANY code budget every returned neighbor comes from the
+    query's true cluster — coarse ranking is exact; (b) exact-rank recall
+    within the cluster rises with the code budget (quantization error is
+    the knob, params_for's 16 -> 256 step): measured 0.28 at m=4 x 16
+    codes vs 0.67 at m=8 x 64 on this fixture."""
+    df, vecs = _clustered_corpus(spark)
+    sample = vecs[:: max(1, len(vecs) // 200)]
+    cents = ann.train_centroids(sample, k=12, iters=10, seed=7)
+    v = vecs.astype(np.float64)
+
+    def run(m, k_codes):
+        books = ann.train_pq(sample, m=m, k=k_codes, iters=10, seed=11)
+        out = ann.pq_adc_topk(
+            df, df.where(F.col("vec_id") < 20), cents, books, k=5, nprobe=3
+        ).toPandas()
+        hits = in_cluster = n = 0
+        for q in range(20):
+            d = ((v - v[q]) ** 2).sum(axis=1)
+            d[q] = np.inf
+            exact = set(np.argsort(d, kind="stable")[:5].tolist())
+            got = out[out.q_id == q]["n_id"].tolist()
+            hits += len(set(got) & exact)
+            in_cluster += sum(1 for t in got if t // 30 == q // 30)
+            n += len(got)
+        return hits / (20 * 5), in_cluster / n
+
+    rec_coarse, clus_coarse = run(4, 16)
+    rec_fine, clus_fine = run(8, 64)
+    assert clus_coarse >= 0.95 and clus_fine >= 0.95  # cluster routing exact
+    assert rec_fine >= 0.55, f"fine-codebook ADC recall@5 = {rec_fine}"
+    assert rec_fine > rec_coarse  # the code budget is a real quality knob
 
 
 def test_lsh_multi_table_recall(spark):
