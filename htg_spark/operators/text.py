@@ -88,6 +88,48 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def ngram_expr(toks: Column, n: int) -> Column:
+    """Word n-grams from an ALREADY-MATERIALIZED token array column —
+    same no-CSE-in-lambdas rule as dedup.bigrams_expr (project the token
+    array once, then build n-grams from n one-off slices; O(tokens))."""
+    sz = F.size(toks)
+    out = F.slice(toks, F.lit(1), sz - (n - 1))
+    for i in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, F.lit(i + 1), sz - (n - 1)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(sz < n, F.array().cast("array<string>")).otherwise(out)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, Table A1): the
+    fraction of word n-grams that duplicate an earlier occurrence,
+    1 - distinct/total, for n = 2 and 3 — the standard cheap
+    boilerplate/spam gate a pretraining pipeline applies before any model
+    scoring. Pure array projection: no explode, no shuffle, whole-stage
+    codegen end to end."""
+    base = df.select(id_col, tokens_col(F.col(text_col)).alias("_toks"))
+
+    def dup_frac(n: int) -> Column:
+        g = ngram_expr(F.col("_toks"), n)
+        tot = F.size(g)
+        return F.when(
+            tot > 0,
+            F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / tot.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return base.select(
+        id_col,
+        F.size(F.col("_toks")).cast("long").alias("n_tokens"),
+        dup_frac(2).alias("dup_bigram_frac"),
+        dup_frac(3).alias("dup_trigram_frac"),
+    )
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic quality score: blend of length band, type-token ratio
     and mean token length (the classic cheap pretraining-quality gates)."""

@@ -202,6 +202,21 @@ def q_bpe_token_stats(spark, sf_dir):
     return text.bpe_token_stats(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style duplicate-ngram fractions over a corpus where every
+    4th document is deterministically doubled (text || ' ' || text) so the
+    signal actually fires: doubled docs show high dup fractions, clean
+    docs near zero."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat("text", F.lit(" "), "text")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return text.repetition_stats(corpus)
+
+
 def q_rolling_fingerprint(spark, sf_dir):
     """Position-sensitive polynomial rolling hash per document (the classic
     Rabin-Karp fingerprint), exact-integer parity with the SQL oracle."""
@@ -440,6 +455,30 @@ SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """
     )
+    repetition_sql = """
+WITH corpus AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text ELSE text END AS text
+  FROM documents
+),
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+g AS (
+  SELECT doc_id, array_length(t) AS n_tokens,
+    list_transform(generate_series(1, greatest(array_length(t) - 1, 0)),
+                   i -> t[i] || ' ' || t[i + 1]) AS g2,
+    list_transform(generate_series(1, greatest(array_length(t) - 2, 0)),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g3
+  FROM tk
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CASE WHEN len(g2) > 0
+       THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+       ELSE 0.0 END AS dup_bigram_frac,
+  CASE WHEN len(g3) > 0
+       THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+       ELSE 0.0 END AS dup_trigram_frac
+FROM g
+"""
     text_stats_sql = """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
 SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
@@ -706,6 +745,7 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -
         "simhash": simhash_sql,
         "simhash_near_dup": simhash_near_dup_sql,
         "text_stats": text_stats_sql,
+        "repetition_stats": repetition_sql,
         "text_quality": text_quality_sql,
         "lang_id": lang_id_sql,
         "doc_fingerprint": fingerprint_sql,
@@ -729,6 +769,7 @@ def queries():
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "text_stats": q_text_stats,
+        "repetition_stats": q_repetition_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,

@@ -193,6 +193,25 @@ def test_token_stats_and_quality(docs):
     assert ((q["quality"] > 0) & (q["quality"] <= 1.0)).all()
 
 
+def test_repetition_stats(spark):
+    """Hand-computed duplicate-ngram fractions: 'a b a b a b' has bigrams
+    [a b, b a, a b, b a, a b] (5 total, 2 distinct -> 0.6) and trigrams
+    [a b a, b a b, a b a, b a b] (4 total, 2 distinct -> 0.5); an
+    all-distinct doc scores 0.0; a doc shorter than n scores 0.0."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["a b a b a b", "one two three four", "solo"],
+            }
+        )
+    )
+    out = text.repetition_stats(df).orderBy("doc_id").toPandas()
+    assert out["n_tokens"].tolist() == [6, 4, 1]
+    assert out["dup_bigram_frac"].tolist() == [1.0 - 2 / 5, 0.0, 0.0]
+    assert out["dup_trigram_frac"].tolist() == [0.5, 0.0, 0.0]
+
+
 def test_lang_id_detects_real_languages(docs):
     out = text.lang_id(docs).orderBy("doc_id").toPandas().set_index("doc_id")
     assert out.loc[0, "pred_lang"] == "en"
