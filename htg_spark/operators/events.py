@@ -1,0 +1,68 @@
+"""Event-stream analytics: gap-based sessionization.
+
+The classic clickstream operator a 100-TB event pipeline runs first:
+partition by user, order by time, cut a new session wherever the gap to
+the previous event exceeds a threshold, then aggregate per session.
+
+Scale shape: ONE hash shuffle on the user key serves everything — the two
+window passes (lag for the gap flag, running sum for the session group)
+share the same partitioning+ordering so Catalyst plans a single Exchange +
+Sort, and the final per-session aggregation's grouping keys start with the
+partition key so no further shuffle is required. All arithmetic is exact
+integer microseconds — bit-identical across engines (no float time math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_GAP_MINUTES = 30
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-session rollup: (user_id, session_id, n_events, duration_us,
+    n_event_types) where session_id = the lowest event id in the session
+    (deterministic), and a session breaks when the gap to the previous
+    event exceeds `gap_minutes`. Ordering ties on identical timestamps
+    break by event id, so the session assignment is total and
+    reproducible."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    # parquet timestamps arrive as TIMESTAMP_NTZ; the cast makes
+    # unix_micros applicable, and every use below is a DIFFERENCE or an
+    # ordering, so the session-timezone offset the cast introduces cancels
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(us.asc(), F.col(id_col).asc())
+    flagged = events.select(
+        user_col,
+        id_col,
+        type_col,
+        us.alias("_us"),
+        (F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us))
+        .cast("long")
+        .alias("_new"),
+    )
+    w2 = Window.partitionBy(user_col).orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped = flagged.select(
+        user_col, id_col, type_col, "_us", F.sum("_new").over(w2).alias("_grp")
+    )
+    return (
+        grouped.groupBy(user_col, "_grp")
+        .agg(
+            F.min(id_col).alias("session_id"),
+            F.count("*").alias("n_events"),
+            (F.max("_us") - F.min("_us")).alias("duration_us"),
+            F.countDistinct(type_col).alias("n_event_types"),
+        )
+        .select(user_col, "session_id", "n_events", "duration_us", "n_event_types")
+    )

@@ -144,6 +144,44 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return s.select(id_col, "n_tokens", "type_token_ratio", score.alias("quality"))
 
 
+def top_terms(
+    df: DataFrame,
+    n_docs: int,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """tf-idf keyword extraction: the k highest-scoring terms per document,
+    score = tf * (N+1)/(df+1) — a RATIONAL idf variant chosen over ln()
+    because integer-ratio double arithmetic is bit-identical across
+    engines, while libm ln() can differ by an ulp between JVM and DuckDB
+    and break the value oracle (a deliberate portability trade, monotone
+    in df like the log form though not order-equivalent across terms with
+    different tf).
+
+    Scale shape: tf is one shuffle on (doc, term) with map-side combine;
+    the document-frequency table is vocabulary-sized and BROADCAST back,
+    so the corpus never shuffles twice; the top-k window repartitions by
+    doc id only. N is the corpus document count, supplied by the caller
+    (one cheap count action, cacheable)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(id_col, F.explode(tokens_col(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df_count"))
+    score = F.col("tf").cast("double") * (
+        F.lit(float(n_docs + 1)) / (F.col("df_count") + 1).cast("double")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(dfc), "term")
+        .select(id_col, "term", "tf", "df_count", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df_count", "score")
+    )
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: argmax over per-language stopword hit
     counts; ties and zero-hit rows resolve to the alphabetically-first

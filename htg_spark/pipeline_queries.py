@@ -217,6 +217,22 @@ def q_repetition_stats(spark, sf_dir):
     return text.repetition_stats(corpus)
 
 
+def q_top_terms(spark, sf_dir):
+    """tf-idf keyword extraction (rational idf — engine-portable exact
+    arithmetic): top-3 terms per document."""
+    docs = _docs(spark, sf_dir)
+    return text.top_terms(docs, n_docs=docs.count(), k=3)
+
+
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization of the events stream (30-minute cutoff):
+    one shuffle on user_id serves the lag window, the running-sum session
+    grouping, and the per-session rollup."""
+    from .operators import events as ev
+
+    return ev.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_rolling_fingerprint(spark, sf_dir):
     """Position-sensitive polynomial rolling hash per document (the classic
     Rabin-Karp fingerprint), exact-integer parity with the SQL oracle."""
@@ -478,6 +494,39 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
        ELSE 0.0 END AS dup_trigram_frac
 FROM g
+"""
+    top_terms_sql = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df_count,
+    CAST(tf.tf AS DOUBLE)
+      * (CAST((SELECT count(*) + 1 FROM documents) AS DOUBLE)
+         / CAST(dfc.df_count + 1 AS DOUBLE)) AS score
+  FROM tf JOIN dfc USING (term)
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM s)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df_count, score FROM r WHERE rank <= 3
+"""
+    user_sessions_sql = """
+WITH f AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS nw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+),
+g AS (
+  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS grp
+  FROM f
+)
+SELECT user_id, min(event_id) AS session_id, count(*) AS n_events,
+  max(us) - min(us) AS duration_us,
+  count(DISTINCT event_type) AS n_event_types
+FROM g GROUP BY user_id, grp
 """
     text_stats_sql = """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -746,6 +795,8 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -
         "simhash_near_dup": simhash_near_dup_sql,
         "text_stats": text_stats_sql,
         "repetition_stats": repetition_sql,
+        "top_terms": top_terms_sql,
+        "user_sessions": user_sessions_sql,
         "text_quality": text_quality_sql,
         "lang_id": lang_id_sql,
         "doc_fingerprint": fingerprint_sql,
@@ -770,6 +821,8 @@ def queries():
         "simhash_near_dup": q_simhash_near_dup,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
+        "top_terms": q_top_terms,
+        "user_sessions": q_user_sessions,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,

@@ -212,6 +212,60 @@ def test_repetition_stats(spark):
     assert out["dup_trigram_frac"].tolist() == [0.5, 0.0, 0.0]
 
 
+def test_top_terms(spark):
+    """Hand-computed rational tf-idf: 'cat' appears in both docs (df 2),
+    'dog'/'bird' in one (df 1) — per-doc rarer terms outrank the common
+    one at equal tf; ties break alphabetically."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["cat dog dog", "cat bird"]}
+        )
+    )
+    out = text.top_terms(df, n_docs=2, k=2).orderBy("doc_id", "rank").toPandas()
+    # doc 0: dog tf=2 df=1 -> 2*(3/2)=3.0 ; cat tf=1 df=2 -> 1*(3/3)=1.0
+    assert out[out.doc_id == 0]["term"].tolist() == ["dog", "cat"]
+    assert out[out.doc_id == 0]["score"].tolist() == [3.0, 1.0]
+    # doc 1: bird 1*(3/2)=1.5 beats cat 1.0
+    assert out[out.doc_id == 1]["term"].tolist() == ["bird", "cat"]
+
+
+def test_sessionize(spark):
+    """Gap-based sessionization: user 1's third event is 40 min after the
+    second -> two sessions; exact-duplicate timestamps order by event_id;
+    user 2 is a singleton session. One Exchange serves the whole plan."""
+    import datetime as dt
+
+    from htg_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (10, t0, 1, "view"),
+        (11, t0 + dt.timedelta(minutes=10), 1, "click"),
+        (12, t0 + dt.timedelta(minutes=50), 1, "view"),
+        (13, t0 + dt.timedelta(minutes=50), 1, "view"),  # same ts, ties by id
+        (20, t0, 2, "error"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    )
+    out = ev.sessionize(df).orderBy("user_id", "session_id").toPandas()
+    assert out[["user_id", "session_id", "n_events"]].values.tolist() == [
+        [1, 10, 2],
+        [1, 12, 2],
+        [2, 20, 1],
+    ]
+    assert out["duration_us"].tolist() == [600_000_000, 0, 0]
+    assert out["n_event_types"].tolist() == [2, 1, 1]
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ev.sessionize(df).explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 1
+
+
 def test_lang_id_detects_real_languages(docs):
     out = text.lang_id(docs).orderBy("doc_id").toPandas().set_index("doc_id")
     assert out.loc[0, "pred_lang"] == "en"
