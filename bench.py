@@ -79,8 +79,10 @@ def main():
         ("neardup_groups", pq.q_neardup_groups),
         ("simhash", pq.q_simhash),
         ("ann_topk", pq.q_ann_topk),
+        ("ann_pq_topk", pq.q_ann_pq_topk),
         ("embedding_near_dup", pq.q_embedding_near_dup),
         ("text_quality", pq.q_text_quality),
+        ("user_sessions", pq.q_user_sessions),
     ):
         best, n = None, 0
         for _ in range(n_trials):
@@ -121,7 +123,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "elevation-join + pipeline-ops wall-clock (13 headline queries, min of 2 trials)",
+                "metric": "elevation-join + pipeline-ops wall-clock (15 headline queries, min of 2 trials)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -349,6 +350,123 @@ def pq_lut_expr(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     )
 
 
+def _np_dots(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, k) dot products accumulated with an EXPLICIT left-to-right loop
+    over the dimension — same order as the _centroid_dots fold expressions
+    and the DuckDB list_reduce (a BLAS matmul would reorder the adds)."""
+    acc = np.zeros((mat.shape[0], cents.shape[0]), dtype=np.float64)
+    for t in range(cents.shape[1]):
+        acc += mat[:, None, t] * cents[None, :, t]
+    return acc
+
+
+def ivf_assign_udf(centroids: list[list[float]]):
+    """Arrow-batched IVF list assignment (argmax dot, first index on ties)
+    — bit-identical to ivf_assign_expr; the vectorized path for plans that
+    would otherwise pay Catalyst seconds compiling k inlined fold
+    expressions (see pq_encode_udf)."""
+    c = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack([np.asarray(a, dtype=np.float64) for a in v])
+        return pd.Series(_np_dots(x, c).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_probe_udf(centroids: list[list[float]], nprobe: int):
+    """Arrow-batched probe lists: the nprobe centroid indices with the
+    highest dots, ties by lowest index — bit-identical to
+    ivf_probe_expr."""
+    c = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(a, dtype=np.float64) for a in v])
+        d = _np_dots(x, c)
+        idx = np.arange(c.shape[0])
+        out = []
+        for row in d:
+            order = np.lexsort((idx, -row))  # dot desc, index asc on ties
+            out.append(order[:nprobe].astype(np.int32))
+        return pd.Series(out)
+
+    return probe
+
+
+def _np_sub_sqdists(mat: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """(n, k) squared distances between n subvectors and k sub-centroids,
+    accumulated with an EXPLICIT left-to-right loop over the sub-dimension
+    so every float add happens in the same order as the Spark/DuckDB fold
+    expressions (NumPy's .sum() would use pairwise summation and could
+    diverge by an ulp)."""
+    acc = np.zeros((mat.shape[0], book.shape[0]), dtype=np.float64)
+    for t in range(book.shape[1]):
+        diff = mat[:, None, t] - book[None, :, t]
+        acc += diff * diff
+    return acc
+
+
+def pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched PQ encoder: vectorized NumPy argmin per subspace.
+
+    Why a pandas UDF and not pq_encode_expr: the expression form inlines
+    m*k aggregate lambdas (argmin doubles that), and Catalyst's
+    planning/codegen time on that tree is ~10 s PER QUERY regardless of
+    row count — at the k=256 scale setting it would be 2048 lambdas and
+    unplannable. This is the brief's sanctioned pandas-UDF case: the
+    built-in expression language cannot express a k-way argmin without
+    materializing k folds. Bit-identical to pq_encode_expr (asserted in
+    tests) and to the DuckDB oracle (explicit-order accumulation)."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @F.pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(a, dtype=np.float64) for a in v])
+        d = books[0].shape[1]
+        codes = np.stack(
+            [
+                _np_sub_sqdists(x[:, j * d : (j + 1) * d], books[j]).argmin(axis=1)
+                for j in range(len(books))
+            ],
+            axis=1,
+        ).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def pq_lut_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched ADC lookup-table builder for query vectors: flattened
+    m*k array, lut[j*k + i] = ||q_sub_j - codebook[j][i]||^2 (same layout
+    and accumulation order as pq_lut_expr / the SQL oracle)."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @F.pandas_udf("array<double>")
+    def lut(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(a, dtype=np.float64) for a in v])
+        d = books[0].shape[1]
+        flat = np.concatenate(
+            [
+                _np_sub_sqdists(x[:, j * d : (j + 1) * d], books[j])
+                for j in range(len(books))
+            ],
+            axis=1,
+        )
+        return pd.Series(list(flat))
+
+    return lut
+
+
 def pq_adc_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -370,16 +488,15 @@ def pq_adc_topk(
     by ascending approximate squared L2 distance, ties by n_id."""
     m = len(codebooks)
     kk = len(codebooks[0])
-    a = ivf_assign_expr(vec_col, centroids)
     c = emb.select(
         F.col(id_col).alias("n_id"),
-        a.alias("lst"),
-        pq_encode_expr(vec_col, codebooks).alias("codes"),
+        ivf_assign_udf(centroids)(F.col(vec_col)).alias("lst"),
+        pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        pq_lut_expr(vec_col, codebooks).alias("lut"),
-        F.explode(ivf_probe_expr(vec_col, centroids, nprobe)).alias("lst"),
+        pq_lut_udf(codebooks)(F.col(vec_col)).alias("lut"),
+        F.explode(ivf_probe_udf(centroids, nprobe)(F.col(vec_col))).alias("lst"),
     )
     j = q.join(c, "lst").where(F.col("q_id") != F.col("n_id"))
     adc = F.aggregate(

@@ -436,6 +436,39 @@ def test_pq_encode_matches_numpy(emb):
         assert np.array_equal(got, expect), f"subspace {j}"
     # codes stay in range -> the m-int encoding really is the whole payload
     assert all(0 <= c < 8 for codes in out["codes"] for c in codes)
+    # the Arrow-batched UDF encoder (the plannable path — the expression
+    # form's m*k inlined lambdas cost ~10 s of Catalyst time per query)
+    # is bit-identical to the expression form
+    udf_out = (
+        df.select("vec_id", ann.pq_encode_udf(books)("embedding").alias("codes"))
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert [list(c) for c in udf_out["codes"]] == [list(c) for c in out["codes"]]
+    # and the LUT agrees with the expression form bit-for-bit
+    lut_expr = (
+        df.where(F.col("vec_id") < 5)
+        .select("vec_id", ann.pq_lut_expr("embedding", books).alias("lut"))
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    lut_udf = (
+        df.where(F.col("vec_id") < 5)
+        .select("vec_id", ann.pq_lut_udf(books)("embedding").alias("lut"))
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    for a, b in zip(lut_expr["lut"], lut_udf["lut"]):
+        assert list(a) == list(b)
+    # the vectorized IVF assign/probe twins are bit-identical too (they
+    # carry the same explicit-order accumulation contract)
+    cents = ann.ivf_centroids(16, 4, seed=7)
+    a1 = df.select("vec_id", ann.ivf_assign_expr("embedding", cents).alias("l")).orderBy("vec_id").toPandas()
+    a2 = df.select("vec_id", ann.ivf_assign_udf(cents)("embedding").alias("l")).orderBy("vec_id").toPandas()
+    assert a1["l"].tolist() == a2["l"].tolist()
+    p1 = df.select("vec_id", ann.ivf_probe_expr("embedding", cents, 2).alias("p")).orderBy("vec_id").toPandas()
+    p2 = df.select("vec_id", ann.ivf_probe_udf(cents, 2)("embedding").alias("p")).orderBy("vec_id").toPandas()
+    assert [list(x) for x in p1["p"]] == [list(x) for x in p2["p"]]
 
 
 def test_pq_adc_trained_recall(spark):
