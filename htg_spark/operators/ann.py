@@ -285,6 +285,8 @@ def pq_codebooks(
     decimals for SQL-literal parity (same convention as ivf_centroids).
     Plug train_pq() output for a data-trained quantizer — the encode/ADC
     plumbing is identical either way."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must divide evenly into m={m} subspaces")
     rng = np.random.default_rng(seed)
     d = dim // m
     return [
@@ -300,6 +302,8 @@ def train_pq(
     bounded-sample contract as train_centroids: at 100 TB you train on
     ~100k sampled rows and broadcast m*k tiny sub-centroids)."""
     x = np.asarray(sample, dtype=np.float64)
+    if x.shape[1] % m != 0:
+        raise ValueError(f"dim={x.shape[1]} must divide evenly into m={m} subspaces")
     d = x.shape[1] // m
     return [
         train_centroids(x[:, j * d : (j + 1) * d], k=k, iters=iters, seed=seed + j)

@@ -31,16 +31,12 @@ def bigrams_expr(toks: Column) -> Column:
     before this expression: higher-order-function lambdas are interpreted
     with no common-subexpression elimination, so inlining `split(text)`
     inside the lambda re-tokenizes the document for every element —
-    O(tokens^2) per doc (this was an 80x slowdown at 5k docs). zip_with of
-    the two one-off slices touches each token O(1) times."""
-    n = F.size(toks)
-    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
-        F.zip_with(
-            F.slice(toks, F.lit(1), n - 1),
-            F.slice(toks, F.lit(2), n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    )
+    O(tokens^2) per doc (this was an 80x slowdown at 5k docs). Delegates
+    to the general n-gram builder (ONE home for the slice/zip_with
+    construction)."""
+    from .text import ngram_expr
+
+    return ngram_expr(toks, 2)
 
 
 def _shingles(

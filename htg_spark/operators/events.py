@@ -36,10 +36,16 @@ def sessionize(
     break by event id, so the session assignment is total and
     reproducible."""
     gap_us = int(gap_minutes) * 60 * 1_000_000
-    # parquet timestamps arrive as TIMESTAMP_NTZ; the cast makes
-    # unix_micros applicable, and every use below is a DIFFERENCE or an
-    # ordering, so the session-timezone offset the cast introduces cancels
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # naive epoch microseconds via TIMESTAMP_NTZ arithmetic — deliberately
+    # NOT unix_micros(cast(.. as timestamp)), whose session-timezone offset
+    # is only constant in fixed-offset zones: with a DST-observing session
+    # zone, gaps straddling a transition would shift by the DST delta and
+    # split sessions differently from the (naive) DuckDB oracle
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
     w = Window.partitionBy(user_col).orderBy(us.asc(), F.col(id_col).asc())
     flagged = events.select(
         user_col,

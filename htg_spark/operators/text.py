@@ -110,23 +110,33 @@ def repetition_stats(
     fraction of word n-grams that duplicate an earlier occurrence,
     1 - distinct/total, for n = 2 and 3 — the standard cheap
     boilerplate/spam gate a pretraining pipeline applies before any model
-    scoring. Pure array projection: no explode, no shuffle, whole-stage
-    codegen end to end."""
+    scoring. Pure array projection: no explode, no shuffle. The n-gram
+    arrays are MATERIALIZED in an intermediate select before the fraction
+    arithmetic reads them three times each — higher-order-function
+    expressions are CodegenFallback with no reliable common-subexpression
+    elimination, so inlining would rebuild each n-gram array up to 3x per
+    row (same rule as dedup.bigrams_expr)."""
     base = df.select(id_col, tokens_col(F.col(text_col)).alias("_toks"))
-
-    def dup_frac(n: int) -> Column:
-        g = ngram_expr(F.col("_toks"), n)
-        tot = F.size(g)
-        return F.when(
-            tot > 0,
-            F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / tot.cast("double"),
-        ).otherwise(F.lit(0.0))
-
-    return base.select(
+    grams = base.select(
         id_col,
         F.size(F.col("_toks")).cast("long").alias("n_tokens"),
-        dup_frac(2).alias("dup_bigram_frac"),
-        dup_frac(3).alias("dup_trigram_frac"),
+        ngram_expr(F.col("_toks"), 2).alias("_g2"),
+        ngram_expr(F.col("_toks"), 3).alias("_g3"),
+    )
+
+    def dup_frac(col: str) -> Column:
+        tot = F.size(F.col(col))
+        return F.when(
+            tot > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.col(col))).cast("double") / tot.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return grams.select(
+        id_col,
+        "n_tokens",
+        dup_frac("_g2").alias("dup_bigram_frac"),
+        dup_frac("_g3").alias("dup_trigram_frac"),
     )
 
 
