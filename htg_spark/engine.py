@@ -729,14 +729,24 @@ class ElevationEngine:
 
     # -- cogroup (shuffle, salted) strategy -------------------------------------
 
+    # histogram pre-pass sample rate: k_salt needs only order-of-magnitude
+    # per-cell counts (it is clamped to [1, n_salts] and the target is a
+    # RATIO of sampled counts, so the 1/f scale factors cancel) — a 2%
+    # sample makes the pre-pass ~free instead of a second full scan of the
+    # points table per join call. Cells the sample misses default to
+    # k_salt=1 via the coalesce in both join legs, which is exactly right:
+    # a cell too cold to appear in a 2% sample is not a skew cell.
+    HIST_SAMPLE_FRACTION = 0.02
+
     def _salted_inputs(
         self, pts: DataFrame, id_col: str, n_salts: int, blob_source: str = "inline"
     ):
         """Adaptive-salt shuffle inputs for the cogroup join: returns
         (narrow, cat) where `narrow` is (_rid, lat, lon, tile_lat, tile_lon,
         salt) and `cat` is the catalog replicated k_salt(cell) times per
-        cell. The histogram pre-pass counts points per 1-degree cell
-        (bounded by 64,800 cells — safe to collect) and gives each cell
+        cell. The histogram pre-pass counts a HIST_SAMPLE_FRACTION sample
+        of points per 1-degree cell (output bounded by 64,800 cells — safe
+        to collect) and gives each cell
         k(cell) = clamp(ceil(count / target_rows_per_salt), 1, n_salts)
         salt buckets, so only hot cells replicate their tile blob and cold
         cells cross the shuffle once. Exposed separately from _join_cogroup
@@ -749,14 +759,30 @@ class ElevationEngine:
             cells.tile_lat(F.col("lat")).alias("tile_lat"),
             cells.tile_lon(F.col("lon")).alias("tile_lon"),
         )
-        hist = narrow.groupBy("tile_lat", "tile_lon").count().collect()
+        hist = (
+            narrow.sample(fraction=self.HIST_SAMPLE_FRACTION, seed=42)
+            .groupBy("tile_lat", "tile_lon")
+            .count()
+            .collect()
+        )
         total_rows = sum(r["count"] for r in hist) or 1
         slots = pts.sparkSession.sparkContext.defaultParallelism
         target = max(total_rows / max(slots * 2, 1), 1.0)
         import math
 
+        # salt only cells ABOVE 2x the per-slot target: a cell under 2x is
+        # ordinary partition imbalance, not skew, and the 2x guard band also
+        # absorbs the sampling noise of borderline-cold cells (a cell whose
+        # sampled count is within noise of the target must not flap into
+        # k_salt=2 and needlessly replicate its blob)
         salt_rows = [
-            (r["tile_lat"], r["tile_lon"], int(min(max(math.ceil(r["count"] / target), 1), n_salts)))
+            (
+                r["tile_lat"],
+                r["tile_lon"],
+                1
+                if r["count"] <= 2 * target
+                else int(min(math.ceil(r["count"] / target), n_salts)),
+            )
             for r in hist
         ]
         salt_df = F.broadcast(

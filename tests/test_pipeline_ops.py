@@ -313,6 +313,27 @@ def test_connected_components_raises_on_nonconvergence(spark):
     assert set(out["group_id"]) == {0}
 
 
+def test_connected_components_path_graph_log_rounds(spark):
+    """High-diameter hardening: a 1,000-vertex path (diameter 999) must
+    converge in O(log n) rounds via the pointer-doubling shortcut — plain
+    min-label propagation would need 999 rounds. 2^k doubling plus the
+    one shortcut-free first round and the final no-change confirmation
+    round bounds this at ~13; assert a comfortable margin under the old
+    O(diameter) behavior."""
+    n = 1000
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    verts = spark.createDataFrame(pd.DataFrame({"cid": list(range(n))}))
+    stats: dict = {}
+    out = dedup.connected_components(
+        pairs, verts, id_col="cid", max_iter=25, stats=stats
+    ).toPandas()
+    assert set(out["group_id"]) == {0}
+    assert out.shape[0] == n
+    assert stats["rounds"] <= 16, stats
+
+
 def test_rolling_fingerprint(spark):
     """Position-sensitive: a token swap changes the fingerprint (min-shingle
     would often survive it); value matches the Python reference fold."""
