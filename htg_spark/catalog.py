@@ -177,7 +177,11 @@ def tile_inventory(catalog: DataFrame) -> DataFrame:
 def preload(catalog: DataFrame, boxes: list | None = None):
     """Warm the catalog like SrtmService::preload (service.rs:685-722):
     optional bbox pruning (strict-inequality overlap, service.rs:102-110),
-    then persist + count. Returns (persisted_df, matched_count)."""
+    then persist + a per-tile decode check in ONE distributed pass — the
+    warm job doubles as the per-tile error channel PreloadStats needs
+    (service.rs:707-711 Ok/Err per load_tile). Returns
+    (persisted_df, [(tile_lat, tile_lon, ok), ...]) where ok=False marks a
+    tile whose blob failed to decode (matched count = len of the list)."""
     df = catalog
     if boxes:
         pred = None
@@ -188,4 +192,22 @@ def preload(catalog: DataFrame, boxes: list | None = None):
             pred = p if pred is None else (pred | p)
         df = df.where(pred)
     df = df.persist()
-    return df, df.count()
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok = []
+            for d in pdf["data"]:
+                try:
+                    hgt.decode_tile(bytes(d))
+                    ok.append(True)
+                except Exception:
+                    ok.append(False)
+            yield pd.DataFrame(
+                {"tile_lat": pdf["tile_lat"], "tile_lon": pdf["tile_lon"], "ok": ok}
+            )
+
+    # keys + a bool per tile — bounded by the 64,800-cell world, collect-safe
+    rows = df.select("tile_lat", "tile_lon", "data").mapInPandas(
+        check, schema="tile_lat int, tile_lon int, ok boolean"
+    ).collect()
+    return df, [(r.tile_lat, r.tile_lon, bool(r.ok)) for r in rows]

@@ -131,8 +131,12 @@ class _GridCache:
 # Per-worker cache registry, LRU over engine tokens: long-lived Python
 # workers outlive driver-side engines, and clear_cache() rotates the token,
 # so stale tokens must be EVICTED (not just orphaned) or every rotation
-# strands up to cache_size decoded grids per worker forever.
-_MAX_CACHE_TOKENS = 4
+# strands up to cache_size decoded grids per worker forever. The cap bounds
+# how many engines can share a worker before an ACTIVE engine's grids get
+# evicted mid-job (correct results, silent re-decode churn) — 16 engines x
+# 64-grid default is comfortably past any realistic concurrent-engine count
+# while still reclaiming rotated tokens promptly.
+_MAX_CACHE_TOKENS = 16
 _EXECUTOR_CACHE: "OrderedDict[str, _GridCache]" = OrderedDict()
 
 
@@ -356,8 +360,12 @@ class ElevationEngine:
         else:
             raise ValueError("one of catalog / grids / tile_dir is required")
         self._bcast = None
-        # lazily measured ONCE (catalog is immutable): (n_tiles, total_bytes)
-        self._catalog_stats: tuple[int, int] | None = None
+        # tiles warmed by previous preload() calls — the driver-side ledger
+        # behind PreloadStats.tiles_already_cached (service.rs:705-708)
+        self._preloaded_keys: set[tuple[int, int]] = set()
+        # lazily measured ONCE (catalog is immutable): (n_tiles, total_bytes);
+        # total_bytes is None while unmeasured (see _measure_catalog)
+        self._catalog_stats: tuple[int, int | None] | None = None
         # serializes the lazy one-time catalog work (blob collect+broadcast,
         # stats agg) against preload(blocking=False)'s background thread —
         # without it two threads can each collect the full raw-blob catalog
@@ -424,13 +432,20 @@ class ElevationEngine:
         return [float(default) if np.isnan(v) else float(v) for v in res["elevation"]]
 
     def preload(self, bounds=None, blocking: bool = True):
-        """Warm the catalog (service.rs:685-722): persist + count, optional
-        bbox pruning. Returns a PreloadStats-like dict.
+        """Warm the catalog (service.rs:685-722): persist + per-tile decode
+        check, optional bbox pruning. Returns the full PreloadStats dict
+        (service.rs:114-126): tiles_matched / tiles_loaded /
+        tiles_already_cached / tiles_failed / elapsed_ms. A repeat preload
+        reports already_cached=matched, loaded=0 (service.rs preload tests:
+        test_preload_already_cached); a tile whose blob fails to decode
+        counts in tiles_failed and will be retried by the next preload.
 
         blocking=False reproduces the reference's background-thread variant
         (htg-python/src/lib.rs:297-300): the warm-up runs on a daemon
         thread and this call returns None immediately; wait_preload()
-        joins the thread and returns the stats."""
+        joins the thread and returns the stats. Only one background preload
+        may be in flight at a time — a second call while one is running
+        raises (two unguarded threads would race each other's stats)."""
         import time as _time
 
         from . import catalog as cat_mod
@@ -439,6 +454,13 @@ class ElevationEngine:
             # InheritableThread propagates the py4j auth/session context
             # (plain threading.Thread can race SparkContext shutdown)
             from pyspark import InheritableThread
+
+            prev = getattr(self, "_preload_thread", None)
+            if prev is not None and prev.is_alive():
+                raise RuntimeError(
+                    "a background preload is already in flight; call "
+                    "wait_preload() before starting another"
+                )
 
             def _bg():
                 try:
@@ -459,15 +481,28 @@ class ElevationEngine:
             boxes = bounds if isinstance(bounds, list) else [bounds]
         # warm only: tiles outside the boxes stay queryable (the reference's
         # preload fills the cache, it never narrows coverage)
-        _warmed, matched = cat_mod.preload(self.catalog, boxes)
+        _warmed, tile_checks = cat_mod.preload(self.catalog, boxes)
+        loaded = already = failed = 0
+        with self._prep_lock:
+            warmed_keys = self._preloaded_keys
+            for tl, tn, ok in tile_checks:
+                if (tl, tn) in warmed_keys:
+                    already += 1
+                elif ok:
+                    loaded += 1
+                    warmed_keys.add((tl, tn))
+                else:
+                    failed += 1
         # blob broadcast collects every tile to the driver — safe only for
         # broadcast-sized catalogs; past the threshold (exactly when preload
         # matters most) the warmed catalog persist above is the preload
         if self._fits_broadcast():
             self._broadcast_blobs()
         return {
-            "tiles_matched": matched,
-            "tiles_loaded": matched,
+            "tiles_matched": len(tile_checks),
+            "tiles_loaded": loaded,
+            "tiles_already_cached": already,
+            "tiles_failed": failed,
             "elapsed_ms": round((_time.perf_counter() - t0) * 1000, 1),
         }
 
@@ -503,11 +538,16 @@ class ElevationEngine:
         KEEPS the cumulative hit/miss counters — test_clear_cache asserts
         miss_count continues at 2 after a clear). Executor-side caches are
         namespaced by the engine token, so rotating it makes every reused
-        worker re-decode on the next job."""
+        worker re-decode on the next job. The preload ledger resets too:
+        after a clear, the next preload() re-loads every tile rather than
+        reporting it already_cached (matching the reference, where preload
+        consults the just-emptied moka cache)."""
         import uuid
 
         self._local_cache().data.clear()
         self._cache_token = uuid.uuid4().hex
+        with self._prep_lock:
+            self._preloaded_keys.clear()
 
     def cache_capacity(self) -> int:
         """service.rs:1174-1180."""
@@ -531,28 +571,50 @@ class ElevationEngine:
 
     # -- catalog helpers ---------------------------------------------------
 
-    def _measure_catalog(self) -> tuple[int, int]:
-        """(n_tiles, total_blob_bytes) in ONE cached aggregation — a Spark
-        action must not sit in the hot path of every repeated join."""
+    def _measure_catalog(self) -> tuple[int, int | None]:
+        """(n_tiles, total_blob_bytes) — cached; a Spark action must not sit
+        in the hot path of every repeated join. The tile COUNT is measured
+        first; when it alone already exceeds BROADCAST_MAX_TILES the byte
+        aggregation is skipped (total_bytes stays None) — the broadcast gate
+        is decided either way, and summing length(data) over a huge
+        tile_dir catalog would force a full read of every raster blob
+        exactly when the catalog is too big for that to be cheap. Callers
+        that genuinely need the byte total use catalog_bytes(), which
+        measures on demand."""
         if self._catalog_stats is None:
             with self._prep_lock:
                 if self._catalog_stats is None:
-                    row = self.catalog.agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum(F.length("data")).alias("nbytes"),
-                    ).collect()[0]
-                    self._catalog_stats = (int(row["n"]), int(row["nbytes"] or 0))
+                    n = self.catalog.count()
+                    if n > self.BROADCAST_MAX_TILES:
+                        self._catalog_stats = (n, None)
+                    else:
+                        row = self.catalog.agg(
+                            F.sum(F.length("data")).alias("nbytes")
+                        ).collect()[0]
+                        self._catalog_stats = (n, int(row["nbytes"] or 0))
         return self._catalog_stats
 
     def n_tiles(self) -> int:
         return self._measure_catalog()[0]
 
     def catalog_bytes(self) -> int:
-        return self._measure_catalog()[1]
+        n, nbytes = self._measure_catalog()
+        if nbytes is None:
+            with self._prep_lock:
+                n, nbytes = self._catalog_stats
+                if nbytes is None:
+                    row = self.catalog.agg(
+                        F.sum(F.length("data")).alias("nbytes")
+                    ).collect()[0]
+                    nbytes = int(row["nbytes"] or 0)
+                    self._catalog_stats = (n, nbytes)
+        return nbytes
 
     def _fits_broadcast(self) -> bool:
         n, nbytes = self._measure_catalog()
-        return n <= self.BROADCAST_MAX_TILES and nbytes <= self.BROADCAST_MAX_BYTES
+        if n > self.BROADCAST_MAX_TILES:
+            return False
+        return nbytes <= self.BROADCAST_MAX_BYTES
 
     def _broadcast_blobs(self):
         if self._bcast is None:

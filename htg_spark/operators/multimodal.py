@@ -38,21 +38,77 @@ def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     return _decode_external(data, fmt)
 
 
+def _decode_stacks(pdf: pd.DataFrame):
+    """Yield (positions, stack) per uniform-(w, h, fmt) subgroup of an Arrow
+    batch: `positions` are 0-based row positions into `pdf` and `stack` is
+    the (n, h, w, 3) uint8 pixel block for those rows.
+
+    Fixed-shape codecs (raw / rawz) decode as ONE np.frombuffer over the
+    concatenated buffers — no per-row array construction (the per-row
+    itertuples loop was the multimodal hot-path cost flagged in review;
+    rawz still pays one zlib.decompress call per row, which is the codec,
+    not the plumbing). PPM keeps a per-row parse (its header is per-image)
+    but still batches into one stack. Per-row size validation is preserved
+    exactly (decode_pixels raises the same errors)."""
+    import zlib
+
+    pdf = pdf.reset_index(drop=True)
+    for (w, h, fmt), pos in pdf.groupby(["w", "h", "fmt"], sort=False).indices.items():
+        w, h = int(w), int(h)
+        blobs = pdf["bytes"].to_numpy()[pos]
+        if fmt in ("raw", "rawz"):
+            bufs = (
+                [zlib.decompress(bytes(b)) for b in blobs]
+                if fmt == "rawz"
+                else [bytes(b) for b in blobs]
+            )
+            for b in bufs:
+                if len(b) != w * h * 3:
+                    raise ValueError(f"payload size {len(b)} != {w}*{h}*3")
+            stack = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(
+                len(pos), h, w, 3
+            )
+        else:
+            stack = np.stack(
+                [decode_pixels(bytes(b), w, h, fmt) for b in blobs]
+            )
+        yield pos, stack
+
+
 def image_stats(images: DataFrame) -> DataFrame:
     """Per-image channel statistics, decoded vectorized in Arrow batches:
-    (image_id, mean_r, mean_g, mean_b, std_all, psnr_vs_roundtrip)."""
+    (image_id, mean_r, mean_g, mean_b, std_all).
+
+    Channel means reduce the uint8 stack directly with a float64
+    accumulator — integer-valued sums are exact in float64, so the values
+    are bit-identical to a per-image astype(float64).mean(). The std pass
+    does materialize float64, so it runs in bounded row chunks."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"image_id": [], "mean_r": [], "mean_g": [], "mean_b": [], "std_all": []}
-            for r in pdf.itertuples(index=False):
-                px = decode_pixels(bytes(r.bytes), int(r.w), int(r.h), r.fmt).astype(np.float64)
-                out["image_id"].append(r.image_id)
-                out["mean_r"].append(float(px[:, :, 0].mean()))
-                out["mean_g"].append(float(px[:, :, 1].mean()))
-                out["mean_b"].append(float(px[:, :, 2].mean()))
-                out["std_all"].append(float(px.std()))
-            yield pd.DataFrame(out)
+            n = len(pdf)
+            mean_r = np.empty(n)
+            mean_g = np.empty(n)
+            mean_b = np.empty(n)
+            std_all = np.empty(n)
+            for pos, stack in _decode_stacks(pdf):
+                mean_r[pos] = stack[:, :, :, 0].mean(axis=(1, 2), dtype=np.float64)
+                mean_g[pos] = stack[:, :, :, 1].mean(axis=(1, 2), dtype=np.float64)
+                mean_b[pos] = stack[:, :, :, 2].mean(axis=(1, 2), dtype=np.float64)
+                for s in range(0, len(pos), 1024):
+                    blk = stack[s : s + 1024].astype(np.float64)
+                    std_all[pos[s : s + 1024]] = blk.reshape(blk.shape[0], -1).std(
+                        axis=1
+                    )
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "mean_r": mean_r,
+                    "mean_g": mean_g,
+                    "mean_b": mean_b,
+                    "std_all": std_all,
+                }
+            )
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         run, schema="image_id string, mean_r double, mean_g double, mean_b double, std_all double"
@@ -61,21 +117,23 @@ def image_stats(images: DataFrame) -> DataFrame:
 
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize to (out_w, out_h); output re-encoded 'raw'.
-    (image_id, bytes, w, h, fmt) with the same schema as the input table."""
+    (image_id, bytes, w, h, fmt) with the same schema as the input table.
+    The gather indices are shared per uniform-shape subgroup, so the whole
+    group resizes in one fancy-index over the stacked block."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, blobs = [], []
-            for r in pdf.itertuples(index=False):
-                px = decode_pixels(bytes(r.bytes), int(r.w), int(r.h), r.fmt)
-                ri = (np.arange(out_h) * r.h // out_h).astype(np.int64)
-                ci = (np.arange(out_w) * r.w // out_w).astype(np.int64)
-                res = px[ri][:, ci]
-                ids.append(r.image_id)
-                blobs.append(res.tobytes())
+            blobs = [None] * len(pdf)
+            for pos, stack in _decode_stacks(pdf):
+                h, w = stack.shape[1], stack.shape[2]
+                ri = (np.arange(out_h) * h // out_h).astype(np.int64)
+                ci = (np.arange(out_w) * w // out_w).astype(np.int64)
+                res = np.ascontiguousarray(stack[:, ri][:, :, ci])
+                for j, p in enumerate(pos):
+                    blobs[p] = res[j].tobytes()
             yield pd.DataFrame(
                 {
-                    "image_id": ids,
+                    "image_id": pdf["image_id"],
                     "bytes": blobs,
                     "w": np.int32(out_w),
                     "h": np.int32(out_h),
@@ -91,24 +149,27 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
     """Deterministic pixel-derived embedding (downsampled grayscale grid,
     L2-normalized) — the feature-extraction plumbing for the ANN operators;
-    swap the body for a real model on a cluster with one."""
+    swap the body for a real model on a cluster with one. Grayscale +
+    subsample + normalize run per uniform-shape subgroup on the stacked
+    block (the 3-element channel mean is exact in float64 either way)."""
     side = int(np.sqrt(dim))
     assert side * side == dim
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, vecs = [], []
-            for r in pdf.itertuples(index=False):
-                px = decode_pixels(bytes(r.bytes), int(r.w), int(r.h), r.fmt).astype(np.float64)
-                gray = px.mean(axis=2)
-                ri = (np.arange(side) * r.h // side).astype(np.int64)
-                ci = (np.arange(side) * r.w // side).astype(np.int64)
-                v = gray[ri][:, ci].ravel()
-                n = np.linalg.norm(v)
-                v = (v / n if n > 0 else v).astype(np.float32)
-                ids.append(r.image_id)
-                vecs.append(v.tolist())
-            yield pd.DataFrame({"image_id": ids, "embedding": vecs})
+            vecs = [None] * len(pdf)
+            for pos, stack in _decode_stacks(pdf):
+                h, w = stack.shape[1], stack.shape[2]
+                gray = stack.mean(axis=3, dtype=np.float64)
+                ri = (np.arange(side) * h // side).astype(np.int64)
+                ci = (np.arange(side) * w // side).astype(np.int64)
+                v = gray[:, ri][:, :, ci].reshape(len(pos), dim)
+                norms = np.linalg.norm(v, axis=1)
+                v = np.where(norms[:, None] > 0, v / np.where(norms == 0, 1.0, norms)[:, None], v)
+                v32 = v.astype(np.float32)
+                for j, p in enumerate(pos):
+                    vecs[p] = v32[j].tolist()
+            yield pd.DataFrame({"image_id": pdf["image_id"], "embedding": vecs})
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         run, schema="image_id string, embedding array<float>"

@@ -117,6 +117,90 @@ def test_preload_all_and_bbox(spark):
     assert eng4.preload(bounds=(-10.0, -10.0, -9.0, -9.0))["tiles_matched"] == 0
 
 
+def test_preload_stats_progression(spark):
+    """Full PreloadStats field parity (service.rs:114-126; populated
+    685-722): first preload loads every matched tile; a repeat reports
+    already_cached=matched, loaded=0 (test_preload_already_cached,
+    service.rs:1343-1360); a bbox preload over a warm subset mixes the two;
+    clear_cache resets the ledger so tiles load again; a corrupt blob lands
+    in tiles_failed (the Err arm of load_tile, service.rs:707-711) and is
+    retried — not remembered as cached — on the next call."""
+    eng = ElevationEngine(spark, grids=fixtures.default_catalog_grids())
+    s1 = eng.preload()
+    assert s1["tiles_matched"] == 5
+    assert s1["tiles_loaded"] == 5
+    assert s1["tiles_already_cached"] == 0
+    assert s1["tiles_failed"] == 0
+    s2 = eng.preload()
+    assert s2["tiles_matched"] == 5
+    assert s2["tiles_loaded"] == 0
+    assert s2["tiles_already_cached"] == 5
+    assert s2["tiles_failed"] == 0
+    # bbox subset of an already-warm catalog: all cached, nothing loaded
+    s3 = eng.preload(bounds=(35.2, 138.2, 35.8, 138.8))
+    assert s3["tiles_matched"] == 1
+    assert s3["tiles_already_cached"] == 1
+    assert s3["tiles_loaded"] == 0
+    # clear_cache invalidates: the next preload re-loads (reference preload
+    # consults the just-emptied moka cache)
+    eng.clear_cache()
+    s4 = eng.preload()
+    assert s4["tiles_loaded"] == 5
+    assert s4["tiles_already_cached"] == 0
+
+    # corrupt tile -> tiles_failed, and failures are retried, never cached
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    good = ElevationEngine(spark, grids={(35, 138): fixtures.tile_center(500)})
+    bad_row = (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "tile_lat": [36],
+                    "tile_lon": [139],
+                    "samples": [1201],
+                    "filename": ["N36E139.hgt"],
+                }
+            )
+        )
+        .select(
+            F.col("tile_lat").cast("int"),
+            F.col("tile_lon").cast("int"),
+            F.col("samples").cast("int"),
+            "filename",
+        )
+        .withColumn("data", F.lit(b"\x00\x01\x02"))  # not a valid HGT size
+    )
+    cat = good.catalog.unionByName(bad_row)
+    eng_bad = ElevationEngine(spark, catalog=cat)
+    b1 = eng_bad.preload()
+    assert b1["tiles_matched"] == 2
+    assert b1["tiles_loaded"] == 1
+    assert b1["tiles_failed"] == 1
+    b2 = eng_bad.preload()
+    assert b2["tiles_already_cached"] == 1
+    assert b2["tiles_failed"] == 1  # still failing, still reported
+
+
+def test_preload_nonblocking_refuses_concurrent(spark):
+    """Two overlapping preload(blocking=False) calls would race each other's
+    stats/error slots — the second must refuse while the first runs, and
+    succeed after wait_preload drains it."""
+    import pytest as _pytest
+
+    eng = ElevationEngine(spark, grids=fixtures.default_catalog_grids())
+    assert eng.preload(blocking=False) is None
+    t = eng._preload_thread
+    if t.is_alive():  # still in flight: the guard must trip
+        with _pytest.raises(RuntimeError, match="already in flight"):
+            eng.preload(blocking=False)
+    eng.wait_preload(timeout=120)
+    # drained: a new background preload is accepted
+    assert eng.preload(blocking=False) is None
+    assert eng.wait_preload(timeout=120)["tiles_matched"] == 5
+
+
 def test_preload_nonblocking(spark):
     """preload(bounds, blocking=False) parity (htg-python/src/lib.rs:297-300):
     returns None immediately, warms on a background thread; stats become
