@@ -120,6 +120,45 @@ def main():
             },
         }
 
+    # ANN recall at one order above fixture scale (VERDICT r3 item 10):
+    # parameter-rule regressions surface as recall numbers, not just
+    # fixture-pinned pytest constants. Opt out with SPARK_GRAFT_RECALL=0.
+    ann_recall = None
+    if os.environ.get("SPARK_GRAFT_RECALL", "1") != "0":
+        from htg_spark.bench_queries import ann_recall_at_scale
+
+        t0 = time.perf_counter()
+        ann_recall = ann_recall_at_scale(spark)
+        ann_recall["elapsed_sec"] = round(time.perf_counter() - t0, 3)
+
+    # Per-query regression gate: compare against the best reproducible
+    # minima on record (BENCH_BASELINE.json). Only armed in a CLEAN host
+    # window (the warmup canary is a fixed workload, so it measures the
+    # host's per-process throttle, not the queries) — flagging in a dirty
+    # window would just re-report host noise.
+    regressions = {}
+    canary_clean = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_BASELINE.json")) as f:
+            base = json.load(f)
+        canary_clean = warmup_sec <= base.get("clean_canary_sec", 4.0)
+        if canary_clean:
+            for qname, t in times.items():
+                b = base.get("queries", {}).get(qname)
+                if b and t > base.get("ratio", 1.5) * b:
+                    regressions[qname] = {
+                        "sec": t, "baseline_sec": b, "ratio": round(t / b, 2)
+                    }
+        if regressions:
+            print(
+                "REGRESSION GATE (clean canary "
+                f"{warmup_sec}s): {json.dumps(regressions)}",
+                file=sys.stderr,
+            )
+    except FileNotFoundError:
+        pass
+
     print(
         json.dumps(
             {
@@ -135,6 +174,9 @@ def main():
                 "replicate": replicate,
                 "warmup_sec": warmup_sec,
                 "sf1": sf1,
+                "ann_recall": ann_recall,
+                "canary_clean": canary_clean,
+                "regressions": regressions or None,
             }
         )
     )

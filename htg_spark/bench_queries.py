@@ -109,3 +109,124 @@ def run_join(eng: ElevationEngine, pts: DataFrame, mode: str, strategy: str, **k
         F.sum(F.col("tile_found").cast("long")).alias("found"),
     ).collect()[0]
     return row["n"], row["chk"], row["found"]
+
+
+def ann_recall_at_scale(
+    spark: SparkSession,
+    n: int = 100_000,
+    dim: int = 64,
+    n_queries: int = 50,
+    k: int = 10,
+    seed: int = 5,
+):
+    """Recall@k of the three approximate ANN paths against exact cosine
+    ground truth, at one order of magnitude above fixture scale and at the
+    params_for(n) settings those paths would actually use there — so a
+    regression in the parameter rules (planes/tables/centroids/nprobe/PQ
+    codes) shows up as a recall NUMBER in the bench record, not just as a
+    fixture-scale pytest that pins tiny constants.
+
+    Corpus: PLANTED CLUSTERS — n/10 seeded unit centers, 10 members each
+    with total noise norm ~0.25 (the per-coordinate sigma is
+    0.25/sqrt(dim); member-to-member cosine ~0.94). This is the
+    regime the parameter rules are designed for (near-neighbor retrieval;
+    real embedding corpora are clustered): a query's true top-k are its
+    cluster mates, so recall measures whether the planes/tables/nprobe
+    rules actually find near neighbors. An isotropic-random corpus would
+    instead measure retrieval of ~0.5-cosine points — outside any LSH
+    family's design envelope — and reads as a constant ~0 regardless of
+    parameter quality. Unit norm also makes the PQ path's L2 ranking
+    consistent with the cosine ground truth (||a-b||^2 = 2 - 2cos).
+    Ground truth is a driver-side exact NumPy top-k — 50 queries x 100k
+    corpus is a 40 MB similarity matrix, bounded by construction.
+    Quantizers are TRAINED on bounded samples (the operators' real
+    at-scale contract), not the fixture's deterministic synthetic
+    codebooks."""
+    import pandas as pd
+
+    from .operators import ann
+    from .operators.params import params_for
+
+    P = params_for(n)
+    rng = np.random.default_rng(seed)
+    n_clusters = max(n // 10, 1)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    mat = np.repeat(centers, n // n_clusters, axis=0)[:n]
+    mat = mat + (0.25 / np.sqrt(dim)) * rng.standard_normal((n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # shuffle so cluster mates are scattered across ids/partitions (vec_id
+    # order must not encode cluster membership)
+    mat = mat[rng.permutation(n)]
+    mat32 = mat.astype(np.float32)
+
+    # exact ground truth: cosine == dot for unit vectors; self excluded to
+    # match the operators' q_id != n_id filter; ties broken by n_id asc
+    qm = mat32[:n_queries].astype(np.float64)
+    sims = qm @ mat32.astype(np.float64).T
+    sims[np.arange(n_queries), np.arange(n_queries)] = -np.inf
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    truth = [set(row.tolist()) for row in order]
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.tolist() for v in mat32],
+        }
+    )
+    emb = (
+        spark.createDataFrame(pdf)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    emb.count()
+    queries = emb.where(F.col("vec_id") < n_queries)
+
+    tables = ann.hyperplane_tables(
+        dim, n_planes=P.neardup_planes, n_tables=P.neardup_tables, seed=42
+    )
+    # bounded training samples: train_centroids materializes an
+    # (n_sample, k, dim) distance tensor per iteration
+    cents = ann.train_centroids(
+        mat[rng.choice(n, size=8_000, replace=False)], k=P.ivf_centroids,
+        iters=5, seed=7,
+    )
+    books = ann.train_pq(
+        mat[rng.choice(n, size=10_000, replace=False)], m=P.pq_m, k=P.pq_codes,
+        iters=5, seed=11,
+    )
+
+    def recall(df):
+        got = df.select("q_id", "n_id").toPandas()
+        hits = sum(
+            len(set(g) & truth[int(q)])
+            for q, g in got.groupby("q_id")["n_id"]
+        )
+        return round(hits / (n_queries * k), 4)
+
+    out = {
+        "lsh_multi": recall(ann.lsh_topk_multi(emb, queries, tables, k=k)),
+        "ivf": recall(
+            ann.ivf_topk(emb, queries, cents, k=k, nprobe=P.ivf_nprobe)
+        ),
+        "ivf_pq": recall(
+            ann.pq_adc_topk(
+                emb, queries, cents, books, k=k, nprobe=P.ivf_nprobe
+            )
+        ),
+    }
+    emb.unpersist()
+    return {
+        "n": n,
+        "k": k,
+        "n_queries": n_queries,
+        "params": {
+            "neardup_planes": P.neardup_planes,
+            "neardup_tables": P.neardup_tables,
+            "ivf_centroids": P.ivf_centroids,
+            "ivf_nprobe": P.ivf_nprobe,
+            "pq_m": P.pq_m,
+            "pq_codes": P.pq_codes,
+        },
+        "recall": out,
+    }

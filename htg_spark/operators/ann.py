@@ -140,26 +140,40 @@ def lsh_topk_multi(
 ) -> DataFrame:
     """Multi-table approximate top-k: candidates from ANY table's bucket
     collision (union + dedup), exact cosine rank on candidates only. Recall
-    rises geometrically with table count at constant per-table join cost."""
+    rises geometrically with table count at constant per-table join cost.
+
+    Hot path is Arrow-batched (lsh_buckets_udf computes all T buckets in
+    one vectorized call; cosine_udf ranks candidates) — bit-identical to
+    the retained expression forms (lsh_bucket_expr / dot_expr), which stay
+    as the SQL-oracle parity reference. T x planes inlined HOF folds were
+    both a Catalyst planning cliff and interpreted per row at execution
+    (CodegenFallback, no CSE)."""
+    bkcol = lsh_buckets_udf(tables)
+    # lazy checkpoints: each of the T branches references q and c, and
+    # Spark has no cross-branch subtree reuse — without materialization the
+    # bucket UDF would re-scan the corpus T times
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        *_bucket_cols(vec_col, tables),
-    )
+        bkcol(F.col(vec_col)).alias("bks"),
+    ).localCheckpoint(eager=False)
     c = emb.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-        *_bucket_cols(vec_col, tables),
-    )
+        bkcol(F.col(vec_col)).alias("bks"),
+    ).localCheckpoint(eager=False)
     cand = None
     for t in range(len(tables)):
         p = (
-            q.select("q_id", "q_vec", F.col(f"bk{t}").alias("bk"))
-            .join(c.select("n_id", "n_vec", F.col(f"bk{t}").alias("bk")), "bk")
+            q.select("q_id", "q_vec", F.element_at("bks", t + 1).alias("bk"))
+            .join(
+                c.select("n_id", "n_vec", F.element_at("bks", t + 1).alias("bk")),
+                "bk",
+            )
             .where(F.col("q_id") != F.col("n_id"))
             .select("q_id", "n_id", "q_vec", "n_vec")
         )
         cand = p if cand is None else cand.unionByName(p)
     cand = cand.dropDuplicates(["q_id", "n_id"])
-    cos = (dot_expr("q_vec", "n_vec") / (norm_expr("q_vec") * norm_expr("n_vec"))).alias("cosine")
+    cos = cosine_udf()(F.col("q_vec"), F.col("n_vec")).alias("cosine")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (
         cand.select("q_id", "n_id", cos)
@@ -251,16 +265,27 @@ def ivf_topk(
     """IVF search: corpus rows are bucketed by nearest centroid (inverted
     lists = partitioned layout); each query probes its `nprobe` nearest
     lists. The list equi-join is the 100TB shape — probing more lists
-    multiplies candidates by nprobe/C, never by N."""
-    a = ivf_assign_expr(vec_col, centroids)
+    multiplies candidates by nprobe/C, never by N.
+
+    Hot path is Arrow-batched (ivf_assign_udf / ivf_probe_udf /
+    cosine_udf) — bit-identical to the retained expression forms
+    (ivf_assign_expr / ivf_probe_expr / dot_expr), which stay as the
+    SQL-oracle parity reference; k inlined centroid-dot HOF folds were a
+    Catalyst planning cliff AND interpreted per corpus row at execution
+    (CodegenFallback) — minutes at k=128 over 10^5 rows, where the
+    vectorized assignment is sub-second."""
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(ivf_probe_expr(vec_col, centroids, nprobe)).alias("lst"),
+        F.explode(ivf_probe_udf(centroids, nprobe)(F.col(vec_col))).alias("lst"),
     )
-    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), a.alias("lst"))
+    c = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        ivf_assign_udf(centroids)(F.col(vec_col)).alias("lst"),
+    )
     j = q.join(c, "lst").where(F.col("q_id") != F.col("n_id"))
-    cos = (dot_expr("q_vec", "n_vec") / (norm_expr("q_vec") * norm_expr("n_vec"))).alias("cosine")
+    cos = cosine_udf()(F.col("q_vec"), F.col("n_vec")).alias("cosine")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (
         j.select("q_id", "n_id", cos)
@@ -352,6 +377,60 @@ def pq_lut_expr(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
             for c in book
         ]
     )
+
+
+def _np_pair_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-paired dot products (n,) accumulated with an EXPLICIT
+    left-to-right loop over the dimension — bit-identical to dot_expr's
+    0.0-seeded fold (NumPy .sum()/einsum would pairwise-reorder the
+    adds)."""
+    acc = np.zeros(len(a), dtype=np.float64)
+    for t in range(a.shape[1]):
+        acc += a[:, t] * b[:, t]
+    return acc
+
+
+def cosine_udf():
+    """Arrow-batched cosine of two array columns — bit-identical to
+    dot_expr/norm_expr (explicit left-to-right folds, same division
+    order). The vectorized rank path for candidate sets large enough that
+    interpreted HOF folds dominate (HOFs are CodegenFallback)."""
+
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack([np.asarray(x, dtype=np.float64) for x in va])
+        b = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
+        dot = _np_pair_dot(a, b)
+        na = np.sqrt(_np_pair_dot(a, a))
+        nb = np.sqrt(_np_pair_dot(b, b))
+        return pd.Series(dot / (na * nb))
+
+    return cos
+
+
+def lsh_buckets_udf(tables: list[list[list[float]]]):
+    """Arrow-batched multi-table LSH bucket ids: array<int> of one bucket
+    per table — bit-identical to lsh_bucket_expr per table (the sign test
+    uses the same left-to-right dot; the bit-pack is exact integer math).
+    One UDF call replaces T x planes inlined fold expressions."""
+    mats = [np.asarray(p, dtype=np.float64) for p in tables]
+
+    @F.pandas_udf("array<int>")
+    def bk(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(a, dtype=np.float64) for a in v])
+        cols = []
+        for m in mats:
+            d = _np_dots(x, m)
+            bits = ((d > 0) * (1 << np.arange(m.shape[0]))[None, :]).sum(axis=1)
+            cols.append(bits.astype(np.int32))
+        arr = np.stack(cols, axis=1)
+        return pd.Series(list(arr))
+
+    return bk
 
 
 def _np_dots(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
