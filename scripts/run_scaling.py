@@ -206,9 +206,16 @@ def main():
     args.points_path = "/tmp/scaling_points"
     import shutil
 
-    shutil.rmtree(args.points_path, ignore_errors=True)
-    n = gen_points_parquet(args.sf_dir, args.replicate, args.points_path)
-    print(f"generated {n:,} points at {args.points_path}", flush=True)
+    if args.mode == "dedup":
+        # the dedup job builds its own corpus from documents.parquet and
+        # never reads the points table — generating replicate x 600k points
+        # here would be pure wasted minutes/GB at the large replicates the
+        # CPU-bound workload needs
+        print("dedup mode: skipping points generation", flush=True)
+    else:
+        shutil.rmtree(args.points_path, ignore_errors=True)
+        n = gen_points_parquet(args.sf_dir, args.replicate, args.points_path)
+        print(f"generated {n:,} points at {args.points_path}", flush=True)
     if args.standalone:
         stop_cluster()
         start_master()
