@@ -158,6 +158,8 @@ def main():
             )
     except FileNotFoundError:
         pass
+    except Exception as e:  # the gate is advisory — never lose the run's JSON
+        print(f"regression gate skipped (bad baseline file?): {e!r}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -152,7 +152,10 @@ def ann_recall_at_scale(
     n_clusters = max(n // 10, 1)
     centers = rng.standard_normal((n_clusters, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    mat = np.repeat(centers, n // n_clusters, axis=0)[:n]
+    # ceil division so any n is covered exactly (n // n_clusters rows would
+    # under-fill whenever n_clusters does not divide n)
+    reps = -(-n // n_clusters)
+    mat = np.repeat(centers, reps, axis=0)[:n]
     mat = mat + (0.25 / np.sqrt(dim)) * rng.standard_normal((n, dim))
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     # shuffle so cluster mates are scattered across ids/partitions (vec_id
@@ -160,10 +163,15 @@ def ann_recall_at_scale(
     mat = mat[rng.permutation(n)]
     mat32 = mat.astype(np.float32)
 
-    # exact ground truth: cosine == dot for unit vectors; self excluded to
-    # match the operators' q_id != n_id filter; ties broken by n_id asc
-    qm = mat32[:n_queries].astype(np.float64)
-    sims = qm @ mat32.astype(np.float64).T
+    # exact ground truth as COSINE over the float32 values the operators
+    # actually see: the float64->float32 cast perturbs the unit norms by
+    # ~1e-7, so ranking by raw dot would inject a tiny systematic bias
+    # against the cosine-ranking paths. Self excluded to match the
+    # operators' q_id != n_id filter; ties broken by n_id asc.
+    m64 = mat32.astype(np.float64)
+    norms = np.linalg.norm(m64, axis=1)
+    qm = m64[:n_queries]
+    sims = (qm @ m64.T) / (norms[:n_queries, None] * norms[None, :])
     sims[np.arange(n_queries), np.arange(n_queries)] = -np.inf
     order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
     truth = [set(row.tolist()) for row in order]

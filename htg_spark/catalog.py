@@ -174,14 +174,21 @@ def tile_inventory(catalog: DataFrame) -> DataFrame:
     )
 
 
-def preload(catalog: DataFrame, boxes: list | None = None):
+def preload(
+    catalog: DataFrame, boxes: list | None = None, skip_keys: set | None = None
+):
     """Warm the catalog like SrtmService::preload (service.rs:685-722):
     optional bbox pruning (strict-inequality overlap, service.rs:102-110),
     then persist + a per-tile decode check in ONE distributed pass — the
     warm job doubles as the per-tile error channel PreloadStats needs
     (service.rs:707-711 Ok/Err per load_tile). Returns
     (persisted_df, [(tile_lat, tile_lon, ok), ...]) where ok=False marks a
-    tile whose blob failed to decode (matched count = len of the list)."""
+    tile whose blob failed to decode (matched count = len of the list).
+
+    `skip_keys`: tiles the caller already knows are warm (the engine's
+    preload ledger) — they still count as matched but their blobs are NOT
+    re-decoded (the reference's moka-cache consult skips loads for cached
+    tiles, service.rs:705-708); the check reports them ok=True."""
     df = catalog
     if boxes:
         pred = None
@@ -192,11 +199,15 @@ def preload(catalog: DataFrame, boxes: list | None = None):
             pred = p if pred is None else (pred | p)
         df = df.where(pred)
     df = df.persist()
+    skip = frozenset(skip_keys or ())
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ok = []
-            for d in pdf["data"]:
+            for tl, tn, d in zip(pdf["tile_lat"], pdf["tile_lon"], pdf["data"]):
+                if (int(tl), int(tn)) in skip:
+                    ok.append(True)
+                    continue
                 try:
                     hgt.decode_tile(bytes(d))
                     ok.append(True)

@@ -455,24 +455,27 @@ class ElevationEngine:
             # (plain threading.Thread can race SparkContext shutdown)
             from pyspark import InheritableThread
 
-            prev = getattr(self, "_preload_thread", None)
-            if prev is not None and prev.is_alive():
-                raise RuntimeError(
-                    "a background preload is already in flight; call "
-                    "wait_preload() before starting another"
-                )
-
             def _bg():
                 try:
                     self._preload_stats = self.preload(bounds, blocking=True)
                 except BaseException as e:  # surfaced by wait_preload
                     self._preload_error = e
 
-            self._preload_stats = None
-            self._preload_error = None
-            t = InheritableThread(target=_bg, daemon=True)
-            self._preload_thread = t
-            t.start()
+            # check-and-start under the lock: two concurrent non-blocking
+            # callers must not both pass the is_alive() check and spawn
+            # racing threads (the exact race the guard exists to prevent)
+            with self._prep_lock:
+                prev = getattr(self, "_preload_thread", None)
+                if prev is not None and prev.is_alive():
+                    raise RuntimeError(
+                        "a background preload is already in flight; call "
+                        "wait_preload() before starting another"
+                    )
+                self._preload_stats = None
+                self._preload_error = None
+                t = InheritableThread(target=_bg, daemon=True)
+                self._preload_thread = t
+                t.start()
             return None
 
         t0 = _time.perf_counter()
@@ -480,8 +483,11 @@ class ElevationEngine:
         if bounds is not None:
             boxes = bounds if isinstance(bounds, list) else [bounds]
         # warm only: tiles outside the boxes stay queryable (the reference's
-        # preload fills the cache, it never narrows coverage)
-        _warmed, tile_checks = cat_mod.preload(self.catalog, boxes)
+        # preload fills the cache, it never narrows coverage). Tiles the
+        # ledger already holds skip the decode re-check entirely.
+        with self._prep_lock:
+            known_warm = set(self._preloaded_keys)
+        warmed, tile_checks = cat_mod.preload(self.catalog, boxes, skip_keys=known_warm)
         loaded = already = failed = 0
         with self._prep_lock:
             warmed_keys = self._preloaded_keys
@@ -493,6 +499,16 @@ class ElevationEngine:
                     warmed_keys.add((tl, tn))
                 else:
                     failed += 1
+            # bound the persisted preload frames: each distinct bbox persists
+            # a distinct filtered plan, and nothing downstream holds the
+            # handle — keep the 4 most recent warm sets, LRU-unpersist the
+            # rest (same policy as the executor cache-token LRU)
+            frames = getattr(self, "_preload_frames", None)
+            if frames is None:
+                frames = self._preload_frames = []
+            frames.append(warmed)
+            while len(frames) > 4:
+                frames.pop(0).unpersist()
         # blob broadcast collects every tile to the driver — safe only for
         # broadcast-sized catalogs; past the threshold (exactly when preload
         # matters most) the warmed catalog persist above is the preload
@@ -827,7 +843,13 @@ class ElevationEngine:
             .count()
             .collect()
         )
-        total_rows = sum(r["count"] for r in hist) or 1
+        # scale sampled counts to FULL-scale estimates before any absolute
+        # threshold: the 1.0-row floor on `target` must bind on estimated
+        # real counts, not on 2% sampled counts (a uniform 300-row input
+        # would otherwise read target=1 sampled row and salt everything)
+        f = self.HIST_SAMPLE_FRACTION
+        est = [(r["tile_lat"], r["tile_lon"], r["count"] / f) for r in hist]
+        total_rows = sum(c for _, _, c in est) or 1
         slots = pts.sparkSession.sparkContext.defaultParallelism
         target = max(total_rows / max(slots * 2, 1), 1.0)
         import math
@@ -839,13 +861,11 @@ class ElevationEngine:
         # k_salt=2 and needlessly replicate its blob)
         salt_rows = [
             (
-                r["tile_lat"],
-                r["tile_lon"],
-                1
-                if r["count"] <= 2 * target
-                else int(min(math.ceil(r["count"] / target), n_salts)),
+                tl,
+                tn,
+                1 if c <= 2 * target else int(min(math.ceil(c / target), n_salts)),
             )
-            for r in hist
+            for tl, tn, c in est
         ]
         salt_df = F.broadcast(
             pts.sparkSession.createDataFrame(

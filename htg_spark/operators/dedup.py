@@ -314,6 +314,9 @@ def simhash_near_dup_pairs(
     offs = [sum(widths[:i]) for i in range(b)]
     # exact integer bit extraction: a floor-divide through double would lose
     # the low bits of any signature >= 2^53 and silently drop pairs
+    # lazy checkpoint BEFORE the explode (stored rows stay 1x, not C(b,h)x):
+    # both self-join sides reference this subtree and Spark has no
+    # cross-branch reuse — without it the signature computation runs twice
     blocks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -323,7 +326,7 @@ def simhash_near_dup_pairs(
             .alias(f"blk{i}")
             for i in range(b)
         ],
-    )
+    ).localCheckpoint(eager=False)
     combo_keys = []
     for ci, combo in enumerate(combinations(range(b), b - h)):
         # pack the combo's blocks into ONE long key (total <= sig_bits bits)
