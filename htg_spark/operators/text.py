@@ -140,6 +140,77 @@ def repetition_stats(
     )
 
 
+# PII patterns, written to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): explicit character classes only — no \d, \w, or \b (whose
+# Unicode/word-char semantics are the dialect divergence points)
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the standard pre-training privacy gate: count and
+    redact emails, IPv4 addresses, and phone-shaped numbers. Counts come
+    from the ORIGINAL text; the redaction chain applies email -> ipv4 ->
+    phone in that fixed order (an email's domain must not be half-eaten by
+    the IP pass). Pure codegen projection — regexp_replace/extract_all are
+    JVM-side, zero shuffle, trivially scale-parallel.
+
+    Output: (id, n_emails, n_ipv4, n_phones, redacted)."""
+    t = F.col(text_col)
+
+    def count(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return df.select(
+        id_col,
+        count(PII_EMAIL).alias("n_emails"),
+        count(PII_IPV4).alias("n_ipv4"),
+        count(PII_PHONE).alias("n_phones"),
+        red.alias("redacted"),
+    )
+
+
+def line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4-style line-level filtering (Raffel et al. 2020, §2.2 — the two
+    load-bearing rules): keep only lines that end in terminal punctuation
+    (. ! ? ") AND contain at least `min_words` non-empty words; rejoin the
+    survivors. Array HOFs over one split — zero shuffle. n_kept derives
+    from the REJOINED text rather than a second reference to the filter
+    expression (HOFs have no CSE; a second reference would re-run the
+    whole line filter per row).
+
+    Output: (id, n_lines, n_kept, kept_text)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    keep = F.filter(
+        lines,
+        lambda x: F.regexp_like(x, F.lit('[.!?"]$'))
+        & (
+            F.size(F.filter(F.split(x, " "), lambda w: w != F.lit("")))
+            >= F.lit(min_words)
+        ),
+    )
+    kept_text = F.array_join(keep, "\n")
+    n_kept = F.when(F.length(kept_text) == 0, F.lit(0)).otherwise(
+        F.size(F.split(kept_text, "\n"))
+    )
+    return df.select(
+        id_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        kept_text.alias("kept_text"),
+    )
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic quality score: blend of length band, type-token ratio
     and mean token length (the classic cheap pretraining-quality gates)."""

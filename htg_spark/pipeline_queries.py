@@ -161,6 +161,108 @@ def q_simhash_near_dup(spark, sf_dir):
 # --- text queries ------------------------------------------------------------------
 
 
+def pii_corpus(docs: DataFrame) -> DataFrame:
+    """documents with deterministically planted PII: every 2nd doc gets an
+    email, every 3rd an IPv4, every 5th a phone — counts and redactions
+    vary per row, so the oracle discriminates (a corpus where every row
+    has exactly one of each would pass with the counts hard-coded)."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 2 == 0,
+        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit(" from 10.0."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            ((d * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((d * 3) % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        d.alias("cid"), F.concat(F.col("text"), email, ip, phone).alias("text")
+    )
+
+
+_SQL_PII_CORPUS = """
+corpus AS (
+  SELECT doc_id AS cid,
+    text
+    || CASE WHEN doc_id % 2 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    AS text
+  FROM documents
+)
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII counting + redaction over the planted-PII corpus; patterns are
+    dialect-portable (explicit classes, no \\d/\\w/\\b) so Java regex and
+    RE2 match identically."""
+    return text.pii_redact(pii_corpus(_docs(spark, sf_dir)), id_col="cid")
+
+
+def line_corpus(docs: DataFrame) -> DataFrame:
+    """Multi-line documents built deterministically from the single-line
+    corpus: line 1 = raw prefix (no terminal punctuation -> dropped),
+    line 2 = 'Keep <prefix> ok.' (kept), line 3 = 'No.' (too few words ->
+    dropped), line 4 alternates kept/dropped by doc parity."""
+    d = F.col("doc_id")
+    t = F.col("text")
+    nl = F.lit("\n")
+    line4 = F.when(d % 2 == 0, F.lit("Is this kept?")).otherwise(
+        F.lit("not this one")
+    )
+    return docs.select(
+        d.alias("cid"),
+        F.concat(
+            F.substring(t, 1, 40),
+            nl,
+            F.lit("Keep "),
+            F.substring(t, 1, 20),
+            F.lit(" ok."),
+            nl,
+            F.lit("No."),
+            nl,
+            line4,
+        ).alias("text"),
+    )
+
+
+_SQL_LINE_CORPUS = """
+corpus AS (
+  SELECT doc_id AS cid,
+    substr(text, 1, 40) || chr(10)
+    || 'Keep ' || substr(text, 1, 20) || ' ok.' || chr(10)
+    || 'No.' || chr(10)
+    || CASE WHEN doc_id % 2 = 0 THEN 'Is this kept?' ELSE 'not this one' END
+    AS text
+  FROM documents
+)
+"""
+
+
+def q_line_filter(spark, sf_dir):
+    """C4-style line filtering (terminal punctuation + min 3 words) over
+    the synthesized multi-line corpus."""
+    return text.line_filter(line_corpus(_docs(spark, sf_dir)), id_col="cid")
+
+
 def q_text_stats(spark, sf_dir):
     return text.token_stats(_docs(spark, sf_dir))
 
@@ -528,6 +630,43 @@ SELECT user_id, min(event_id) AS session_id, count(*) AS n_events,
   count(DISTINCT event_type) AS n_event_types
 FROM g GROUP BY user_id, grp
 """
+    # PII patterns: keep in sync with operators/text.py PII_* constants
+    # (explicit character classes — identical under Java regex and RE2)
+    pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    pii_ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    pii_phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    pii_sql = (
+        "WITH "
+        + _SQL_PII_CORPUS
+        + f"""
+SELECT cid,
+  CAST(len(regexp_extract_all(text, '{pii_email}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{pii_ipv4}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{pii_phone}')) AS BIGINT) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{pii_email}', '<EMAIL>', 'g'),
+    '{pii_ipv4}', '<IP>', 'g'),
+    '{pii_phone}', '<PHONE>', 'g') AS redacted
+FROM corpus
+"""
+    )
+    line_filter_sql = (
+        "WITH "
+        + _SQL_LINE_CORPUS
+        + """,
+s AS (SELECT cid, string_split(text, chr(10)) AS lines FROM corpus),
+k AS (
+  SELECT cid, lines,
+    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+      AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3) AS keep
+  FROM s
+)
+SELECT cid, CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(keep) AS BIGINT) AS n_kept,
+  array_to_string(keep, chr(10)) AS kept_text
+FROM k
+"""
+    )
     text_stats_sql = """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
 SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
@@ -794,6 +933,8 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -
         "simhash": simhash_sql,
         "simhash_near_dup": simhash_near_dup_sql,
         "text_stats": text_stats_sql,
+        "pii_redact": pii_sql,
+        "line_filter": line_filter_sql,
         "repetition_stats": repetition_sql,
         "top_terms": top_terms_sql,
         "user_sessions": user_sessions_sql,
@@ -820,6 +961,8 @@ def queries():
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "text_stats": q_text_stats,
+        "pii_redact": q_pii_redact,
+        "line_filter": q_line_filter,
         "repetition_stats": q_repetition_stats,
         "top_terms": q_top_terms,
         "user_sessions": q_user_sessions,

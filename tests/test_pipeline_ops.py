@@ -334,6 +334,53 @@ def test_connected_components_path_graph_log_rounds(spark):
     assert stats["rounds"] <= 16, stats
 
 
+def test_pii_redact_hand_computed(spark):
+    """Counts from the original text; redaction chain email -> ip -> phone;
+    multiple hits of one kind all counted and replaced; clean text
+    untouched."""
+    rows = [
+        (0, "mail a@b.co and c.d@e-f.org now"),
+        (1, "host 10.0.0.1 and 192.168.255.3"),
+        (2, "call 555-123-4567 twice 555-123-4567"),
+        (3, "nothing to see here"),
+        (4, "mix a@b.co at 10.0.0.1 call 555-000-1111"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = text.pii_redact(df).orderBy("doc_id").toPandas()
+    assert out["n_emails"].tolist() == [2, 0, 0, 0, 1]
+    assert out["n_ipv4"].tolist() == [0, 2, 0, 0, 1]
+    assert out["n_phones"].tolist() == [0, 0, 2, 0, 1]
+    assert out.loc[0, "redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert out.loc[1, "redacted"] == "host <IP> and <IP>"
+    assert out.loc[2, "redacted"] == "call <PHONE> twice <PHONE>"
+    assert out.loc[3, "redacted"] == "nothing to see here"
+    assert out.loc[4, "redacted"] == "mix <EMAIL> at <IP> call <PHONE>"
+
+
+def test_line_filter_hand_computed(spark):
+    """C4 rules: terminal punctuation AND >= min_words non-empty words.
+    Boundary cases: exactly min_words kept; quote terminator kept;
+    double spaces don't inflate the word count; all-dropped doc yields
+    n_kept=0 with empty kept_text (not [''])."""
+    rows = [
+        (0, 'One two three.\nno punct line\nOk!\n"quoted line here."'),
+        (1, "a  b  c.\nshort.\nx"),
+        (2, "drop me\nand me too"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = text.line_filter(df, min_words=3).orderBy("doc_id").toPandas()
+    # doc 0: 'One two three.' kept; 'no punct line' dropped (no terminal);
+    # 'Ok!' dropped (1 word); '"quoted line here."' kept
+    assert out.loc[0, "n_lines"] == 4 and out.loc[0, "n_kept"] == 2
+    assert out.loc[0, "kept_text"] == 'One two three.\n"quoted line here."'
+    # doc 1: 'a  b  c.' has 3 NON-EMPTY words (double spaces ignored) ->
+    # kept; 'short.' dropped (1 word); 'x' dropped
+    assert out.loc[1, "n_lines"] == 3 and out.loc[1, "n_kept"] == 1
+    assert out.loc[1, "kept_text"] == "a  b  c."
+    # doc 2: everything dropped
+    assert out.loc[2, "n_kept"] == 0 and out.loc[2, "kept_text"] == ""
+
+
 def test_rolling_fingerprint(spark):
     """Position-sensitive: a token swap changes the fingerprint (min-shingle
     would often survive it); value matches the Python reference fold."""
