@@ -270,6 +270,59 @@ def connected_components(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide LINE-level dedup — the boilerplate-removal gate
+    (Gopher/RefinedWeb style): drop every line whose exact content appears
+    in MORE than `max_docs` distinct documents (navigation chrome, cookie
+    banners, signatures), keep per-document order for the survivors.
+
+    Scale shape: explode to (doc, pos, line) -> one groupBy on the line
+    content with a map-side-combined distinct-doc count (the line-count
+    table is vocabulary-sized, far smaller than the corpus) -> hash join
+    back -> one groupBy(doc) rebuild with an in-group sort on pos. Two
+    shuffles total, both on narrow keys; the document text never crosses a
+    shuffle twice (lines do, once each way).
+
+    Output: (id, n_lines, n_kept, cleaned_text) — one row per input
+    document, empty cleaned_text when every line was boilerplate."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    counts = lines.groupBy("line").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    kept = (
+        lines.join(counts, "line")
+        .where(F.col("n_docs") <= max_docs)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("cleaned_text"),
+        )
+    )
+    base = df.select(
+        id_col, F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines")
+    )
+    return base.join(kept, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
 def simhash_near_dup_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",

@@ -72,3 +72,35 @@ def sessionize(
         )
         .select(user_col, "session_id", "n_events", "duration_us", "n_event_types")
     )
+
+
+def props_stats(
+    events: DataFrame,
+    type_col: str = "event_type",
+    props_col: str = "props",
+    key: str = "k",
+) -> DataFrame:
+    """Semi-structured payload extraction + rollup: parse the JSON props
+    column per row (get_json_object — JVM-side path evaluation, no Python,
+    no schema inference pass) and aggregate per event type. The 100-TB
+    shape for "events carry a JSON blob": extract the needed scalar in the
+    scan projection so only (type, value) longs reach the single hash
+    aggregation — the JSON string itself never crosses the shuffle.
+
+    Aggregates are exact under any aggregation order (long sum / min / max
+    / count — no float accumulation), so the result is bit-reproducible
+    across engines and partitionings.
+
+    Output: (event_type, n_events, n_with_key, sum_k, min_k, max_k)."""
+    k = F.get_json_object(F.col(props_col), f"$.{key}").cast("long")
+    return (
+        events.select(F.col(type_col).alias("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_key"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

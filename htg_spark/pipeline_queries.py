@@ -263,6 +263,58 @@ def q_line_filter(spark, sf_dir):
     return text.line_filter(line_corpus(_docs(spark, sf_dir)), id_col="cid")
 
 
+def boilerplate_corpus(docs: DataFrame) -> DataFrame:
+    """Multi-line docs with corpus-wide boilerplate planted: line 1 is
+    identical in EVERY document (dropped by line_dedup), line 2 is unique
+    per document (kept — doc_id baked in so word-soup prefixes can't
+    collide across docs), line 3 alternates a 25%-of-corpus boilerplate
+    (dropped) with a unique tail (kept)."""
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    return docs.select(
+        d.alias("cid"),
+        F.concat(
+            F.lit("Subscribe to our newsletter."),
+            nl,
+            F.lit("Doc "),
+            d.cast("string"),
+            F.lit(" says "),
+            F.substring(F.col("text"), 1, 30),
+            F.lit(" ok."),
+            nl,
+            F.when(d % 4 == 0, F.lit("Follow us on social media.")).otherwise(
+                F.concat(F.lit("Unique tail "), d.cast("string"), F.lit("."))
+            ),
+        ).alias("text"),
+    )
+
+
+_SQL_BOILERPLATE_CORPUS = """
+corpus AS (
+  SELECT doc_id AS cid,
+    'Subscribe to our newsletter.' || chr(10)
+    || 'Doc ' || CAST(doc_id AS VARCHAR) || ' says ' || substr(text, 1, 30) || ' ok.' || chr(10)
+    || CASE WHEN doc_id % 4 = 0 THEN 'Follow us on social media.'
+            ELSE 'Unique tail ' || CAST(doc_id AS VARCHAR) || '.' END
+    AS text
+  FROM documents
+)
+"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide line-level boilerplate removal (lines in > 2 distinct
+    docs dropped, per-doc order preserved)."""
+    return dedup.line_dedup(boilerplate_corpus(_docs(spark, sf_dir)), id_col="cid")
+
+
+def q_props_stats(spark, sf_dir):
+    """JSON props extraction + per-type rollup over the events table."""
+    from .operators import events as ev
+
+    return ev.props_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_text_stats(spark, sf_dir):
     return text.token_stats(_docs(spark, sf_dir))
 
@@ -667,6 +719,35 @@ SELECT cid, CAST(len(lines) AS BIGINT) AS n_lines,
 FROM k
 """
     )
+    line_dedup_sql = (
+        "WITH "
+        + _SQL_BOILERPLATE_CORPUS
+        + """,
+s AS (SELECT cid, string_split(text, chr(10)) AS ls FROM corpus),
+ln0 AS (SELECT cid, ls, unnest(generate_series(1, len(ls))) AS pos FROM s),
+ln AS (SELECT cid, pos, ls[pos] AS line FROM ln0),
+cnt AS (SELECT line, count(DISTINCT cid) AS n_docs FROM ln GROUP BY line),
+keep AS (SELECT cid, pos, line FROM ln JOIN cnt USING (line) WHERE n_docs <= 2),
+agg AS (
+  SELECT cid, count(*) AS n_kept,
+    string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+  FROM keep GROUP BY cid
+)
+SELECT s.cid, CAST(len(s.ls) AS BIGINT) AS n_lines,
+  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+  COALESCE(agg.cleaned_text, '') AS cleaned_text
+FROM s LEFT JOIN agg ON s.cid = agg.cid
+"""
+    )
+    props_stats_sql = """
+SELECT event_type,
+  count(*) AS n_events,
+  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_key,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
     text_stats_sql = """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
 SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
@@ -935,6 +1016,8 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -
         "text_stats": text_stats_sql,
         "pii_redact": pii_sql,
         "line_filter": line_filter_sql,
+        "line_dedup": line_dedup_sql,
+        "props_stats": props_stats_sql,
         "repetition_stats": repetition_sql,
         "top_terms": top_terms_sql,
         "user_sessions": user_sessions_sql,
@@ -963,6 +1046,8 @@ def queries():
         "text_stats": q_text_stats,
         "pii_redact": q_pii_redact,
         "line_filter": q_line_filter,
+        "line_dedup": q_line_dedup,
+        "props_stats": q_props_stats,
         "repetition_stats": q_repetition_stats,
         "top_terms": q_top_terms,
         "user_sessions": q_user_sessions,

@@ -381,6 +381,53 @@ def test_line_filter_hand_computed(spark):
     assert out.loc[2, "n_kept"] == 0 and out.loc[2, "kept_text"] == ""
 
 
+def test_line_dedup_hand_computed(spark):
+    """Lines in > max_docs distinct documents drop; per-doc order is
+    preserved in the rebuilt text; repeats WITHIN one doc count once
+    toward the distinct-doc threshold; an all-boilerplate doc survives as
+    an empty row, not a missing one."""
+    boiler = "same everywhere"
+    rows = [
+        (0, f"{boiler}\nalpha zero\n{boiler}\nomega zero"),
+        (1, f"{boiler}\nalpha one"),
+        (2, f"{boiler}\nshared pair\nalpha two"),
+        (3, f"shared pair\n{boiler}"),
+        (4, boiler),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        dedup.line_dedup(df, max_docs=2).orderBy("doc_id").toPandas()
+    )
+    # 'same everywhere' is in 5 docs -> dropped everywhere (doc 0's two
+    # copies count as ONE distinct doc, but it is dropped anyway);
+    # 'shared pair' is in exactly 2 docs -> kept (<= max_docs)
+    assert out["n_lines"].tolist() == [4, 2, 3, 2, 1]
+    assert out["n_kept"].tolist() == [2, 1, 2, 1, 0]
+    assert out.loc[0, "cleaned_text"] == "alpha zero\nomega zero"  # order kept
+    assert out.loc[2, "cleaned_text"] == "shared pair\nalpha two"
+    assert out.loc[3, "cleaned_text"] == "shared pair"
+    assert out.loc[4, "cleaned_text"] == ""
+
+
+def test_props_stats_hand_computed(spark):
+    """JSON scalar extraction + exact per-type rollup; rows without the
+    key count in n_events but not n_with_key / sum / min / max."""
+    from htg_spark.operators import events as ev
+
+    rows = [
+        ("click", '{"k": 3}'),
+        ("click", '{"k": 7}'),
+        ("click", '{"other": 1}'),
+        ("view", '{"k": -2}'),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["event_type", "props"]))
+    out = ev.props_stats(df).orderBy("event_type").toPandas()
+    click = out[out.event_type == "click"].iloc[0]
+    assert (click.n_events, click.n_with_key, click.sum_k, click.min_k, click.max_k) == (3, 2, 10, 3, 7)
+    view = out[out.event_type == "view"].iloc[0]
+    assert (view.n_events, view.n_with_key, view.sum_k, view.min_k, view.max_k) == (1, 1, -2, -2, -2)
+
+
 def test_rolling_fingerprint(spark):
     """Position-sensitive: a token swap changes the fingerprint (min-shingle
     would often survive it); value matches the Python reference fold."""
