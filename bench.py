@@ -82,6 +82,8 @@ def main():
         ("ann_pq_topk", pq.q_ann_pq_topk),
         ("embedding_near_dup", pq.q_embedding_near_dup),
         ("text_quality", pq.q_text_quality),
+        ("line_dedup", pq.q_line_dedup),
+        ("props_stats", pq.q_props_stats),
         ("user_sessions", pq.q_user_sessions),
     ):
         best, n = None, 0
@@ -164,7 +166,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "elevation-join + pipeline-ops wall-clock (15 headline queries, min of 2 trials)",
+                "metric": "elevation-join + pipeline-ops wall-clock (17 headline queries, min of 2 trials)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
