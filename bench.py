@@ -72,6 +72,17 @@ def main():
 
     from htg_spark import pipeline_queries as pq
 
+    def materialize(df):
+        """Force computation of EVERY output column: a bare .count() lets
+        Catalyst prune the workload being timed (verified: the counted
+        props_stats plan contained no get_json_object at all — it timed a
+        distinct-count of event_type). Hashing all columns per row keeps
+        the full projection alive through the aggregate."""
+        row = df.select(
+            F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("chk")).collect()[0]
+        return row["n"]
+
     for name, fn in (
         ("dedup_exact", pq.q_dedup_exact),
         ("minhash_signatures", pq.q_minhash_signatures),
@@ -89,7 +100,7 @@ def main():
         best, n = None, 0
         for _ in range(n_trials):
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
+            n = materialize(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)

@@ -284,9 +284,13 @@ def line_dedup(
     Scale shape: explode to (doc, pos, line) -> one groupBy on the line
     content with a map-side-combined distinct-doc count (the line-count
     table is vocabulary-sized, far smaller than the corpus) -> hash join
-    back -> one groupBy(doc) rebuild with an in-group sort on pos. Two
-    shuffles total, both on narrow keys; the document text never crosses a
-    shuffle twice (lines do, once each way).
+    back (ALL lines, kept or not) -> ONE groupBy(doc) that computes
+    n_lines, n_kept, and the ordered rebuild together. Every document has
+    at least one exploded line, so no doc can drop out — the drop-flag is
+    folded into the aggregates instead of a pre-filter + third scan +
+    left join (collect_list skips the NULLs the when() leaves for dropped
+    lines). The document text never crosses a shuffle twice (lines do,
+    once each way).
 
     Output: (id, n_lines, n_kept, cleaned_text) — one row per input
     document, empty cleaned_text when every line was boilerplate."""
@@ -297,29 +301,23 @@ def line_dedup(
     counts = lines.groupBy("line").agg(
         F.countDistinct(id_col).alias("n_docs")
     )
-    kept = (
+    is_kept = F.col("n_docs") <= max_docs
+    return (
         lines.join(counts, "line")
-        .where(F.col("n_docs") <= max_docs)
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_kept"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.count(F.when(is_kept, F.lit(1))).cast("long").alias("n_kept"),
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    F.array_sort(
+                        F.collect_list(F.when(is_kept, F.struct("pos", "line")))
+                    ),
                     lambda s: s["line"],
                 ),
                 "\n",
             ).alias("cleaned_text"),
         )
-    )
-    base = df.select(
-        id_col, F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines")
-    )
-    return base.join(kept, id_col, "left").select(
-        id_col,
-        "n_lines",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
     )
 
 

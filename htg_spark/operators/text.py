@@ -183,31 +183,38 @@ def line_filter(
     """C4-style line-level filtering (Raffel et al. 2020, §2.2 — the two
     load-bearing rules): keep only lines that end in terminal punctuation
     (. ! ? ") AND contain at least `min_words` non-empty words; rejoin the
-    survivors. Array HOFs over one split — zero shuffle. n_kept derives
-    from the REJOINED text rather than a second reference to the filter
-    expression (HOFs have no CSE; a second reference would re-run the
-    whole line filter per row).
+    survivors. Array HOFs over one split — zero shuffle. The filtered
+    array is materialized in its OWN projection step before being
+    referenced by n_kept and kept_text: HOFs are CodegenFallback with no
+    CSE, so inlining the filter into multiple output expressions re-runs
+    the whole regex line filter per reference (plan-verified: the inlined
+    form carried 3 copies of the filter tree).
+
+    The terminal-punctuation anchor is `[.!?"]\\r?$`, CRLF-tolerant on
+    BOTH regex dialects: Java's bare `$` matches before a trailing \\r,
+    RE2's does not — the one place the engines would disagree on a
+    CRLF-split corpus.
 
     Output: (id, n_lines, n_kept, kept_text)."""
     t = F.col(text_col)
-    lines = F.split(t, "\n")
-    keep = F.filter(
-        lines,
-        lambda x: F.regexp_like(x, F.lit('[.!?"]$'))
-        & (
-            F.size(F.filter(F.split(x, " "), lambda w: w != F.lit("")))
-            >= F.lit(min_words)
-        ),
+    passthrough = [c for c in df.columns if c != text_col]
+    staged = df.select(*passthrough, F.split(t, "\n").alias("_lines")).select(
+        *passthrough,
+        "_lines",
+        F.filter(
+            F.col("_lines"),
+            lambda x: F.regexp_like(x, F.lit('[.!?"]\\r?$'))
+            & (
+                F.size(F.filter(F.split(x, " "), lambda w: w != F.lit("")))
+                >= F.lit(min_words)
+            ),
+        ).alias("_keep"),
     )
-    kept_text = F.array_join(keep, "\n")
-    n_kept = F.when(F.length(kept_text) == 0, F.lit(0)).otherwise(
-        F.size(F.split(kept_text, "\n"))
-    )
-    return df.select(
+    return staged.select(
         id_col,
-        F.size(lines).cast("long").alias("n_lines"),
-        n_kept.cast("long").alias("n_kept"),
-        kept_text.alias("kept_text"),
+        F.size(F.col("_lines")).cast("long").alias("n_lines"),
+        F.size(F.col("_keep")).cast("long").alias("n_kept"),
+        F.array_join(F.col("_keep"), "\n").alias("kept_text"),
     )
 
 

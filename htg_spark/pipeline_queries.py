@@ -682,11 +682,12 @@ SELECT user_id, min(event_id) AS session_id, count(*) AS n_events,
   count(DISTINCT event_type) AS n_event_types
 FROM g GROUP BY user_id, grp
 """
-    # PII patterns: keep in sync with operators/text.py PII_* constants
-    # (explicit character classes — identical under Java regex and RE2)
-    pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    pii_ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-    pii_phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    # the ONE definition of each PII pattern (operators/text.py) feeds both
+    # engines — the Python string values interpolate into DuckDB SQL
+    # verbatim, so the oracle can never drift from the operator
+    pii_email = text.PII_EMAIL
+    pii_ipv4 = text.PII_IPV4
+    pii_phone = text.PII_PHONE
     pii_sql = (
         "WITH "
         + _SQL_PII_CORPUS
@@ -709,7 +710,7 @@ FROM corpus
 s AS (SELECT cid, string_split(text, chr(10)) AS lines FROM corpus),
 k AS (
   SELECT cid, lines,
-    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+    list_filter(lines, x -> regexp_matches(x, '[.!?"]\\r?$')
       AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3) AS keep
   FROM s
 )
@@ -739,13 +740,16 @@ SELECT s.cid, CAST(len(s.ls) AS BIGINT) AS n_lines,
 FROM s LEFT JOIN agg ON s.cid = agg.cid
 """
     )
+    # TRY_CAST, not CAST: Spark's get_json_object(...).cast('long') yields
+    # NULL for a non-integer k, so the oracle must null out (and exclude
+    # from the aggregates) rather than hard-crash on the same row
     props_stats_sql = """
 SELECT event_type,
   count(*) AS n_events,
-  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_key,
-  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+  count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_key,
+  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
     text_stats_sql = """
