@@ -80,7 +80,8 @@ def main():
         the full projection alive through the aggregate."""
         row = df.select(
             F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")
-        ).agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("chk")).collect()[0]
+        ).agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("chk")).collect()[0]
+        # max, not sum: ANSI mode raises on long-sum overflow of hash values
         return row["n"]
 
     for name, fn in (
