@@ -194,14 +194,15 @@ def ann_recall_at_scale(
         dim, n_planes=P.neardup_planes, n_tables=P.neardup_tables, seed=42
     )
     # bounded training samples: train_centroids materializes an
-    # (n_sample, k, dim) distance tensor per iteration
+    # (n_sample, k, dim) distance tensor per iteration. min(_, n) keeps
+    # replace=False valid for corpora smaller than the target sample.
     cents = ann.train_centroids(
-        mat[rng.choice(n, size=8_000, replace=False)], k=P.ivf_centroids,
-        iters=5, seed=7,
+        mat[rng.choice(n, size=min(8_000, n), replace=False)],
+        k=P.ivf_centroids, iters=5, seed=7,
     )
     books = ann.train_pq(
-        mat[rng.choice(n, size=10_000, replace=False)], m=P.pq_m, k=P.pq_codes,
-        iters=5, seed=11,
+        mat[rng.choice(n, size=min(10_000, n), replace=False)],
+        m=P.pq_m, k=P.pq_codes, iters=5, seed=11,
     )
 
     def recall(df):
@@ -212,18 +213,22 @@ def ann_recall_at_scale(
         )
         return round(hits / (n_queries * k), 4)
 
-    out = {
-        "lsh_multi": recall(ann.lsh_topk_multi(emb, queries, tables, k=k)),
-        "ivf": recall(
-            ann.ivf_topk(emb, queries, cents, k=k, nprobe=P.ivf_nprobe)
-        ),
-        "ivf_pq": recall(
-            ann.pq_adc_topk(
-                emb, queries, cents, books, k=k, nprobe=P.ivf_nprobe
-            )
-        ),
-    }
-    emb.unpersist()
+    try:
+        out = {
+            "lsh_multi": recall(ann.lsh_topk_multi(emb, queries, tables, k=k)),
+            "ivf": recall(
+                ann.ivf_topk(emb, queries, cents, k=k, nprobe=P.ivf_nprobe)
+            ),
+            "ivf_pq": recall(
+                ann.pq_adc_topk(
+                    emb, queries, cents, books, k=k, nprobe=P.ivf_nprobe
+                )
+            ),
+        }
+    finally:
+        # unpersist even when an ANN path throws — a leaked persist pins
+        # the 1e5-row corpus in executor memory for the rest of the bench
+        emb.unpersist()
     return {
         "n": n,
         "k": k,

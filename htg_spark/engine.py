@@ -361,8 +361,17 @@ class ElevationEngine:
             raise ValueError("one of catalog / grids / tile_dir is required")
         self._bcast = None
         # tiles warmed by previous preload() calls — the driver-side ledger
-        # behind PreloadStats.tiles_already_cached (service.rs:705-708)
-        self._preloaded_keys: set[tuple[int, int]] = set()
+        # behind PreloadStats.tiles_already_cached (service.rs:705-708).
+        # The reference consults the LIVE moka cache, whose capacity
+        # eviction means already_cached reflects actual residency; a plain
+        # unbounded set would keep reporting tiles long since LRU-evicted.
+        # Approximate the moka behavior by bounding the ledger to the
+        # decoded-grid cache capacity with the same LRU order (dict keeps
+        # insertion order; preload() refreshes touched keys to the back and
+        # evicts from the front past cache_size). Evicted keys are simply
+        # re-checked/re-warmed by the next preload — exactly what the
+        # reference does after a capacity eviction.
+        self._preloaded_keys: dict[tuple[int, int], None] = {}
         # lazily measured ONCE (catalog is immutable): (n_tiles, total_bytes);
         # total_bytes is None while unmeasured (see _measure_catalog)
         self._catalog_stats: tuple[int, int | None] | None = None
@@ -494,11 +503,17 @@ class ElevationEngine:
             for tl, tn, ok in tile_checks:
                 if (tl, tn) in warmed_keys:
                     already += 1
+                    # touch refreshes LRU position, like a moka cache hit
+                    warmed_keys[(tl, tn)] = warmed_keys.pop((tl, tn))
                 elif ok:
                     loaded += 1
-                    warmed_keys.add((tl, tn))
+                    warmed_keys[(tl, tn)] = None
                 else:
                     failed += 1
+            # bound the ledger to the decoded-grid cache capacity so
+            # already_cached approximates actual residency (see __init__)
+            while len(warmed_keys) > self.cache_size:
+                warmed_keys.pop(next(iter(warmed_keys)))
             # bound the persisted preload frames: each distinct bbox persists
             # a distinct filtered plan, and nothing downstream holds the
             # handle — keep the 4 most recent warm sets, LRU-unpersist the

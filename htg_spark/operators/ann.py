@@ -41,6 +41,11 @@ def hyperplane_tables(
     """Independent plane sets for multi-table LSH: a pair is a candidate if
     it collides in ANY table — P(miss) = (1 - p^r)^T drops geometrically in
     T while each table's bucket join stays selective."""
+    if n_planes > 31:
+        raise ValueError(
+            f"hyperplane_tables: n_planes={n_planes} overflows the int32 "
+            "bucket pack (max 31 sign bits per table)"
+        )
     return [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
 
 
@@ -416,6 +421,15 @@ def lsh_buckets_udf(tables: list[list[list[float]]]):
     uses the same left-to-right dot; the bit-pack is exact integer math).
     One UDF call replaces T x planes inlined fold expressions."""
     mats = [np.asarray(p, dtype=np.float64) for p in tables]
+    # >31 planes would silently wrap the int32 bit-pack here while the
+    # lsh_bucket_expr parity reference raises on the ANSI int cast — make
+    # the divergence impossible rather than silent (params_for caps at 28)
+    for m in mats:
+        if m.shape[0] > 31:
+            raise ValueError(
+                f"lsh_buckets_udf: {m.shape[0]} planes in one table "
+                "overflows the int32 bucket pack (max 31)"
+            )
 
     @F.pandas_udf("array<int>")
     def bk(v: pd.Series) -> pd.Series:

@@ -91,8 +91,14 @@ def props_stats(
     / count — no float accumulation), so the result is bit-reproducible
     across engines and partitionings.
 
-    Output: (event_type, n_events, n_with_key, sum_k, min_k, max_k)."""
-    k = F.get_json_object(F.col(props_col), f"$.{key}").cast("long")
+    Output: (event_type, n_events, n_with_key, sum_k, min_k, max_k).
+
+    try_cast, not cast: under ANSI mode (the Spark 4 default, active here)
+    a plain cast would throw CAST_INVALID_INPUT on any non-integer value
+    (e.g. "3.5" or a string), where the documented contract — and the
+    DuckDB oracle's TRY_CAST — yields NULL and excludes the row from the
+    key aggregates."""
+    k = F.get_json_object(F.col(props_col), f"$.{key}").try_cast("long")
     return (
         events.select(F.col(type_col).alias("event_type"), k.alias("k"))
         .groupBy("event_type")

@@ -183,6 +183,24 @@ def test_preload_stats_progression(spark):
     assert b2["tiles_failed"] == 1  # still failing, still reported
 
 
+def test_preload_ledger_bounded_by_cache_capacity(spark):
+    """The already-cached ledger is bounded to cache_size with LRU order,
+    approximating the reference's live moka-cache consult: for a catalog
+    larger than the cache, a repeat preload reports only ~cache_size tiles
+    as already_cached and re-warms the (evicted) rest, instead of claiming
+    residency for grids the LRU long since dropped."""
+    eng = ElevationEngine(
+        spark, grids=fixtures.default_catalog_grids(), cache_size=2
+    )
+    s1 = eng.preload()
+    assert s1["tiles_matched"] == 5
+    assert s1["tiles_loaded"] == 5
+    s2 = eng.preload()
+    assert s2["tiles_already_cached"] == 2  # == cache capacity, not 5
+    assert s2["tiles_loaded"] == 3
+    assert s2["tiles_failed"] == 0
+
+
 def test_preload_nonblocking_refuses_concurrent(spark):
     """Two overlapping preload(blocking=False) calls would race each other's
     stats/error slots — the second must refuse while the first runs, and

@@ -428,6 +428,23 @@ def test_props_stats_hand_computed(spark):
     assert (view.n_events, view.n_with_key, view.sum_k, view.min_k, view.max_k) == (1, 1, -2, -2, -2)
 
 
+def test_props_stats_non_integer_values_yield_null(spark):
+    """Non-integer k values must yield NULL (try_cast), not throw under
+    ANSI mode — matching the DuckDB oracle's TRY_CAST semantics: such rows
+    count in n_events but are excluded from the key aggregates."""
+    from htg_spark.operators import events as ev
+
+    rows = [
+        ("click", '{"k": 3}'),
+        ("click", '{"k": "3.5"}'),   # non-integer string -> NULL
+        ("click", '{"k": "abc"}'),   # non-numeric string -> NULL
+        ("click", '{"k": 4.25}'),    # JSON float -> NULL under long cast
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["event_type", "props"]))
+    out = ev.props_stats(df).toPandas().iloc[0]
+    assert (out.n_events, out.n_with_key, out.sum_k, out.min_k, out.max_k) == (4, 1, 3, 3, 3)
+
+
 def test_rolling_fingerprint(spark):
     """Position-sensitive: a token swap changes the fingerprint (min-shingle
     would often survive it); value matches the Python reference fold."""
@@ -480,6 +497,16 @@ def test_cosine_topk_matches_numpy(emb):
         # NumPy matmul sum order differs from strict fold; compare sets + top1
         assert set(got) == set(expect.tolist())
         assert got[0] == expect[0]
+
+
+def test_lsh_plane_cap_raises():
+    """>31 sign bits would silently wrap the int32 bucket pack in the UDF
+    while the expression parity reference raises on the ANSI cast — both
+    construction paths must refuse instead of diverging."""
+    with pytest.raises(ValueError, match="31"):
+        ann.hyperplane_tables(16, n_planes=32, n_tables=2)
+    with pytest.raises(ValueError, match="31"):
+        ann.lsh_buckets_udf([[[0.1] * 16] * 32])
 
 
 def test_near_dup_pairs_bucketed_full_recall(emb):
