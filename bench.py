@@ -13,7 +13,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from htg_spark.bench_queries import bench_engine, bench_points, run_join
+from htg_spark.bench_queries import (
+    bench_engine,
+    bench_path_engine,
+    bench_points,
+    run_join,
+)
 from htg_spark.session import get_spark
 
 
@@ -38,33 +43,56 @@ def main():
     run_join(eng, pts, mode="nearest", strategy="broadcast")
     warmup_sec = round(time.perf_counter() - t0, 3)
 
+    # the path-strategy engine reads tile blobs from shared storage at apply
+    # time (no blob ever enters a shuffle) — the 100-TB raster plan, timed
+    # alongside the inline variant so the two can never silently diverge
+    path_eng = bench_path_engine(spark)
     queries = {
         "nearest_broadcast": dict(mode="nearest", strategy="broadcast"),
         "floor_broadcast": dict(mode="floor", strategy="broadcast"),
         "bilinear_broadcast": dict(mode="bilinear", strategy="broadcast"),
         "nearest_knn": dict(mode="nearest", strategy="broadcast", knn_fallback=True),
         "nearest_cogroup_salted": dict(mode="nearest", strategy="cogroup", n_salts=16),
+        "nearest_cogroup_path": dict(
+            mode="nearest", strategy="cogroup", n_salts=16, blob_source="path"
+        ),
     }
+    engines = {"nearest_cogroup_path": path_eng}
     # the host's per-process bandwidth throttle swings wall-clock 2-4x
     # between sessions (BENCH_SCALING.md protocol): run every query twice,
     # report the min — steady-state throughput, not the noise draw
     n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
 
     def time_joins(points, trials):
-        t, r, rp = {}, {}, {}
+        t, r, rp, chks = {}, {}, {}, {}
         for name, kw in queries.items():
+            e = engines.get(name, eng)
             best, n = None, 0
             for _ in range(trials):
                 t0 = time.perf_counter()
-                n, chk, found = run_join(eng, points, **kw)
+                n, chk, found = run_join(e, points, **kw)
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                chks[name] = chk
             t[name] = round(best, 3)
             r[name] = n
             rp[name] = round(n / best)
-        return t, r, rp
+        return t, r, rp, chks
 
-    times, rows, rps = time_joins(pts, n_trials)
+    def strategy_parity(chks):
+        """Order-insensitive checksum equality across the three physical
+        strategies of the SAME logical nearest-join — a per-round invariant
+        (the scaling scripts check this across parallelism levels; this
+        checks it across plans)."""
+        vals = {
+            k: chks[k]
+            for k in ("nearest_broadcast", "nearest_cogroup_salted", "nearest_cogroup_path")
+            if k in chks
+        }
+        return len(set(vals.values())) == 1, vals
+
+    times, rows, rps, chks = time_joins(pts, n_trials)
+    strategy_match, strategy_chks = strategy_parity(chks)
     total = sum(times.values())
 
     # pipeline ops over the driver tables at this sf (dedup / ANN / text)
@@ -84,19 +112,46 @@ def main():
         # max, not sum: ANSI mode raises on long-sum overflow of hash values
         return row["n"]
 
+    # images for the multimodal (L15) entries: REAL encoded raw/ppm/rawz
+    # payloads derived from the events table, materialized once OUTSIDE the
+    # timed region (the ops being timed are decode/stat/resize/embed, not
+    # the synthetic generator)
+    from htg_spark.driver_queries import derive_images_table
+    from htg_spark.operators import multimodal
+
+    imgs = derive_images_table(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    ).persist()
+    n_imgs = imgs.count()
+
     for name, fn in (
         ("dedup_exact", pq.q_dedup_exact),
         ("minhash_signatures", pq.q_minhash_signatures),
         ("lsh_dedup_pairs", pq.q_lsh_dedup_pairs),
         ("neardup_groups", pq.q_neardup_groups),
         ("simhash", pq.q_simhash),
+        ("simhash_near_dup", pq.q_simhash_near_dup),
         ("ann_topk", pq.q_ann_topk),
+        ("ann_ivf_topk", pq.q_ann_ivf_topk),
+        ("ann_lsh_topk_multi", pq.q_ann_lsh_topk_multi),
         ("ann_pq_topk", pq.q_ann_pq_topk),
         ("embedding_near_dup", pq.q_embedding_near_dup),
         ("text_quality", pq.q_text_quality),
+        ("text_stats", pq.q_text_stats),
+        ("bpe_token_stats", pq.q_bpe_token_stats),
+        ("lang_id", pq.q_lang_id),
+        ("repetition_stats", pq.q_repetition_stats),
+        ("top_terms", pq.q_top_terms),
+        ("pii_redact", pq.q_pii_redact),
+        ("line_filter", pq.q_line_filter),
+        ("doc_fingerprint", pq.q_doc_fingerprint),
+        ("rolling_fingerprint", pq.q_rolling_fingerprint),
         ("line_dedup", pq.q_line_dedup),
         ("props_stats", pq.q_props_stats),
         ("user_sessions", pq.q_user_sessions),
+        ("image_stats", lambda s, d: multimodal.image_stats(imgs)),
+        ("image_resize", lambda s, d: multimodal.resize_images(imgs, 8, 8)),
+        ("image_embedding", lambda s, d: multimodal.image_embedding(imgs, dim=16)),
     ):
         best, n = None, 0
         for _ in range(n_trials):
@@ -108,6 +163,7 @@ def main():
         rows[name] = n
         rps[name] = round(n / best) if best > 0 else 0
         total += best
+    imgs.unpersist()
 
     # sf1 section: the same five geospatial queries at 10x the point volume
     # (replicate scaled so input rows = one order of magnitude up) — catches
@@ -120,8 +176,9 @@ def main():
         pts1 = bench_points(spark, sf_dir, replicate=replicate * 10).persist()
         n_rows1 = pts1.count()
         run_join(eng, pts1, mode="nearest", strategy="broadcast")  # warm
-        t1, r1, rp1 = time_joins(pts1, trials=sf1_trials)
+        t1, r1, rp1, chks1 = time_joins(pts1, trials=sf1_trials)
         pts1.unpersist()
+        match1, schks1 = strategy_parity(chks1)
         sf1 = {
             "replicate": replicate * 10,
             "input_rows": n_rows1,
@@ -132,7 +189,12 @@ def main():
             "rps_ratio_vs_sf": {
                 k: round(rp1[k] / rps[k], 3) for k in rp1 if rps.get(k)
             },
+            # broadcast / cogroup-inline / cogroup-path must agree bitwise
+            # (order-insensitive quantized checksum) on the 48M-row input
+            "strategy_checksums": schks1,
+            "strategy_checksum_match": match1,
         }
+        strategy_match = strategy_match and match1
 
     # ANN recall at one order above fixture scale (VERDICT r3 item 10):
     # parameter-rule regressions surface as recall numbers, not just
@@ -164,6 +226,16 @@ def main():
                     regressions[qname] = {
                         "sec": t, "baseline_sec": b, "ratio": round(t / b, 2)
                     }
+            # the sf1 section gets the SAME gate (the r3->r4 sf1 cogroup
+            # regression shipped unflagged precisely because this loop once
+            # iterated only the sf0.1 times)
+            if sf1:
+                for qname, t in sf1["queries"].items():
+                    b = base.get("sf1_queries", {}).get(qname)
+                    if b and t > base.get("ratio", 1.5) * b:
+                        regressions[f"sf1/{qname}"] = {
+                            "sec": t, "baseline_sec": b, "ratio": round(t / b, 2)
+                        }
         if regressions:
             print(
                 "REGRESSION GATE (clean canary "
@@ -178,7 +250,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "elevation-join + pipeline-ops wall-clock (17 headline queries, min of 2 trials)",
+                "metric": "elevation-join + pipeline-ops wall-clock (33 headline queries, min of 2 trials)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
@@ -189,6 +261,7 @@ def main():
                 "cpus": cpus,
                 "replicate": replicate,
                 "warmup_sec": warmup_sec,
+                "strategy_checksum_match": strategy_match,
                 "sf1": sf1,
                 "ann_recall": ann_recall,
                 "canary_clean": canary_clean,

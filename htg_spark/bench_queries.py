@@ -30,6 +30,26 @@ def bench_engine(spark: SparkSession) -> ElevationEngine:
     return ElevationEngine(spark, grids=bench_grids(), cache_size=64)
 
 
+def bench_path_engine(spark: SparkSession) -> ElevationEngine:
+    """The same 36-tile bench catalog scanned from real .hgt files on disk —
+    backs blob_source='path' (tile blobs never enter a shuffle; each task
+    reads its tile from shared storage at apply time). Every tile shares
+    one gradient pattern, so encode once and write 36 names."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="htg_bench_tiles_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    grids = bench_grids()
+    data = hgt.encode_tile(next(iter(grids.values())))
+    for tl, tn in grids:
+        with open(os.path.join(d, hgt.coords_to_filename(tl, tn)), "wb") as f:
+            f.write(data)
+    return ElevationEngine(spark, tile_dir=d)
+
+
 def bench_points(
     spark: SparkSession, sf_dir: str, replicate: int = 8, partitions: int | None = None
 ) -> DataFrame:
