@@ -211,7 +211,7 @@ def ann_recall_at_scale(
     queries = emb.where(F.col("vec_id") < n_queries)
 
     tables = ann.hyperplane_tables(
-        dim, n_planes=P.neardup_planes, n_tables=P.neardup_tables, seed=42
+        dim, n_planes=P.ann_planes, n_tables=P.ann_tables, seed=42
     )
     # bounded training samples: train_centroids materializes an
     # (n_sample, k, dim) distance tensor per iteration. min(_, n) keeps
@@ -254,8 +254,8 @@ def ann_recall_at_scale(
         "k": k,
         "n_queries": n_queries,
         "params": {
-            "neardup_planes": P.neardup_planes,
-            "neardup_tables": P.neardup_tables,
+            "ann_planes": P.ann_planes,
+            "ann_tables": P.ann_tables,
             "ivf_centroids": P.ivf_centroids,
             "ivf_nprobe": P.ivf_nprobe,
             "pq_m": P.pq_m,

@@ -32,9 +32,21 @@ class PipelineParams:
     n_rows: int
     # sign-LSH (single-table top-k buckets, ann.lsh_bucket_expr)
     lsh_planes: int
-    # multi-table LSH (near-dup + multi-table top-k)
+    # multi-table LSH for the near-dup SELF-join (ann.near_dup_pairs):
+    # candidate volume carries an N^2/2^planes term, so planes must track
+    # log2(N); the 0.99-cosine dup band keeps per-plane collision >= 0.955,
+    # so moderate table counts hold recall
     neardup_planes: int
     neardup_tables: int
+    # multi-table LSH for ANN TOP-K (ann.lsh_topk_multi): the target
+    # similarity is the k-th neighbor (~0.9 cosine), well below the dup
+    # band, so per-plane collision is lower (~0.89) and recall must come
+    # from MORE tables at FEWER planes per table. That trade is cheap here:
+    # the candidate join is queries x corpus (n_q * N * T / 2^planes rows),
+    # not the self-join's N^2 — a table costs one extra signature column,
+    # not a quadratic term
+    ann_planes: int
+    ann_tables: int
     # SimHash block banding (dedup.simhash_near_dup_pairs)
     simhash_bits: int
     simhash_blocks: int
@@ -80,6 +92,17 @@ def params_for(n_rows: int, max_hamming: int = 3) -> PipelineParams:
     # silently traded recall for selectivity past the cap.
     nd_planes = _clamp(int(math.floor(lg)) - 2, 8, 28)
     nd_tables = _clamp(4 + (nd_planes - 8) // 4, 4, 12)
+    # ANN top-k tables: planes ~ log2(N)-4 (16x the per-table bucket
+    # occupancy of the near-dup rule — affordable in a queries x corpus
+    # join), tables grow 1:1 with planes so recall at the ~0.9-cosine
+    # neighbor band stays >= 0.8: at 1e5 that is 12 planes x 8 tables ->
+    # pair recall 1-(1-0.89^12)^8 ~= 0.89 (the old 14x5 predicted 0.66,
+    # and measured 0.654)
+    an_planes = _clamp(int(math.floor(lg)) - 4, 8, 20)
+    # 3:2 table growth per plane: the 1:1 rule measured recall@10 = 0.796
+    # at 1e5 (the 10th neighbor sits nearer 0.92 cosine than the 0.94
+    # cluster mean, so per-table recall is lower than the mean predicts)
+    an_tables = _clamp(4 + ((an_planes - 8) * 3) // 2, 4, 16)
     # MinHash banding: to SHARPEN the candidate threshold curve with N,
     # band rows r and band count b must grow TOGETHER — threshold
     # (1/b)^(1/r) stays ~0.71 while a dissimilar pair's per-band collision
@@ -98,6 +121,8 @@ def params_for(n_rows: int, max_hamming: int = 3) -> PipelineParams:
         lsh_planes=_clamp(int(math.ceil(lg)), 16, 28),
         neardup_planes=nd_planes,
         neardup_tables=nd_tables,
+        ann_planes=an_planes,
+        ann_tables=an_tables,
         simhash_bits=sig_bits,
         simhash_blocks=blocks,
         simhash_key_bits=(blocks - max_hamming) * (sig_bits // blocks),

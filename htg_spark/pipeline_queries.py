@@ -29,6 +29,13 @@ CENTROIDS = ann.ivf_centroids(EMB_DIM, P.ivf_centroids, seed=7)
 NEARDUP_TABLES = ann.hyperplane_tables(
     EMB_DIM, n_planes=P.neardup_planes, n_tables=P.neardup_tables, seed=42
 )
+# ANN top-k tables: at fixture scale ann_planes/ann_tables == (8, 4) ==
+# the near-dup fixture constants, so ANN_TABLES is bit-identical to
+# NEARDUP_TABLES here and the SQL oracle pins still hold; at scale the
+# two rules diverge (test_params_for_pins_scale_points)
+ANN_TABLES = ann.hyperplane_tables(
+    EMB_DIM, n_planes=P.ann_planes, n_tables=P.ann_tables, seed=42
+)
 IVF_NPROBE = P.ivf_nprobe
 PQ_CODEBOOKS = ann.pq_codebooks(EMB_DIM, P.pq_m, P.pq_codes, seed=11)
 
@@ -424,7 +431,7 @@ def q_ann_lsh_topk_multi(spark, sf_dir):
     Deterministic fixed planes shared with the SQL oracle."""
     emb = _emb(spark, sf_dir)
     return ann.lsh_topk_multi(
-        emb, emb.where(F.col("vec_id") < 10), NEARDUP_TABLES, k=5
+        emb, emb.where(F.col("vec_id") < 10), ANN_TABLES, k=5
     )
 
 

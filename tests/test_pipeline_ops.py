@@ -141,6 +141,9 @@ def test_params_for_pins_scale_points():
     assert p3.ivf_centroids == ann.N_CENTROIDS == 16 and p3.ivf_nprobe == 2
     assert p3.minhash_k == dedup.N_MINHASH == 4 and p3.band_rows == 2
     assert (p3.neardup_planes, p3.neardup_tables) == (8, 4)
+    # ANN top-k rule coincides with the near-dup rule at fixture scale, so
+    # the lsh_topk_multi oracle's pinned 4x8-plane tables stay identical
+    assert (p3.ann_planes, p3.ann_tables) == (8, 4)
     assert p3.simhash_blocks == 4 and p3.simhash_key_bits == 15
     assert (p3.pq_m, p3.pq_codes) == (8, 16)  # 4-bit codes at fixture scale
     assert params_for(10**9).pq_codes == 256  # classic 8-bit PQ at scale
@@ -157,6 +160,16 @@ def test_params_for_pins_scale_points():
     assert (p6.neardup_planes, p6.neardup_tables) == (17, 6)
     assert (p9.neardup_planes, p9.neardup_tables) == (27, 8)
     assert (p12.neardup_planes, p12.neardup_tables) == (28, 9)
+    # ANN top-k: fewer planes per table, tables growing 1:1 with planes —
+    # recall at the ~0.9-cosine neighbor band stays >= 0.8 while the
+    # queries x corpus candidate join stays O(n_q * N * T / 2^planes).
+    # Deliberate round-5 retune: the old shared rule measured recall@10
+    # 0.654 at 1e5 (predicted 0.66); 12x8 predicts ~0.89 there.
+    p5 = params_for(10**5)
+    assert (p5.ann_planes, p5.ann_tables) == (12, 10)
+    assert (p6.ann_planes, p6.ann_tables) == (15, 14)
+    assert (p9.ann_planes, p9.ann_tables) == (20, 16)
+    assert (p12.ann_planes, p12.ann_tables) == (20, 16)
     # minhash banding: rows and bands grow together — the LSH threshold
     # (1/b)^(1/r) must never DROP with N (more bands at fixed r would
     # loosen the candidate filter exactly when N grows)
