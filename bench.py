@@ -149,6 +149,7 @@ def main():
         ("line_dedup", pq.q_line_dedup),
         ("props_stats", pq.q_props_stats),
         ("user_sessions", pq.q_user_sessions),
+        ("pipeline_e2e", pq.q_pipeline_e2e),
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),
         ("image_resize", lambda s, d: multimodal.resize_images(imgs, 8, 8)),
         ("image_embedding", lambda s, d: multimodal.image_embedding(imgs, dim=16)),
@@ -250,7 +251,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "elevation-join + pipeline-ops wall-clock (33 headline queries, min of 2 trials)",
+                "metric": "elevation-join + pipeline-ops wall-clock (34 headline queries, min of 2 trials)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,

@@ -119,29 +119,52 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize to (out_w, out_h); output re-encoded 'raw'.
     (image_id, bytes, w, h, fmt) with the same schema as the input table.
     The gather indices are shared per uniform-shape subgroup, so the whole
-    group resizes in one fancy-index over the stacked block."""
+    group resizes in one fancy-index over the stacked block.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = [None] * len(pdf)
+    Output assembly is Arrow-native (mapInArrow): the binary column is ONE
+    BinaryArray built zero-copy over the stacked (n, out_h, out_w, 3)
+    uint8 block with arithmetic offsets — no per-row tobytes() loop, no
+    n Python bytes objects (the per-row assembly was the flagged residual
+    cost after the decode side was batched)."""
+    import pyarrow as pa
+
+    row_nbytes = out_h * out_w * 3
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        schema = pa.schema(
+            [
+                ("image_id", pa.string()),
+                ("bytes", pa.binary()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("fmt", pa.string()),
+            ]
+        )
+        for rb in batches:
+            pdf = rb.to_pandas()
+            n = len(pdf)
+            out = np.empty((n, out_h, out_w, 3), dtype=np.uint8)
             for pos, stack in _decode_stacks(pdf):
                 h, w = stack.shape[1], stack.shape[2]
                 ri = (np.arange(out_h) * h // out_h).astype(np.int64)
                 ci = (np.arange(out_w) * w // out_w).astype(np.int64)
-                res = np.ascontiguousarray(stack[:, ri][:, :, ci])
-                for j, p in enumerate(pos):
-                    blobs[p] = res[j].tobytes()
-            yield pd.DataFrame(
-                {
-                    "image_id": pdf["image_id"],
-                    "bytes": blobs,
-                    "w": np.int32(out_w),
-                    "h": np.int32(out_h),
-                    "fmt": "raw",
-                }
+                out[pos] = stack[:, ri][:, :, ci]
+            offsets = np.arange(n + 1, dtype=np.int32) * row_nbytes
+            blob_arr = pa.Array.from_buffers(
+                pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(out)]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("image_id")).cast(pa.string()),
+                    blob_arr,
+                    pa.array(np.full(n, out_w, dtype=np.int32)),
+                    pa.array(np.full(n, out_h, dtype=np.int32)),
+                    pa.array(["raw"] * n, type=pa.string()),
+                ],
+                schema=schema,
             )
 
-    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
         run, schema="image_id string, bytes binary, w int, h int, fmt string"
     )
 
@@ -152,12 +175,19 @@ def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
     swap the body for a real model on a cluster with one. Grayscale +
     subsample + normalize run per uniform-shape subgroup on the stacked
     block (the 3-element channel mean is exact in float64 either way)."""
+    import pyarrow as pa
+
     side = int(np.sqrt(dim))
     assert side * side == dim
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            vecs = [None] * len(pdf)
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        schema = pa.schema(
+            [("image_id", pa.string()), ("embedding", pa.list_(pa.float32()))]
+        )
+        for rb in batches:
+            pdf = rb.to_pandas()
+            n = len(pdf)
+            vecs = np.empty((n, dim), dtype=np.float32)
             for pos, stack in _decode_stacks(pdf):
                 h, w = stack.shape[1], stack.shape[2]
                 gray = stack.mean(axis=3, dtype=np.float64)
@@ -166,12 +196,21 @@ def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
                 v = gray[:, ri][:, :, ci].reshape(len(pos), dim)
                 norms = np.linalg.norm(v, axis=1)
                 v = np.where(norms[:, None] > 0, v / np.where(norms == 0, 1.0, norms)[:, None], v)
-                v32 = v.astype(np.float32)
-                for j, p in enumerate(pos):
-                    vecs[p] = v32[j].tolist()
-            yield pd.DataFrame({"image_id": pdf["image_id"], "embedding": vecs})
+                vecs[pos] = v.astype(np.float32)
+            # ONE ListArray over the stacked (n, dim) float32 block —
+            # zero-copy values buffer, arithmetic offsets; no per-row
+            # tolist() (n * dim Python floats) in the assembly
+            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+            emb_arr = pa.ListArray.from_arrays(offsets, pa.array(vecs.reshape(-1)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("image_id")).cast(pa.string()),
+                    emb_arr,
+                ],
+                schema=schema,
+            )
 
-    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
         run, schema="image_id string, embedding array<float>"
     )
 

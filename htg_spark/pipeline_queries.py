@@ -315,6 +315,115 @@ def q_line_dedup(spark, sf_dir):
     return dedup.line_dedup(boilerplate_corpus(_docs(spark, sf_dir)), id_col="cid")
 
 
+def e2e_corpus(docs: DataFrame) -> DataFrame:
+    """ONE corpus exhibiting every pipeline phenomenon, deterministically
+    derived from documents so the DuckDB oracle can mirror it closed-form:
+
+    - line 1: corpus-wide boilerplate (survives the C4 line filter, killed
+      by corpus-wide line dedup);
+    - line 2: per-doc content with the doc id baked in (unique per doc),
+      planted PII email on even docs, Spanish connectives on doc_id%7==0
+      (lang gate), low-type-token-ratio repetition on doc_id%11==0
+      (quality gate), English connectives otherwise;
+    - line 3: 'No.' (killed by the line filter: 1 word, but terminal '.');
+    - even cids are originals; doc_id%6==0 docs get an EXACT copy under an
+      odd cid (exact-dedup prey), doc_id%6==3 docs get a near copy (the
+      'No.' line grows a unique 6-word tail, so it passes the line filter
+      and survives line dedup) — MinHash/LSH near-dedup prey."""
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    soup = F.substring(F.col("text"), 1, 40)
+    email = F.when(
+        d % 2 == 0,
+        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    body = (
+        F.when(d % 11 == 0, F.lit(" says that the aa aa aa aa aa aa"))
+        .when(
+            d % 7 == 0,
+            F.concat(F.lit(" dice que el texto "), soup, F.lit(" es bueno")),
+        )
+        .otherwise(F.concat(F.lit(" says that the text "), soup, F.lit(" is good")))
+    )
+    assembled = docs.select(
+        d.alias("did"),
+        F.concat(
+            F.lit("Subscribe to our newsletter today."), nl,
+            F.lit("Doc "), d.cast("string"), body, email, F.lit(" ok."), nl,
+            F.lit("No."),
+        ).alias("text"),
+    )
+    a = assembled.select((F.col("did") * 2).alias("cid"), "text")
+    b = assembled.where(F.col("did") % 6 == 0).select(
+        (F.col("did") * 2 + 1).alias("cid"), "text"
+    )
+    c = assembled.where(F.col("did") % 6 == 3).select(
+        (F.col("did") * 2 + 1).alias("cid"),
+        F.concat(
+            F.col("text"), F.lit(" Extra zz qq note "),
+            F.col("did").cast("string"), F.lit(" ok."),
+        ).alias("text"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q_pipeline_e2e(spark, sf_dir):
+    """The 23 pipeline operators COMPOSED as one training-data pipeline —
+    raw multi-line corpus -> C4 line filter -> PII redaction -> corpus-wide
+    line dedup -> exact dedup -> MinHash/LSH near-dedup with connected-
+    components canonical pick -> quality + language gates -> elevation
+    enrichment of the survivors. Each stage tier scans its input ONCE:
+    frames referenced by multiple plan branches (the redacted corpus, the
+    cleaned corpus, the exact-dedup survivors) are lazily localCheckpoint'ed
+    — Spark SQL has no cross-branch subtree reuse, so without these the
+    document corpus would be re-derived per reference.
+
+    Output: (cid, n_emails, n_tokens, quality, pred_lang, elevation) —
+    one row per document that survives every gate."""
+    corpus = e2e_corpus(_docs(spark, sf_dir))
+    filtered = text.line_filter(corpus, id_col="cid")
+    red = text.pii_redact(
+        filtered.select("cid", F.col("kept_text").alias("text")), id_col="cid"
+    )
+    red_docs = red.select(
+        "cid", "n_emails", F.col("redacted").alias("text")
+    ).localCheckpoint(eager=False)
+    cleaned = dedup.line_dedup(red_docs, id_col="cid")
+    cleaned_docs = cleaned.select(
+        "cid", F.col("cleaned_text").alias("text")
+    ).localCheckpoint(eager=False)
+    ex = dedup.exact_dedup(cleaned_docs, id_col="cid")
+    surv1 = cleaned_docs.join(
+        ex.where(F.col("is_canonical")).select("cid"), "cid"
+    ).localCheckpoint(eager=False)
+    sigs = dedup.minhash_signatures(surv1, id_col="cid")
+    cand = dedup.lsh_candidate_pairs(sigs, id_col="cid")
+    ver = dedup.jaccard_verify(surv1, cand, id_col="cid", threshold=0.5)
+    dup = ver.where(F.col("is_dup")).select("id_a", "id_b")
+    comp = dedup.connected_components(dup, surv1.select("cid"), id_col="cid")
+    surv2 = surv1.join(comp.where(F.col("is_canonical")).select("cid"), "cid")
+    q = text.quality_score(surv2, id_col="cid")
+    lid = text.lang_id(surv2, id_col="cid")
+    gated = (
+        q.select("cid", "n_tokens", "quality")
+        .join(lid.select("cid", "pred_lang"), "cid")
+        .where((F.col("quality") >= 0.6) & (F.col("pred_lang") == "en"))
+    )
+    pts = gated.join(red_docs.select("cid", "n_emails"), "cid").select(
+        "cid", "n_emails", "n_tokens", "quality", "pred_lang",
+        (F.lit(35.0) + (F.col("cid") % 2000).cast("double") / F.lit(1000.0)).alias("lat"),
+        (F.lit(138.0) + ((F.col("cid") * 7) % 2000).cast("double") / F.lit(1000.0)).alias("lon"),
+    )
+    from . import driver_queries as dq
+
+    eng = dq.get_engine(spark)
+    out = eng.elevation_join(pts, mode="nearest", strategy="broadcast", id_col="cid")
+    return out.select(
+        "cid", "n_emails", "n_tokens", "quality", "pred_lang",
+        F.col("elevation").cast("int").alias("elevation"),
+    )
+
+
 def q_props_stats(spark, sf_dir):
     """JSON props extraction + per-type rollup over the events table."""
     from .operators import events as ev
@@ -1017,6 +1126,170 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -
       / (a.nrm * b.nrm) >= 0.999
 """
     )
+    # the composed training-data pipeline: every stage reuses the exact SQL
+    # shape already proven green for its standalone operator (line_filter,
+    # pii, line_dedup, exact/minhash/LSH/jaccard dedup, recursive-CTE CC,
+    # quality, lang argmax, nearest-elevation closed form)
+    pipeline_e2e_sql = f"""
+WITH RECURSIVE
+docs0 AS (
+  SELECT doc_id AS did,
+    'Subscribe to our newsletter today.' || chr(10)
+    || 'Doc ' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 11 = 0 THEN ' says that the aa aa aa aa aa aa'
+            WHEN doc_id % 7 = 0 THEN ' dice que el texto ' || substr(text, 1, 40) || ' es bueno'
+            ELSE ' says that the text ' || substr(text, 1, 40) || ' is good' END
+    || CASE WHEN doc_id % 2 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || ' ok.' || chr(10) || 'No.' AS text
+  FROM documents
+),
+corpus AS (
+  SELECT did * 2 AS cid, text FROM docs0
+  UNION ALL
+  SELECT did * 2 + 1 AS cid, text FROM docs0 WHERE did % 6 = 0
+  UNION ALL
+  SELECT did * 2 + 1 AS cid,
+    text || ' Extra zz qq note ' || CAST(did AS VARCHAR) || ' ok.' AS text
+  FROM docs0 WHERE did % 6 = 3
+),
+lf AS (
+  SELECT cid, array_to_string(
+    list_filter(string_split(text, chr(10)),
+      x -> regexp_matches(x, '[.!?"]\\r?$')
+        AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3),
+    chr(10)) AS kept
+  FROM corpus
+),
+red AS (
+  SELECT cid,
+    CAST(len(regexp_extract_all(kept, '{pii_email}')) AS BIGINT) AS n_emails,
+    regexp_replace(regexp_replace(regexp_replace(kept,
+      '{pii_email}', '<EMAIL>', 'g'),
+      '{pii_ipv4}', '<IP>', 'g'),
+      '{pii_phone}', '<PHONE>', 'g') AS text
+  FROM lf
+),
+s AS (SELECT cid, string_split(text, chr(10)) AS ls FROM red),
+ln0 AS (SELECT cid, ls, unnest(generate_series(1, len(ls))) AS pos FROM s),
+ln AS (SELECT cid, pos, ls[pos] AS line FROM ln0),
+cnt AS (SELECT line, count(DISTINCT cid) AS n_docs FROM ln GROUP BY line),
+keepl AS (SELECT cid, pos, line FROM ln JOIN cnt USING (line) WHERE n_docs <= 2),
+cleaned AS (
+  SELECT s.cid, COALESCE(agg.t, '') AS text
+  FROM s LEFT JOIN (
+    SELECT cid, string_agg(line, chr(10) ORDER BY pos) AS t FROM keepl GROUP BY cid
+  ) agg ON s.cid = agg.cid
+),
+ex AS (SELECT cid, text, cid = min(cid) OVER (PARTITION BY md5(text)) AS is_canon FROM cleaned),
+surv1 AS (SELECT cid, text FROM ex WHERE is_canon),
+tk AS (SELECT cid, string_split(text, ' ') AS toks FROM surv1),
+sh AS (
+  SELECT DISTINCT cid, shingle FROM (
+    SELECT cid, unnest(list_transform(generate_series(1, array_length(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])) AS shingle
+    FROM tk)
+),
+sigs AS (
+  SELECT cid,
+    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
+  FROM sh GROUP BY cid
+),
+bands AS (
+  SELECT cid, mh0 || '|' || mh1 AS band_key FROM sigs
+  UNION ALL
+  SELECT cid, mh2 || '|' || mh3 AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.cid < b.cid
+),
+sizes AS (SELECT cid, count(*) AS n_sh FROM sh GROUP BY cid),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS inter
+  FROM cand p
+  JOIN sh sa ON sa.cid = p.id_a
+  JOIN sh sb ON sb.cid = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+),
+dup AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN sizes za ON za.cid = p.id_a
+  JOIN sizes zb ON zb.cid = p.id_b
+  WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE)
+        / CAST(za.n_sh + zb.n_sh - COALESCE(i.inter, 0) AS DOUBLE) >= 0.5
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM dup UNION SELECT id_b AS a, id_a AS b FROM dup),
+reach(src, dst) AS (
+  SELECT cid, cid FROM surv1
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS cid, min(dst) AS group_id FROM reach GROUP BY src),
+surv2 AS (
+  SELECT s1.cid, s1.text FROM surv1 s1
+  JOIN comp ON comp.cid = s1.cid AND comp.cid = comp.group_id
+),
+toks2 AS (SELECT cid, unnest(string_split(text, ' ')) AS tok FROM surv2),
+st AS (
+  SELECT cid, count(*) AS n_tokens,
+    CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS ttr,
+    CAST(sum(length(tok)) AS DOUBLE) / count(*) AS atl,
+    sum(CASE WHEN tok IN ('der','die','das','und','ist','nicht','ein','mit') THEN 1 ELSE 0 END) AS s_de,
+    sum(CASE WHEN tok IN ('the','and','is','of','to','in','that','it') THEN 1 ELSE 0 END) AS s_en,
+    sum(CASE WHEN tok IN ('el','la','los','las','y','es','de','que') THEN 1 ELSE 0 END) AS s_es,
+    sum(CASE WHEN tok IN ('le','la','les','et','est','de','que','un') THEN 1 ELSE 0 END) AS s_fr,
+    sum(CASE WHEN tok IN ('的','是','不','了','在','人','有','我') THEN 1 ELSE 0 END) AS s_zh
+  FROM toks2 GROUP BY cid
+),
+gq AS (
+  SELECT cid, n_tokens,
+    (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END) * 0.4
+     + LEAST(ttr * 1.25, 1.0) * 0.4 + LEAST(atl / 8.0, 1.0) * 0.2 AS quality,
+    GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS best,
+    s_de, s_en, s_es, s_fr, s_zh
+  FROM st
+),
+gated AS (
+  SELECT cid, n_tokens, quality,
+    CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+         WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+         ELSE 'zh' END AS pred_lang
+  FROM gq WHERE quality >= 0.6
+),
+pts AS (
+  SELECT g.cid, r.n_emails, g.n_tokens, g.quality, g.pred_lang,
+    35.0 + CAST(g.cid % 2000 AS DOUBLE) / 1000.0 AS lat,
+    138.0 + CAST((g.cid * 7) % 2000 AS DOUBLE) / 1000.0 AS lon
+  FROM gated g JOIN red r ON r.cid = g.cid
+  WHERE g.pred_lang = 'en'
+),
+keyed AS (
+  SELECT *,
+    ((CAST(floor(lat) AS INTEGER) = 35 AND CAST(floor(lon) AS INTEGER) = 138)
+     OR (CAST(floor(lat) AS INTEGER) = 35 AND CAST(floor(lon) AS INTEGER) = 139)
+     OR (CAST(floor(lat) AS INTEGER) = 36 AND CAST(floor(lon) AS INTEGER) = 138)) AS has_tile
+  FROM pts
+),
+pos2 AS (
+  SELECT *, (1.0 - (lat - floor(lat))) * 1200.0 AS rp,
+    (lon - floor(lon)) * 1200.0 AS cp
+  FROM keyed
+),
+rc AS (
+  SELECT *,
+    CAST(floor(rp) AS BIGINT) + (CASE WHEN rp - floor(rp) >= 0.5 THEN 1 ELSE 0 END) AS r,
+    CAST(floor(cp) AS BIGINT) + (CASE WHEN cp - floor(cp) >= 0.5 THEN 1 ELSE 0 END) AS c
+  FROM pos2
+)
+SELECT cid, n_emails, n_tokens, quality, pred_lang,
+  CASE WHEN has_tile AND ((r * 1201 + c) % 97 <> 0)
+       THEN CAST((r + c) % 4000 AS INTEGER) ELSE NULL END AS elevation
+FROM rc
+"""
     return {
         "dedup_exact": dedup_exact_sql,
         "minhash_signatures": minhash_sql,
@@ -1043,6 +1316,7 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -
         "ann_ivf_topk": ivf_sql,
         "ann_pq_topk": pq_sql,
         "embedding_near_dup": near_dup_sql,
+        "pipeline_e2e": pipeline_e2e_sql,
     }
 
 
@@ -1073,4 +1347,5 @@ def queries():
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "pipeline_e2e": q_pipeline_e2e,
     }

@@ -157,6 +157,69 @@ def main():
         print("FATAL: near-dup plan contains a cartesian product", file=sys.stderr)
         sys.exit(1)
 
+    # composed training-data pipeline: the corpus must be scanned once per
+    # stage TIER, with cross-branch-referenced tiers materialized behind
+    # lazy localCheckpoints (Spark has no cross-branch subtree reuse)
+    from htg_spark.operators import text as _text
+
+    corpus_frame = pq.e2e_corpus(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    corpus_plan = plan_of(corpus_frame)
+    tier1 = _text.pii_redact(
+        _text.line_filter(corpus_frame, id_col="cid").select(
+            "cid", F.col("kept_text").alias("text")
+        ),
+        id_col="cid",
+    )
+    t1_plan = plan_of(tier1)
+    e2e = pq.q_pipeline_e2e(spark, sf_dir)
+    e2e_plan = plan_of(e2e)
+    sections.append(
+        (
+            "Composed pipeline tier 1: corpus -> line filter -> PII redact",
+            "Expected: the line filter and redaction stages FUSE into the "
+            "corpus assembly's projections — the tier adds ZERO parquet "
+            "scans beyond the fixture corpus's own 3-branch dup-planting "
+            "union (whose branches carry disjoint pushed filters; a real "
+            "corpus arrives as one table and would be one scan).",
+            t1_plan,
+        )
+    )
+    sections.append(
+        (
+            "Composed pipeline final plan (pipeline_e2e)",
+            "Expected: every stage tier reads its input from a lazily "
+            "localCheckpoint'ed frame (Scan ExistingRDD) — ZERO direct "
+            "documents.parquet scans survive into the final plan, so no "
+            "stage re-derives the corpus however many branches reference "
+            "it. No cartesian products.",
+            e2e_plan,
+        )
+    )
+    def n_scans(plan):
+        return len(_re.findall(r"\(\d+\) Scan parquet", plan))
+
+    n_doc_scans_t1 = n_scans(t1_plan)
+    n_doc_scans_final = n_scans(e2e_plan)
+    if n_doc_scans_t1 != n_scans(corpus_plan):
+        print(
+            f"FATAL: pipeline tier 1 scans parquet {n_doc_scans_t1} times vs "
+            f"{n_scans(corpus_plan)} for the bare corpus — the filter/redact "
+            "stages must fuse, not re-scan",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    if n_doc_scans_final != 0 or "Scan ExistingRDD" not in e2e_plan:
+        print(
+            f"FATAL: pipeline_e2e final plan has {n_doc_scans_final} direct "
+            "documents scans (expected 0 — tiers must flow through "
+            "checkpointed frames)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    if "CartesianProduct" in e2e_plan or "BroadcastNestedLoopJoin" in e2e_plan:
+        print("FATAL: pipeline_e2e plan contains a cartesian product", file=sys.stderr)
+        sys.exit(1)
+
     minhash = pq.q_minhash_signatures(spark, sf_dir)
     mh_plan = plan_of(minhash)
     sections.append(
