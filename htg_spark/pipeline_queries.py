@@ -331,25 +331,41 @@ def e2e_corpus(docs: DataFrame) -> DataFrame:
       'No.' line grows a unique 6-word tail, so it passes the line filter
       and survives line dedup) — MinHash/LSH near-dedup prey."""
     d = F.col("doc_id")
+    ds = d.cast("string")
     nl = F.lit("\n")
     soup = F.substring(F.col("text"), 1, 40)
     email = F.when(
         d % 2 == 0,
-        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        F.concat(F.lit(" contact user"), ds, F.lit("@example.com")),
     ).otherwise(F.lit(""))
+    # Every language-marker stopword is FLANKED by doc-unique tokens
+    # (u<d>, v<d>, w<d>) so the lang gate sees the exact stopword tokens
+    # while NO bigram shingle repeats corpus-wide — a corpus with shared
+    # connective phrases ("says that the ...") makes MinHash band keys
+    # collide across most doc pairs and the LSH candidate join degenerates
+    # toward all-pairs (measured: 20+ s of Jaccard verify at sf0.1 before
+    # this flanking; the oracle mirrored it, but the SHAPE was wrong).
     body = (
-        F.when(d % 11 == 0, F.lit(" says that the aa aa aa aa aa aa"))
-        .when(
-            d % 7 == 0,
-            F.concat(F.lit(" dice que el texto "), soup, F.lit(" es bueno")),
+        F.when(
+            d % 11 == 0,  # low type-token ratio -> quality-gated
+            F.concat(F.lit(" the u"), ds, F.lit(" is v"), ds,
+                     F.lit(" that aa aa aa aa aa aa aa aa aa")),
         )
-        .otherwise(F.concat(F.lit(" says that the text "), soup, F.lit(" is good")))
+        .when(
+            d % 7 == 0,  # Spanish markers -> language-gated
+            F.concat(F.lit(" el u"), ds, F.lit(" es v"), ds,
+                     F.lit(" que w"), ds, F.lit(" "), soup),
+        )
+        .otherwise(
+            F.concat(F.lit(" the u"), ds, F.lit(" is v"), ds,
+                     F.lit(" that w"), ds, F.lit(" "), soup)
+        )
     )
     assembled = docs.select(
         d.alias("did"),
         F.concat(
             F.lit("Subscribe to our newsletter today."), nl,
-            F.lit("Doc "), d.cast("string"), body, email, F.lit(" ok."), nl,
+            F.lit("Doc "), ds, body, email, F.lit(" ok"), ds, F.lit("."), nl,
             F.lit("No."),
         ).alias("text"),
     )
@@ -1136,12 +1152,17 @@ docs0 AS (
   SELECT doc_id AS did,
     'Subscribe to our newsletter today.' || chr(10)
     || 'Doc ' || CAST(doc_id AS VARCHAR)
-    || CASE WHEN doc_id % 11 = 0 THEN ' says that the aa aa aa aa aa aa'
-            WHEN doc_id % 7 = 0 THEN ' dice que el texto ' || substr(text, 1, 40) || ' es bueno'
-            ELSE ' says that the text ' || substr(text, 1, 40) || ' is good' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN ' the u' || CAST(doc_id AS VARCHAR) || ' is v' || CAST(doc_id AS VARCHAR)
+              || ' that aa aa aa aa aa aa aa aa aa'
+       WHEN doc_id % 7 = 0
+         THEN ' el u' || CAST(doc_id AS VARCHAR) || ' es v' || CAST(doc_id AS VARCHAR)
+              || ' que w' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40)
+       ELSE ' the u' || CAST(doc_id AS VARCHAR) || ' is v' || CAST(doc_id AS VARCHAR)
+              || ' that w' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40) END
     || CASE WHEN doc_id % 2 = 0
          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-    || ' ok.' || chr(10) || 'No.' AS text
+    || ' ok' || CAST(doc_id AS VARCHAR) || '.' || chr(10) || 'No.' AS text
   FROM documents
 ),
 corpus AS (
