@@ -124,7 +124,7 @@ def main():
     ).persist()
     n_imgs = imgs.count()
 
-    for name, fn in (
+    pipeline_entries = (
         ("dedup_exact", pq.q_dedup_exact),
         ("minhash_signatures", pq.q_minhash_signatures),
         ("lsh_dedup_pairs", pq.q_lsh_dedup_pairs),
@@ -153,18 +153,23 @@ def main():
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),
         ("image_resize", lambda s, d: multimodal.resize_images(imgs, 8, 8)),
         ("image_embedding", lambda s, d: multimodal.image_embedding(imgs, dim=16)),
-    ):
-        best, n = None, 0
-        for _ in range(n_trials):
-            t0 = time.perf_counter()
-            n = materialize(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-        rows[name] = n
-        rps[name] = round(n / best) if best > 0 else 0
-        total += best
-    imgs.unpersist()
+    )
+    try:
+        for name, fn in pipeline_entries:
+            best, n = None, 0
+            for _ in range(n_trials):
+                t0 = time.perf_counter()
+                n = materialize(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
+            rows[name] = n
+            rps[name] = round(n / best) if best > 0 else 0
+            total += best
+    finally:
+        # release even when a query throws mid-loop — a leaked persist pins
+        # the 100k-image table for the rest of the process
+        imgs.unpersist()
 
     # sf1 section: the same five geospatial queries at 10x the point volume
     # (replicate scaled so input rows = one order of magnitude up) — catches

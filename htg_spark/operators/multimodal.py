@@ -53,7 +53,19 @@ def _decode_stacks(pdf: pd.DataFrame):
     import zlib
 
     pdf = pdf.reset_index(drop=True)
-    for (w, h, fmt), pos in pdf.groupby(["w", "h", "fmt"], sort=False).indices.items():
+    groups = pdf.groupby(["w", "h", "fmt"], sort=False).indices
+    # pandas groupby drops rows whose key contains a null — those positions
+    # would otherwise fall through every consumer's output buffer as
+    # UNINITIALIZED memory (np.empty). Refuse them explicitly: a null
+    # (w, h, fmt) is a malformed image row, not a decodable subgroup.
+    n_grouped = sum(len(p) for p in groups.values())
+    if n_grouped != len(pdf):
+        bad = pdf[pdf[["w", "h", "fmt"]].isna().any(axis=1)]["image_id"].tolist()
+        raise ValueError(
+            f"images with null w/h/fmt cannot be decoded: {bad[:5]}"
+            + ("..." if len(bad) > 5 else "")
+        )
+    for (w, h, fmt), pos in groups.items():
         w, h = int(w), int(h)
         blobs = pdf["bytes"].to_numpy()[pos]
         if fmt in ("raw", "rawz"):
@@ -140,6 +152,12 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 ("fmt", pa.string()),
             ]
         )
+        # pa.binary() carries int32 offsets: a chunk's total payload must
+        # stay under 2^31 or the arithmetic offsets would silently wrap
+        # (from_buffers does NOT validate). Input batches can be huge
+        # (maxBytesPerBatch is pinned to Int.MaxValue in session.py), so
+        # emit one RecordBatch per <=1 GiB row-chunk of the stacked block.
+        chunk_rows = max(1, (1 << 30) // row_nbytes)
         for rb in batches:
             pdf = rb.to_pandas()
             n = len(pdf)
@@ -149,20 +167,25 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 ri = (np.arange(out_h) * h // out_h).astype(np.int64)
                 ci = (np.arange(out_w) * w // out_w).astype(np.int64)
                 out[pos] = stack[:, ri][:, :, ci]
-            offsets = np.arange(n + 1, dtype=np.int32) * row_nbytes
-            blob_arr = pa.Array.from_buffers(
-                pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(out)]
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    rb.column(rb.schema.get_field_index("image_id")).cast(pa.string()),
-                    blob_arr,
-                    pa.array(np.full(n, out_w, dtype=np.int32)),
-                    pa.array(np.full(n, out_h, dtype=np.int32)),
-                    pa.array(["raw"] * n, type=pa.string()),
-                ],
-                schema=schema,
-            )
+            ids = rb.column(rb.schema.get_field_index("image_id")).cast(pa.string())
+            for s in range(0, max(n, 1), chunk_rows):
+                blk = out[s : s + chunk_rows]
+                m = blk.shape[0]
+                offsets = np.arange(m + 1, dtype=np.int32) * row_nbytes
+                blob_arr = pa.Array.from_buffers(
+                    pa.binary(), m,
+                    [None, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(blk))],
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.slice(s, m),
+                        blob_arr,
+                        pa.array(np.full(m, out_w, dtype=np.int32)),
+                        pa.array(np.full(m, out_h, dtype=np.int32)),
+                        pa.array(["raw"] * m, type=pa.string()),
+                    ],
+                    schema=schema,
+                )
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
         run, schema="image_id string, bytes binary, w int, h int, fmt string"
@@ -184,6 +207,9 @@ def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
         schema = pa.schema(
             [("image_id", pa.string()), ("embedding", pa.list_(pa.float32()))]
         )
+        # list offsets are int32 ELEMENT counts: chunk so m * dim < 2^31
+        # (same silent-wrap hazard as the binary offsets in resize_images)
+        chunk_rows = max(1, ((1 << 31) - 1) // dim)
         for rb in batches:
             pdf = rb.to_pandas()
             n = len(pdf)
@@ -197,18 +223,18 @@ def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
                 norms = np.linalg.norm(v, axis=1)
                 v = np.where(norms[:, None] > 0, v / np.where(norms == 0, 1.0, norms)[:, None], v)
                 vecs[pos] = v.astype(np.float32)
-            # ONE ListArray over the stacked (n, dim) float32 block —
-            # zero-copy values buffer, arithmetic offsets; no per-row
-            # tolist() (n * dim Python floats) in the assembly
-            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
-            emb_arr = pa.ListArray.from_arrays(offsets, pa.array(vecs.reshape(-1)))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    rb.column(rb.schema.get_field_index("image_id")).cast(pa.string()),
-                    emb_arr,
-                ],
-                schema=schema,
-            )
+            ids = rb.column(rb.schema.get_field_index("image_id")).cast(pa.string())
+            for s in range(0, max(n, 1), chunk_rows):
+                blk = vecs[s : s + chunk_rows]
+                m = blk.shape[0]
+                # ONE ListArray over the stacked (m, dim) float32 block —
+                # zero-copy values buffer, arithmetic offsets; no per-row
+                # tolist() (m * dim Python floats) in the assembly
+                offsets = pa.array(np.arange(m + 1, dtype=np.int32) * dim)
+                emb_arr = pa.ListArray.from_arrays(
+                    offsets, pa.array(np.ascontiguousarray(blk).reshape(-1))
+                )
+                yield pa.RecordBatch.from_arrays([ids.slice(s, m), emb_arr], schema=schema)
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
         run, schema="image_id string, embedding array<float>"

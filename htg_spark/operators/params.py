@@ -94,9 +94,9 @@ def params_for(n_rows: int, max_hamming: int = 3) -> PipelineParams:
     nd_tables = _clamp(4 + (nd_planes - 8) // 4, 4, 12)
     # ANN top-k tables: planes ~ log2(N)-4 (16x the per-table bucket
     # occupancy of the near-dup rule — affordable in a queries x corpus
-    # join), tables grow 1:1 with planes so recall at the ~0.9-cosine
-    # neighbor band stays >= 0.8: at 1e5 that is 12 planes x 8 tables ->
-    # pair recall 1-(1-0.89^12)^8 ~= 0.89 (the old 14x5 predicted 0.66,
+    # join), tables grow 3:2 with planes so recall at the ~0.9-cosine
+    # neighbor band stays >= 0.8: at 1e5 that is 12 planes x 10 tables ->
+    # measured recall@10 0.852 (the old shared 14x5 rule predicted 0.66
     # and measured 0.654)
     an_planes = _clamp(int(math.floor(lg)) - 4, 8, 20)
     # 3:2 table growth per plane: the 1:1 rule measured recall@10 = 0.796

@@ -417,7 +417,9 @@ def q_pipeline_e2e(spark, sf_dir):
     ver = dedup.jaccard_verify(surv1, cand, id_col="cid", threshold=0.5)
     dup = ver.where(F.col("is_dup")).select("id_a", "id_b")
     comp = dedup.connected_components(dup, surv1.select("cid"), id_col="cid")
-    surv2 = surv1.join(comp.where(F.col("is_canonical")).select("cid"), "cid")
+    surv2 = surv1.join(
+        comp.where(F.col("is_canonical")).select("cid"), "cid"
+    ).localCheckpoint(eager=False)  # referenced by BOTH gate branches below
     q = text.quality_score(surv2, id_col="cid")
     lid = text.lang_id(surv2, id_col="cid")
     gated = (
