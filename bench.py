@@ -22,6 +22,11 @@ from htg_spark.bench_queries import (
 from htg_spark.session import get_spark
 
 
+class _GateNotApplicable(Exception):
+    """Raised to skip the regression gate when the run's input is not the
+    default sf0.1 directory the recorded baselines describe."""
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -220,7 +225,14 @@ def main():
     # window would just re-report host noise.
     regressions = {}
     canary_clean = None
+    # the recorded minima describe the DEFAULT sf0.1 input only — a run
+    # pointed elsewhere via SPARK_GRAFT_SF_DIR would compare incomparable
+    # workloads against them (a small-sf smoke run measured sf1/nearest_knn
+    # at "4.6x baseline" purely because its input and catalog differ)
+    gate_applies = os.path.basename(os.path.normpath(sf_dir)) == "sf0.1"
     try:
+        if not gate_applies:
+            raise _GateNotApplicable
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_BASELINE.json")) as f:
             base = json.load(f)
@@ -232,32 +244,46 @@ def main():
                     regressions[qname] = {
                         "sec": t, "baseline_sec": b, "ratio": round(t / b, 2)
                     }
-            # the sf1 section gets the SAME gate (the r3->r4 sf1 cogroup
-            # regression shipped unflagged precisely because this loop once
-            # iterated only the sf0.1 times). The host phase DRIFTS
-            # mid-run (measured: sf0.1 cogroup 3.0 s and sf1 cogroup 47 s
-            # in one session), so the sf1 gate arms on a same-section
-            # phase probe: the sf1 broadcast reading vs its own baseline —
-            # broadcast is the shared reference workload of that section.
-            if sf1:
-                bb = base.get("sf1_queries", {}).get("nearest_broadcast")
-                t_bb = sf1["queries"].get("nearest_broadcast")
-                sf1_clean = bool(bb and t_bb and t_bb <= 1.3 * bb)
-                sf1["canary_clean"] = sf1_clean
-                if sf1_clean:
-                    for qname, t in sf1["queries"].items():
-                        b = base.get("sf1_queries", {}).get(qname)
-                        if b and t > base.get("ratio", 1.5) * b:
-                            regressions[f"sf1/{qname}"] = {
-                                "sec": t, "baseline_sec": b, "ratio": round(t / b, 2)
-                            }
+        # the sf1 section gets the SAME gate (the r3->r4 sf1 cogroup
+        # regression shipped unflagged precisely because this loop once
+        # iterated only the sf0.1 times). The host phase DRIFTS mid-run
+        # (measured: sf0.1 cogroup 3.0 s and sf1 cogroup 47 s in one
+        # session), so the sf1 gate arms on a same-section phase probe —
+        # the sf1 broadcast reading vs its own baseline — INDEPENDENT of
+        # the session-start canary (which can neither clear nor condemn a
+        # section measured minutes later). Known blind spot, accepted: the
+        # probe workload itself can never be flagged (probe <= 1.3x gates
+        # flagging at > 1.5x), and a regression that hits broadcast too
+        # disarms the whole section — hence the disarm is LOUD on stderr,
+        # not just a JSON field, so repeated disarms read as a signal to
+        # re-time in a dedicated session rather than as silence.
+        if sf1:
+            bb = base.get("sf1_queries", {}).get("nearest_broadcast")
+            t_bb = sf1["queries"].get("nearest_broadcast")
+            sf1_clean = bool(bb and t_bb and t_bb <= 1.3 * bb)
+            sf1["canary_clean"] = sf1_clean
+            if sf1_clean:
+                for qname, t in sf1["queries"].items():
+                    b = base.get("sf1_queries", {}).get(qname)
+                    if b and t > base.get("ratio", 1.5) * b:
+                        regressions[f"sf1/{qname}"] = {
+                            "sec": t, "baseline_sec": b, "ratio": round(t / b, 2)
+                        }
+            else:
+                print(
+                    f"sf1 regression gate DISARMED: broadcast probe {t_bb}s "
+                    f"vs baseline {bb}s exceeds 1.3x (host phase dirty, or a "
+                    "broadcast-path regression — re-time in a dedicated "
+                    "session to tell them apart)",
+                    file=sys.stderr,
+                )
         if regressions:
             print(
                 "REGRESSION GATE (clean canary "
                 f"{warmup_sec}s): {json.dumps(regressions)}",
                 file=sys.stderr,
             )
-    except FileNotFoundError:
+    except (FileNotFoundError, _GateNotApplicable):
         pass
     except Exception as e:  # the gate is advisory — never lose the run's JSON
         print(f"regression gate skipped (bad baseline file?): {e!r}", file=sys.stderr)

@@ -8,9 +8,12 @@
 - SimHash: 60-bit signature from per-token md5 nibbles, majority vote per
   bit — near-dup candidates = identical signatures (or small hamming radius).
 
-Scale notes: all steps are shuffle-on-small-keys; text leaves the scan only
-as shingle hashes. At 10^12 rows the band-bucket join is the classic
-skew point — bucket sizes are capped by construction (identical boilerplate
+Scale notes: the minhash/LSH stages are shuffle-on-small-keys — text leaves
+the scan only as shingle hashes there. The exact-verify stage is the one
+deliberate exception: it moves each CANDIDATE doc's distinct raw shingles
+(~2x its text bytes, see jaccard_verify) so the Jaccard contract stays
+collision-free. At 10^12 rows the band-bucket join is the classic skew
+point — bucket sizes are capped by construction (identical boilerplate
 shingles collapse to one hash per doc), and the verify join runs on
 candidate pairs only.
 """
@@ -134,17 +137,24 @@ def jaccard_verify(
     so the upstream LSH band self-join subtree needs no checkpoint here.
 
     Scale notes: the array table is one row per doc (corpus-sized, the
-    same scale as the signature table) and a doc's shingle array is
-    bounded by its text length — row width stays manageable for web-doc
-    corpora (a 1 MB doc is a ~200 KB-of-hashes row); intersections stay
-    candidate-driven, never shingle-driven, so a high-document-frequency
-    boilerplate shingle cannot quadratically explode the join the way a
-    shingle-keyed self-join would. `arrs` feeds both join sides and Spark
-    SQL has no cross-branch subtree reuse, hence the lazy localCheckpoint
-    (see lsh_candidate_pairs)."""
-    sh = _shingles(df, id_col, text_col)
+    same scale as the signature table) and a doc's shingle array holds its
+    RAW distinct bigram strings — each token appears in ~2 bigrams, so the
+    row payload is ~2x the doc's text bytes (a 10 MB outlier doc becomes a
+    ~20 MB row through the pair join; exact verification deliberately
+    keeps strings, not hashes, so the Jaccard contract stays collision-
+    free and oracle-portable). Intersections stay candidate-driven, never
+    shingle-driven, so a high-document-frequency boilerplate shingle
+    cannot quadratically explode the join the way a shingle-keyed
+    self-join would. The set semantics come from collect_set over the
+    NON-distinct shingle stream — dedup happens in the map-side partial
+    aggregate, so the exploded shingles are shuffled once (by id), not
+    twice (a dropDuplicates([id, shingle]) pre-pass costs a second
+    corpus-wide shuffle for nothing). `arrs` feeds both join sides and
+    Spark SQL has no cross-branch subtree reuse, hence the lazy
+    localCheckpoint (see lsh_candidate_pairs)."""
+    sh = _shingles(df, id_col, text_col, distinct=False)
     arrs = sh.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("arr")
+        F.collect_set("shingle").alias("arr")
     ).localCheckpoint(eager=False)
     a = arrs.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
     b = arrs.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
