@@ -176,12 +176,92 @@ def jaccard_verify(
     )
 
 
+def _cc_collect(
+    pairs_thin: DataFrame, vertices: DataFrame, id_col: str, stats: dict | None
+) -> DataFrame:
+    """Driver-side solve for connected_components when the edge list fits
+    under collect_threshold: the identical min-label + pointer-doubling
+    iteration, vectorized over NumPy index arrays. See the caller's
+    docstring for the strategy rationale and the exact-parity contract."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = pairs_thin.sparkSession
+    pdf = pairs_thin.toPandas().dropna()
+    a = pdf["id_a"].to_numpy()
+    b = pdf["id_b"].to_numpy()
+    id_type = vertices.schema[id_col].dataType
+    rounds = 0
+    label_rows: list[tuple] = []
+    if len(a):
+        # contract parity with the loop: an endpoint absent from `vertices`
+        # neither receives nor conducts labels — drop such edges. The
+        # endpoint list is tiny by construction, so this is one map-only
+        # broadcast semi-join scan of the corpus, no shuffle.
+        ids = np.unique(np.concatenate([a, b]))
+        ep_df = spark.createDataFrame(
+            [(v.item(),) for v in ids], T.StructType([T.StructField("v", id_type)])
+        )
+        present_rows = (
+            vertices.select(F.col(id_col).alias("v"))
+            .join(F.broadcast(ep_df), "v", "leftsemi")
+            .collect()
+        )
+        present = np.array([r["v"] for r in present_rows], dtype=ids.dtype)
+        keep = np.isin(a, present) & np.isin(b, present)
+        a, b = a[keep], b[keep]
+    if len(a):
+        ids = np.unique(np.concatenate([a, b]))
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        # min-label propagation + pointer doubling over index arrays; ids
+        # is sorted, so index order == id order and the converged per-
+        # component minimum index IS the minimum id. minimum.at is the
+        # unbuffered scatter-min (duplicate indices accumulate correctly).
+        parent = np.arange(len(ids))
+        while True:
+            rounds += 1
+            if rounds > 64:  # log2(diameter) bound; 2^64 vertices cannot exist
+                raise AssertionError("driver CC failed to converge — bug")
+            prev = parent.copy()
+            np.minimum.at(parent, ia, prev[ib])
+            np.minimum.at(parent, ib, prev[ia])
+            parent = parent[parent]
+            if np.array_equal(parent, prev):
+                break
+        nonid = parent != np.arange(len(ids))
+        label_rows = list(
+            zip(
+                (v.item() for v in ids[nonid]),
+                (v.item() for v in ids[parent[nonid]]),
+            )
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["strategy"] = "collect"
+    lmap = spark.createDataFrame(
+        label_rows,
+        T.StructType([T.StructField("v", id_type), T.StructField("glabel", id_type)]),
+    )
+    grp = F.coalesce(F.col("glabel"), F.col("v"))
+    return (
+        vertices.select(F.col(id_col).alias("v"))
+        .join(F.broadcast(lmap), "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            grp.alias("group_id"),
+            (F.col("v") == grp).alias("is_canonical"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     vertices: DataFrame,
     id_col: str = "cid",
     max_iter: int = 50,
     stats: dict | None = None,
+    collect_threshold: int | None = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate GROUPING: connected components over the verified
     pair graph, via min-label propagation WITH pointer doubling. Returns
@@ -191,9 +271,22 @@ def connected_components(
     finding (the file-level analog is the reference's '.hgt wins' dedupe
     pick, htg/src/service.rs:626-650).
 
-    Scale shape: each round shuffles only (vertex, label) longs joined
-    against the symmetrized edge list — never materializes the transitive
-    closure. From round 2 on, a pointer-doubling shortcut
+    SIZE-ADAPTIVE physical strategy (the broadcast-hash-join trade applied
+    to an iterative algorithm): when the verified pair count is at most
+    `collect_threshold` (default 2M edges ~ 32 MB of longs — dup pairs are
+    a sliver of any real corpus), the edge list is collected and the SAME
+    min-label + pointer-doubling algorithm runs vectorized in NumPy, and
+    only the non-identity labels are broadcast-joined back onto `vertices`.
+    The corpus then never crosses a shuffle at all — two map-only
+    broadcast-join scans replace O(log diameter) rounds that each shuffle
+    a corpus-sized label table. Above the threshold (or with
+    collect_threshold=None) the distributed loop below runs unchanged —
+    it remains the 10^9+-edge scale path, and `max_iter` bounds only it
+    (the driver solve always converges).
+
+    Distributed-loop scale shape: each round shuffles only (vertex, label)
+    longs joined against the symmetrized edge list — never materializes
+    the transitive closure. From round 2 on, a pointer-doubling shortcut
     (label(v) <- label(label(v)), the Shiloach-Vishkin shortcut) rides the
     same round, so convergence is O(log diameter) rounds, not O(diameter):
     a 1000-vertex path converges in ~11 rounds instead of 999. Round 1
@@ -206,20 +299,31 @@ def connected_components(
     checkpoint and returns the changed-row count in the same job (an eager
     checkpoint + separate count was 2 jobs/round and benched 1.8x slower).
     Genuinely iterative, hence driver-verified against a recursive-CTE
-    oracle.
+    oracle (both strategies produce identical labels; a pytest asserts it
+    on a random graph).
 
     Contract: `vertices` defines the universe — pair endpoints absent from
-    it do not appear in the output (they still conduct labels between
-    present vertices only if present themselves, so pass the full corpus).
-    `stats`, if given, receives {"rounds": n} on return."""
+    it do not appear in the output and neither receive nor conduct labels
+    (the collect path filters such edges explicitly to match the loop's
+    join semantics), so pass the full corpus. `stats`, if given, receives
+    {"rounds": n, "strategy": "collect"|"loop"} on return."""
     # no distinct(): duplicate edges cannot change a min() and the upstream
     # pair finders already dedupe — a distinct here is one wasted shuffle
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    pairs_thin = pairs.select("id_a", "id_b")
+    if collect_threshold is not None:
+        # the count materializes the (possibly expensive) upstream pair
+        # chain ONCE into checkpoint blocks; both strategies reuse them
+        pairs_thin = pairs_thin.localCheckpoint(eager=False)
+        if pairs_thin.count() <= collect_threshold:
+            return _cc_collect(pairs_thin, vertices, id_col, stats)
+    edges = pairs_thin.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        pairs_thin.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     # lazy: round 1's convergence count materializes both in its own job
     edges = edges.localCheckpoint(eager=False)
+    if stats is not None:
+        stats["strategy"] = "loop"
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=False)

@@ -80,18 +80,71 @@ def test_simhash_near_dup_pairs(docs):
 def test_connected_components_grouping(spark):
     """Chain 1-2-3 collapses to one group under min-label propagation
     (needs >1 round: 3 only reaches 1 through 2); 4-5 a pair; 6 a
-    singleton; canonical = lowest id in the group."""
+    singleton; canonical = lowest id in the group. Both physical
+    strategies (driver collect solve and the distributed loop) must
+    produce the identical table and report which one ran."""
     pairs = spark.createDataFrame(
         pd.DataFrame({"id_a": [1, 2, 4], "id_b": [2, 3, 5]})
     )
     verts = spark.createDataFrame(pd.DataFrame({"cid": [1, 2, 3, 4, 5, 6]}))
-    out = (
-        dedup.connected_components(pairs, verts, id_col="cid")
-        .orderBy("cid")
-        .toPandas()
+    for threshold, want_strategy in ((2_000_000, "collect"), (None, "loop")):
+        stats: dict = {}
+        out = (
+            dedup.connected_components(
+                pairs, verts, id_col="cid", stats=stats,
+                collect_threshold=threshold,
+            )
+            .orderBy("cid")
+            .toPandas()
+        )
+        assert stats["strategy"] == want_strategy
+        assert out["group_id"].tolist() == [1, 1, 1, 4, 4, 6]
+        assert out["is_canonical"].tolist() == [True, False, False, True, False, True]
+
+
+def test_connected_components_strategy_parity_random_graph(spark):
+    """Collect solve vs distributed loop on a random graph (plus edges
+    whose endpoints are missing from `vertices`, which must neither
+    receive nor conduct labels on EITHER path): identical label tables."""
+    rng = np.random.default_rng(11)
+    n = 400
+    a = rng.integers(0, n, 300)
+    b = rng.integers(0, n, 300)
+    # absent vertex 1000 bridges the otherwise-isolated PRESENT vertices
+    # 500 and 501: if either path let an absent endpoint conduct labels,
+    # 500/501 would merge into one group instead of staying singletons
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": list(a) + [500, 1000],
+                "id_b": list(b) + [1000, 501],
+            }
+        )
     )
-    assert out["group_id"].tolist() == [1, 1, 1, 4, 4, 6]
-    assert out["is_canonical"].tolist() == [True, False, False, True, False, True]
+    verts = spark.createDataFrame(
+        pd.DataFrame({"cid": list(range(n)) + [500, 501]})
+    )
+    kw = dict(id_col="cid")
+    got_c = (
+        dedup.connected_components(pairs, verts, collect_threshold=10_000, **kw)
+        .orderBy("cid").toPandas()
+    )
+    got_l = (
+        dedup.connected_components(pairs, verts, collect_threshold=None, **kw)
+        .orderBy("cid").toPandas()
+    )
+    pd.testing.assert_frame_equal(got_c, got_l)
+    # absent endpoints never appear in the output, and the bridge through
+    # the absent vertex did NOT merge 500/501
+    assert set(got_c["cid"]) == set(range(n)) | {500, 501}
+    by_id = got_c.set_index("cid")["group_id"]
+    assert by_id[500] == 500 and by_id[501] == 501
+    # a threshold below the edge count routes to the loop
+    stats: dict = {}
+    dedup.connected_components(
+        pairs, verts, collect_threshold=1, stats=stats, **kw
+    ).count()
+    assert stats["strategy"] == "loop"
 
 
 def test_simhash_chunks_exact_above_2_53(spark):
@@ -320,9 +373,13 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     verts = spark.createDataFrame(pd.DataFrame({"cid": list(range(n))}))
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, verts, id_col="cid", max_iter=2)
+        dedup.connected_components(
+            pairs, verts, id_col="cid", max_iter=2, collect_threshold=None
+        )
     # and converges fine with enough rounds
-    out = dedup.connected_components(pairs, verts, id_col="cid", max_iter=n).toPandas()
+    out = dedup.connected_components(
+        pairs, verts, id_col="cid", max_iter=n, collect_threshold=None
+    ).toPandas()
     assert set(out["group_id"]) == {0}
 
 
@@ -340,7 +397,7 @@ def test_connected_components_path_graph_log_rounds(spark):
     verts = spark.createDataFrame(pd.DataFrame({"cid": list(range(n))}))
     stats: dict = {}
     out = dedup.connected_components(
-        pairs, verts, id_col="cid", max_iter=25, stats=stats
+        pairs, verts, id_col="cid", max_iter=25, stats=stats, collect_threshold=None
     ).toPandas()
     assert set(out["group_id"]) == {0}
     assert out.shape[0] == n
