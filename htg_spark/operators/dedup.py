@@ -54,6 +54,16 @@ def _shingles(
     return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
+def shingle_stream(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Public multiset (id, shingle) stream for composed pipelines: build
+    it ONCE, localCheckpoint it lazily, and pass it to minhash_signatures
+    AND jaccard_verify via their `shingles` parameter so the corpus is
+    scanned and tokenized once instead of once per consumer."""
+    return _shingles(df, id_col, text_col, distinct=False)
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: (id, grp_hash, grp_size, is_canonical).
     Canonical = lowest id in the group."""
@@ -67,13 +77,25 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = N_MINHASH
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = N_MINHASH,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k md5-derived min-hash values per document over bigram shingles.
     h_j(s) = md5(j || ':' || s); signature_j = min over shingles.
     Plan: ONE shuffle (the map-side-combined min agg); no distinct pass —
-    min over repeated shingles equals min over the shingle set."""
-    sh = _shingles(df, id_col, text_col, distinct=False)
+    min over repeated shingles equals min over the shingle set.
+
+    `shingles` lets a composed pipeline share ONE (id, shingle) explosion
+    (multiset semantics, e.g. a localCheckpoint'ed _shingles(distinct=
+    False)) between this and jaccard_verify — otherwise each derives its
+    own and the corpus subtree is scanned+tokenized once per consumer
+    (Spark has no cross-branch subtree reuse). Default None recomputes:
+    at 10^12-row scale materializing ~2x the corpus bytes is a storage
+    trade the caller must opt into."""
+    sh = shingles if shingles is not None else _shingles(df, id_col, text_col, distinct=False)
     aggs = [
         F.min(F.md5(F.encode(F.concat(F.lit(f"{j}:"), F.col("shingle")), "UTF-8"))).alias(
             f"mh{j}"
@@ -120,9 +142,11 @@ def jaccard_verify(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact bigram-set Jaccard for candidate pairs:
-    (id_a, id_b, inter, union_n, jaccard, is_dup).
+    (id_a, id_b, inter, union_n, jaccard, is_dup). `shingles` shares one
+    multiset (id, shingle) explosion with minhash_signatures — see there.
 
     Plan shape: each doc's DISTINCT shingles are pre-aggregated into one
     array row, and the pair frame hash-joins that array table twice (by
@@ -152,7 +176,7 @@ def jaccard_verify(
     corpus-wide shuffle for nothing). `arrs` feeds both join sides and
     Spark SQL has no cross-branch subtree reuse, hence the lazy
     localCheckpoint (see lsh_candidate_pairs)."""
-    sh = _shingles(df, id_col, text_col, distinct=False)
+    sh = shingles if shingles is not None else _shingles(df, id_col, text_col, distinct=False)
     arrs = sh.groupBy(id_col).agg(
         F.collect_set("shingle").alias("arr")
     ).localCheckpoint(eager=False)

@@ -126,10 +126,13 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_lsh_dedup_pairs(spark, sf_dir):
+    # one shared shingle stream: minhash and verify each consume it from
+    # checkpoint blocks instead of re-scanning + re-tokenizing the corpus
     corpus = neardup_corpus(_docs(spark, sf_dir))
-    sigs = dedup.minhash_signatures(corpus, id_col="cid")
+    sh = dedup.shingle_stream(corpus, id_col="cid").localCheckpoint(eager=False)
+    sigs = dedup.minhash_signatures(corpus, id_col="cid", shingles=sh)
     pairs = dedup.lsh_candidate_pairs(sigs, id_col="cid")
-    return dedup.jaccard_verify(corpus, pairs, id_col="cid", threshold=0.5)
+    return dedup.jaccard_verify(corpus, pairs, id_col="cid", threshold=0.5, shingles=sh)
 
 
 def q_neardup_groups(spark, sf_dir):
@@ -138,9 +141,10 @@ def q_neardup_groups(spark, sf_dir):
     (cid, group_id, is_canonical). The canonical pick is lowest-id-wins;
     oracle = recursive transitive-closure CTE over the same pairs."""
     corpus = neardup_corpus(_docs(spark, sf_dir))
-    sigs = dedup.minhash_signatures(corpus, id_col="cid")
+    sh = dedup.shingle_stream(corpus, id_col="cid").localCheckpoint(eager=False)
+    sigs = dedup.minhash_signatures(corpus, id_col="cid", shingles=sh)
     pairs = dedup.lsh_candidate_pairs(sigs, id_col="cid")
-    verified = dedup.jaccard_verify(corpus, pairs, id_col="cid", threshold=0.5)
+    verified = dedup.jaccard_verify(corpus, pairs, id_col="cid", threshold=0.5, shingles=sh)
     dup = verified.where(F.col("is_dup")).select("id_a", "id_b")
     return dedup.connected_components(dup, corpus.select("cid"), id_col="cid")
 
@@ -412,9 +416,10 @@ def q_pipeline_e2e(spark, sf_dir):
     surv1 = cleaned_docs.join(
         ex.where(F.col("is_canonical")).select("cid"), "cid"
     ).localCheckpoint(eager=False)
-    sigs = dedup.minhash_signatures(surv1, id_col="cid")
+    sh = dedup.shingle_stream(surv1, id_col="cid").localCheckpoint(eager=False)
+    sigs = dedup.minhash_signatures(surv1, id_col="cid", shingles=sh)
     cand = dedup.lsh_candidate_pairs(sigs, id_col="cid")
-    ver = dedup.jaccard_verify(surv1, cand, id_col="cid", threshold=0.5)
+    ver = dedup.jaccard_verify(surv1, cand, id_col="cid", threshold=0.5, shingles=sh)
     dup = ver.where(F.col("is_dup")).select("id_a", "id_b")
     comp = dedup.connected_components(dup, surv1.select("cid"), id_col="cid")
     surv2 = surv1.join(
