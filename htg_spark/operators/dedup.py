@@ -58,10 +58,13 @@ def shingle_stream(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Public multiset (id, shingle) stream for composed pipelines: build
-    it ONCE, localCheckpoint it lazily, and pass it to minhash_signatures
-    AND jaccard_verify via their `shingles` parameter so the corpus is
-    scanned and tokenized once instead of once per consumer."""
-    return _shingles(df, id_col, text_col, distinct=False)
+    it ONCE and pass it to minhash_signatures AND jaccard_verify via their
+    `shingles` parameter so the corpus is scanned and tokenized once
+    instead of once per consumer. The lazy localCheckpoint lives HERE so
+    the sharing contract cannot be silently lost at a call site — the
+    first consumer's action materializes it, every later consumer reads
+    the blocks (Spark has no cross-branch subtree reuse)."""
+    return _shingles(df, id_col, text_col, distinct=False).localCheckpoint(eager=False)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -208,30 +211,38 @@ def _cc_collect(
     iteration, vectorized over NumPy index arrays. See the caller's
     docstring for the strategy rationale and the exact-parity contract."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql import types as T
 
     spark = pairs_thin.sparkSession
-    pdf = pairs_thin.toPandas().dropna()
+    # drop null endpoints SPARK-side, matching the loop path where a null
+    # join key conducts nothing: a null surviving into toPandas would
+    # coerce the whole int64 column to float64, breaking the LongType
+    # round-trip outright and silently losing precision for ids >= 2^53
+    pdf = pairs_thin.na.drop().toPandas()
     a = pdf["id_a"].to_numpy()
     b = pdf["id_b"].to_numpy()
     id_type = vertices.schema[id_col].dataType
     rounds = 0
-    label_rows: list[tuple] = []
+    lmap_pdf = pd.DataFrame({"v": a[:0], "glabel": b[:0]})
     if len(a):
         # contract parity with the loop: an endpoint absent from `vertices`
         # neither receives nor conducts labels — drop such edges. The
         # endpoint list is tiny by construction, so this is one map-only
-        # broadcast semi-join scan of the corpus, no shuffle.
+        # broadcast semi-join scan of the corpus, no shuffle. All driver-
+        # side construction goes through pandas/Arrow, never per-element
+        # Python loops (works for long AND string ids, and keeps the
+        # near-threshold case off single-threaded Row materialization).
         ids = np.unique(np.concatenate([a, b]))
         ep_df = spark.createDataFrame(
-            [(v.item(),) for v in ids], T.StructType([T.StructField("v", id_type)])
+            pd.DataFrame({"v": ids}), T.StructType([T.StructField("v", id_type)])
         )
-        present_rows = (
+        present = (
             vertices.select(F.col(id_col).alias("v"))
             .join(F.broadcast(ep_df), "v", "leftsemi")
-            .collect()
+            .toPandas()["v"]
+            .to_numpy()
         )
-        present = np.array([r["v"] for r in present_rows], dtype=ids.dtype)
         keep = np.isin(a, present) & np.isin(b, present)
         a, b = a[keep], b[keep]
     if len(a):
@@ -240,8 +251,10 @@ def _cc_collect(
         ib = np.searchsorted(ids, b)
         # min-label propagation + pointer doubling over index arrays; ids
         # is sorted, so index order == id order and the converged per-
-        # component minimum index IS the minimum id. minimum.at is the
-        # unbuffered scatter-min (duplicate indices accumulate correctly).
+        # component minimum index IS the minimum id (for strings, numpy's
+        # code-point sort equals Spark's binary UTF8 ordering — UTF-8
+        # preserves code-point order). minimum.at is the unbuffered
+        # scatter-min (duplicate indices accumulate correctly).
         parent = np.arange(len(ids))
         while True:
             rounds += 1
@@ -254,17 +267,12 @@ def _cc_collect(
             if np.array_equal(parent, prev):
                 break
         nonid = parent != np.arange(len(ids))
-        label_rows = list(
-            zip(
-                (v.item() for v in ids[nonid]),
-                (v.item() for v in ids[parent[nonid]]),
-            )
-        )
+        lmap_pdf = pd.DataFrame({"v": ids[nonid], "glabel": ids[parent[nonid]]})
     if stats is not None:
         stats["rounds"] = rounds
         stats["strategy"] = "collect"
     lmap = spark.createDataFrame(
-        label_rows,
+        lmap_pdf,
         T.StructType([T.StructField("v", id_type), T.StructField("glabel", id_type)]),
     )
     grp = F.coalesce(F.col("glabel"), F.col("v"))
@@ -334,10 +342,11 @@ def connected_components(
     # no distinct(): duplicate edges cannot change a min() and the upstream
     # pair finders already dedupe — a distinct here is one wasted shuffle
     pairs_thin = pairs.select("id_a", "id_b")
+    thin_ckpt = None
     if collect_threshold is not None:
         # the count materializes the (possibly expensive) upstream pair
         # chain ONCE into checkpoint blocks; both strategies reuse them
-        pairs_thin = pairs_thin.localCheckpoint(eager=False)
+        pairs_thin = thin_ckpt = pairs_thin.localCheckpoint(eager=False)
         if pairs_thin.count() <= collect_threshold:
             return _cc_collect(pairs_thin, vertices, id_col, stats)
     edges = pairs_thin.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -396,6 +405,11 @@ def connected_components(
         # over every partition, so the checkpoint is fully materialized)
         new = new.localCheckpoint(eager=False)
         changed = new.where(F.col("chg")).count()
+        if rounds == 1 and thin_ckpt is not None:
+            # round 1's job just materialized the symmetrized `edges`
+            # checkpoint, so the thin pair frame's blocks are dead — don't
+            # pin a third edge-list copy through the remaining rounds
+            thin_ckpt.unpersist()
         # `new` is materialized, so the previous round's blocks are dead —
         # release them instead of pinning max_iter label-table copies
         labels.unpersist()

@@ -129,7 +129,7 @@ def q_lsh_dedup_pairs(spark, sf_dir):
     # one shared shingle stream: minhash and verify each consume it from
     # checkpoint blocks instead of re-scanning + re-tokenizing the corpus
     corpus = neardup_corpus(_docs(spark, sf_dir))
-    sh = dedup.shingle_stream(corpus, id_col="cid").localCheckpoint(eager=False)
+    sh = dedup.shingle_stream(corpus, id_col="cid")
     sigs = dedup.minhash_signatures(corpus, id_col="cid", shingles=sh)
     pairs = dedup.lsh_candidate_pairs(sigs, id_col="cid")
     return dedup.jaccard_verify(corpus, pairs, id_col="cid", threshold=0.5, shingles=sh)
@@ -141,7 +141,7 @@ def q_neardup_groups(spark, sf_dir):
     (cid, group_id, is_canonical). The canonical pick is lowest-id-wins;
     oracle = recursive transitive-closure CTE over the same pairs."""
     corpus = neardup_corpus(_docs(spark, sf_dir))
-    sh = dedup.shingle_stream(corpus, id_col="cid").localCheckpoint(eager=False)
+    sh = dedup.shingle_stream(corpus, id_col="cid")
     sigs = dedup.minhash_signatures(corpus, id_col="cid", shingles=sh)
     pairs = dedup.lsh_candidate_pairs(sigs, id_col="cid")
     verified = dedup.jaccard_verify(corpus, pairs, id_col="cid", threshold=0.5, shingles=sh)
@@ -416,7 +416,7 @@ def q_pipeline_e2e(spark, sf_dir):
     surv1 = cleaned_docs.join(
         ex.where(F.col("is_canonical")).select("cid"), "cid"
     ).localCheckpoint(eager=False)
-    sh = dedup.shingle_stream(surv1, id_col="cid").localCheckpoint(eager=False)
+    sh = dedup.shingle_stream(surv1, id_col="cid")
     sigs = dedup.minhash_signatures(surv1, id_col="cid", shingles=sh)
     cand = dedup.lsh_candidate_pairs(sigs, id_col="cid")
     ver = dedup.jaccard_verify(surv1, cand, id_col="cid", threshold=0.5, shingles=sh)

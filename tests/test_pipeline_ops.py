@@ -147,6 +147,41 @@ def test_connected_components_strategy_parity_random_graph(spark):
     assert stats["strategy"] == "loop"
 
 
+def test_connected_components_null_and_string_ids_both_strategies(spark):
+    """Regressions from review: (a) a null endpoint must conduct nothing on
+    BOTH paths (the collect path once let pandas coerce the id column to
+    float64 and crashed the LongType round-trip); (b) string document ids
+    must work on both paths (the collect path once called .item() on str)."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1.0, None, 3.0], "id_b": [2.0, 5.0, None]})
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    verts = spark.createDataFrame(pd.DataFrame({"cid": [1, 2, 3, 5]}))
+    for threshold in (1000, None):
+        out = (
+            dedup.connected_components(
+                pairs, verts, id_col="cid", collect_threshold=threshold
+            )
+            .orderBy("cid").toPandas()
+        )
+        # only the 1-2 edge survives; 5 and 3 stay singletons
+        assert out["group_id"].tolist() == [1, 1, 3, 5], threshold
+    s_pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": ["a", "b"], "id_b": ["b", "c"]})
+    )
+    s_verts = spark.createDataFrame(pd.DataFrame({"doc_id": ["a", "b", "c", "z"]}))
+    for threshold in (1000, None):
+        out = (
+            dedup.connected_components(
+                s_pairs, s_verts, id_col="doc_id", collect_threshold=threshold
+            )
+            .orderBy("doc_id").toPandas()
+        )
+        assert out["group_id"].tolist() == ["a", "a", "a", "z"], threshold
+
+
 def test_simhash_chunks_exact_above_2_53(spark):
     # regression: a floor-divide through double loses the low bits of
     # signatures >= 2^53, silently dropping pairs; exact shift/mask must
