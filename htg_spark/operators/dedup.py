@@ -26,6 +26,34 @@ from pyspark.sql.window import Window
 
 N_MINHASH = 4  # 2 bands x 2 rows
 
+# MinHash affine family h_j(x) = (a_j * x + b_j) mod P over ONE base hash
+# per shingle reduced into [0, P) (the Spark MLlib MinHashLSH
+# construction). P is the Mersenne prime 2^31-1: with x < P and a_j < P
+# the product stays under 2^62 (no ANSI long overflow in Spark, no BIGINT
+# overflow in DuckDB; `%` on the positive sum equals pmod in both
+# engines), and a_j*x wraps the modulus ~2^31 times, so each h_j is a
+# well-mixed permutation. A first attempt used P = 2^61-1 with a 32-bit
+# x: a_j*x+b_j then wraps AT MOST TWICE, the map is piecewise
+# order-preserving in x, the argmin shingle correlates across all j — and
+# the LSH candidate count doubled at sf0.01. x must live in [0, P) for
+# the family to mix.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for the affine MinHash family —
+    md5-seeded so any engine (the DuckDB oracles included) can re-derive
+    or inline them as literals; a_j in [1, P-1], b_j in [0, P-1]."""
+    import hashlib
+
+    p = MINHASH_PRIME
+    out = []
+    for j in range(k):
+        a = int(hashlib.md5(f"a{j}".encode()).hexdigest()[:8], 16) % (p - 1) + 1
+        b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:8], 16) % p
+        out.append((a, b))
+    return out
+
 
 def bigrams_expr(toks: Column) -> Column:
     """Word-bigram shingles from an ALREADY-MATERIALIZED token array column.
@@ -86,26 +114,41 @@ def minhash_signatures(
     k: int = N_MINHASH,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """k md5-derived min-hash values per document over bigram shingles.
-    h_j(s) = md5(j || ':' || s); signature_j = min over shingles.
-    Plan: ONE shuffle (the map-side-combined min agg); no distinct pass —
-    min over repeated shingles equals min over the shingle set.
+    """k min-hash values per document over bigram shingles, from the
+    affine family h_j(x) = (a_j * x + b_j) mod (2^31 - 1) where x is ONE
+    md5-prefix base hash per shingle (conv of the first 8 hex chars —
+    exact, 16^8 < 2^63 — reduced mod P); signature_j = min over shingles.
+
+    Hashing cost is FLAT in k: one md5 per shingle plus k integer affine
+    transforms. The previous family h_j(s) = md5(j || ':' || s) paid k
+    full md5s per shingle — at params_for's production sizes (k = 16 at
+    10^6-10^12 rows, 36 beyond) that is a 16-36x multiplier on the
+    dominant hashing stage; this is the same construction Spark MLlib's
+    MinHashLSH uses (one base hash, k affine perturbations). Plan: ONE
+    shuffle (the map-side-combined min agg); no distinct pass — min over
+    repeated shingles equals min over the shingle set.
 
     `shingles` lets a composed pipeline share ONE (id, shingle) explosion
-    (multiset semantics, e.g. a localCheckpoint'ed _shingles(distinct=
-    False)) between this and jaccard_verify — otherwise each derives its
-    own and the corpus subtree is scanned+tokenized once per consumer
-    (Spark has no cross-branch subtree reuse). Default None recomputes:
-    at 10^12-row scale materializing ~2x the corpus bytes is a storage
-    trade the caller must opt into."""
+    (multiset semantics, e.g. dedup.shingle_stream) between this and
+    jaccard_verify — otherwise each derives its own and the corpus subtree
+    is scanned+tokenized once per consumer (Spark has no cross-branch
+    subtree reuse). Default None recomputes: at 10^12-row scale
+    materializing ~2x the corpus bytes is a storage trade the caller must
+    opt into."""
     sh = shingles if shingles is not None else _shingles(df, id_col, text_col, distinct=False)
+    x = F.pmod(
+        F.conv(F.substring(F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(MINHASH_PRIME),
+    )
+    shx = sh.select(id_col, x.alias("x"))
     aggs = [
-        F.min(F.md5(F.encode(F.concat(F.lit(f"{j}:"), F.col("shingle")), "UTF-8"))).alias(
-            f"mh{j}"
-        )
-        for j in range(k)
+        F.min(
+            F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MINHASH_PRIME))
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(k))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return shx.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

