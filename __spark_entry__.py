@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from htg_spark import driver_queries, enrich_queries, pipeline_queries
+from htg_spark import driver_queries, enrich_queries, pipeline_queries, polygon_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **driver_queries.queries(),
         **pipeline_queries.queries(),
         **enrich_queries.queries(),
+        **polygon_queries.queries(),
     }
 
 
@@ -40,4 +41,5 @@ def oracle_sql() -> dict[str, str]:
         **driver_queries.oracle_sql(),
         **pipeline_queries.oracle_sql(),
         **enrich_queries.oracle_sql(),
+        **polygon_queries.oracle_sql(),
     }

@@ -104,6 +104,7 @@ def main():
     from pyspark.sql import functions as F
 
     from htg_spark import pipeline_queries as pq
+    from htg_spark import polygon_queries as _polyq
 
     def materialize(df):
         """Force computation of EVERY output column: a bare .count() lets
@@ -154,6 +155,7 @@ def main():
         ("line_dedup", pq.q_line_dedup),
         ("props_stats", pq.q_props_stats),
         ("user_sessions", pq.q_user_sessions),
+        ("point_in_polygon", _polyq.q_point_in_polygon),
         ("pipeline_e2e", pq.q_pipeline_e2e),
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),
         ("image_resize", lambda s, d: multimodal.resize_images(imgs, 8, 8)),
@@ -291,7 +293,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "elevation-join + pipeline-ops wall-clock (34 headline queries, min of 2 trials)",
+                "metric": "elevation-join + pipeline-ops wall-clock (35 headline queries, min of 2 trials)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,

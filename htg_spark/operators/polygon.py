@@ -1,0 +1,221 @@
+"""Point-in-polygon join — the north rule's "point-in-polygon tile-boundary
+tests", generalized to arbitrary simple polygons (reference scope: the tile
+extent test in htg/src/service.rs:102-110 is the axis-aligned special case;
+this operator covers the general vector-geometry case a raster<->vector
+engine needs at scale).
+
+Design (100-TB shape):
+- Candidate generation is a *cell equi-join*: every polygon is exploded to
+  the grid cells covering its bbox at a chosen subdivision level (the same
+  closed-form degree/2^level scheme as `cells.cell_id_at_level`); every
+  point computes its single cell. No cross join, no range join — the plan
+  is a hash join on a long key, broadcastable when the polygon set is small
+  and shuffle-partitioned by cell when it is not (dense clusters distribute
+  because the cell, not the polygon, is the key).
+- The exact test is the standard PNPOLY ray-crossing parity (W. Randolph
+  Franklin's construction: edge straddles the horizontal ray AND the
+  intersection lies right of the point), evaluated entirely JVM-side:
+  * ``exact='fold'``   — one `F.aggregate` over the per-polygon edges array:
+    zero extra shuffle (map-only after the candidate join), at the cost of
+    CodegenFallback interpretation of the single lambda.
+  * ``exact='explode'`` — posexplode edges + whole-stage-codegen filter +
+    groupBy(point, poly) count parity: one extra shuffle, full codegen.
+  Both produce identical results (tests assert set equality); the fold form
+  is the default because candidate fan-out is small after cell pruning.
+- Boundary semantics are PNPOLY's: strict inequalities, vertices on the ray
+  handled by the `>` / `<=` asymmetry. Points exactly on an edge get a
+  deterministic (side-dependent) answer. All float math is plain IEEE
+  double in a fixed op order, so Spark, DuckDB and NumPy agree bitwise.
+
+Limitations (documented, not silent): polygons must be simple rings that do
+NOT cross the antimeridian or poles (the reference's SRTM tiling has the
+same constraint, filename.rs:146-148); holes can be expressed as a second
+ring with reversed orientation unioned into the same edges array (parity
+test composes), but the fixture queries use single rings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "polygon_cells",
+    "point_cell",
+    "point_in_polygon_join",
+    "with_edges",
+]
+
+
+def _gy(lat: Column, k: int) -> Column:
+    """Global row index at level: (floor(lat)+90)*k + floor(frac(lat)*k).
+
+    Monotone in lat (floor and frac*k are each monotone within a degree and
+    across degree boundaries), so a bbox corner range covers every interior
+    point's index. Identical expression on the point and polygon sides —
+    the join key can never disagree with itself.
+    """
+    return (F.floor(lat).cast("long") + 90) * k + F.floor(
+        (lat - F.floor(lat)) * F.lit(float(k))
+    ).cast("long")
+
+
+def _gx(lon: Column, k: int) -> Column:
+    return (F.floor(lon).cast("long") + 180) * k + F.floor(
+        (lon - F.floor(lon)) * F.lit(float(k))
+    ).cast("long")
+
+
+def _cell(gy: Column, gx: Column, k: int) -> Column:
+    # 361*k multiplier: lon=180.0 exactly yields gx == 360*k, which would
+    # alias the next row's gx=0 under a 360*k multiplier
+    return gy * F.lit(361 * k) + gx
+
+
+def point_cell(x: Column, y: Column, level: int) -> Column:
+    """The single covering cell of a point (x=lon-like, y=lat-like)."""
+    k = 1 << level
+    return _cell(_gy(y, k), _gx(x, k), k)
+
+
+def with_edges(polygons: DataFrame, ring_col: str = "ring") -> DataFrame:
+    """Precompute per-polygon `edges` (closed ring: v[i] -> v[i+1], wrap) and
+    the bbox. Runs once per polygon row; the HOFs here are off the hot path.
+    """
+    ring = F.col(ring_col)
+    n = F.size(ring)
+    i_to_edge = lambda i: F.struct(  # noqa: E731
+        F.element_at(ring, i)["x"].alias("x1"),
+        F.element_at(ring, i)["y"].alias("y1"),
+        F.element_at(ring, F.when(i == n, F.lit(1)).otherwise(i + 1))["x"].alias("x2"),
+        F.element_at(ring, F.when(i == n, F.lit(1)).otherwise(i + 1))["y"].alias("y2"),
+    )
+    return polygons.withColumns(
+        {
+            "edges": F.transform(F.sequence(F.lit(1), n), i_to_edge),
+            "min_x": F.array_min(F.transform(ring, lambda p: p["x"])),
+            "max_x": F.array_max(F.transform(ring, lambda p: p["x"])),
+            "min_y": F.array_min(F.transform(ring, lambda p: p["y"])),
+            "max_y": F.array_max(F.transform(ring, lambda p: p["y"])),
+        }
+    )
+
+
+def polygon_cells(polygons_with_bbox: DataFrame, level: int) -> DataFrame:
+    """Explode each polygon to the cells covering its bbox at `level`.
+
+    Cell count per polygon is O((span*2^level + 2)^2) — pick the level so
+    typical polygons cover tens of cells (level 1 half-degree cells for
+    degree-scale polygons). The enumeration is closed-form (sequence over
+    the corner indices), so it plans as a codegen explode, not a UDF.
+    """
+    k = 1 << level
+    gy_lo, gy_hi = _gy(F.col("min_y"), k), _gy(F.col("max_y"), k)
+    gx_lo, gx_hi = _gx(F.col("min_x"), k), _gx(F.col("max_x"), k)
+    cells2d = F.flatten(
+        F.transform(
+            F.sequence(gy_lo, gy_hi),
+            lambda gy: F.transform(F.sequence(gx_lo, gx_hi), lambda gx: _cell(gy, gx, k)),
+        )
+    )
+    return polygons_with_bbox.withColumn("pip_cell", F.explode(cells2d))
+
+
+def _crossing_flag(e: Column, px: Column, py: Column) -> Column:
+    """1 when edge e crosses the rightward horizontal ray from (px, py).
+
+    Nested-when (not `&`) so the division is only *evaluated* when the edge
+    straddles the ray — straddling implies y1 != y2, so the divide can never
+    see a zero under ANSI mode, by construction rather than by IEEE luck.
+    The intersect expression's op order (x2-x1)*(py-y1)/(y2-y1)+x1 is the
+    bit-parity contract shared with the SQL oracle.
+    """
+    straddle = (e["y1"] > py) != (e["y2"] > py)
+    x_int = (e["x2"] - e["x1"]) * (py - e["y1"]) / (e["y2"] - e["y1"]) + e["x1"]
+    return F.when(
+        straddle, F.when(px < x_int, F.lit(1)).otherwise(F.lit(0))
+    ).otherwise(F.lit(0))
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    *,
+    x_col: str = "px",
+    y_col: str = "py",
+    poly_id: str = "poly_id",
+    ring_col: str = "ring",
+    level: int = 1,
+    strategy: str = "broadcast",
+    exact: str = "fold",
+) -> DataFrame:
+    """Inner-join points to the polygons containing them.
+
+    points:   any columns + (x_col, y_col) doubles.
+    polygons: (poly_id, ring_col: array<struct<x double, y double>>), simple
+              rings, not antimeridian-crossing.
+    strategy: 'broadcast' — polygon cells (with edges inlined) broadcast;
+              the whole operator is map-only over the points scan (the same
+              shape as the engine's J1 broadcast tile join). 'shuffle' —
+              thin (cell, poly_id) candidate join shuffled by cell, edges
+              re-joined by poly_id afterwards; for polygon sets too large
+              to broadcast.
+    exact:    'fold' (aggregate HOF, no extra shuffle) or 'explode'
+              (codegen filter + count-parity groupBy, one extra shuffle).
+    Returns points columns + poly_id for each containing polygon.
+    """
+    if exact not in ("fold", "explode"):
+        raise ValueError(f"exact must be 'fold' or 'explode', got {exact!r}")
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"strategy must be 'broadcast' or 'shuffle', got {strategy!r}")
+
+    px, py = F.col(x_col), F.col(y_col)
+    out_cols = [*points.columns, poly_id]
+    pe = with_edges(polygons, ring_col)
+    pts = points.withColumn("pip_cell", point_cell(px, py, level))
+
+    if strategy == "broadcast":
+        cells = polygon_cells(pe, level).select(poly_id, "pip_cell", "edges")
+        cand = pts.join(F.broadcast(cells), "pip_cell")
+    else:
+        thin = polygon_cells(pe.select(poly_id, "min_x", "max_x", "min_y", "max_y"), level)
+        cand = pts.join(thin.select(poly_id, "pip_cell"), "pip_cell").join(
+            pe.select(poly_id, "edges"), poly_id
+        )
+
+    if exact == "fold":
+        # the point coordinates ride inside the fold ACCUMULATOR, not as
+        # outer references in the lambda body: a lambda's captured outer
+        # attributes are invisible to HigherOrderFunction.references, so
+        # Catalyst's column pruning pushes the expression to the polygon
+        # side of the join and binding fails at runtime with
+        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (Spark 4.1). Seed expressions
+        # are ordinary expressions with correctly-tracked references.
+        crossings = F.aggregate(
+            F.col("edges"),
+            F.struct(F.lit(0).alias("n"), px.alias("qx"), py.alias("qy")),
+            lambda acc, e: F.struct(
+                (acc["n"] + _crossing_flag(e, acc["qx"], acc["qy"])).alias("n"),
+                acc["qx"].alias("qx"),
+                acc["qy"].alias("qy"),
+            ),
+            lambda acc: acc["n"],
+        )
+        return (
+            cand.withColumn("_crossings", crossings)
+            .where(F.col("_crossings") % 2 == 1)
+            .select(*out_cols)
+        )
+
+    # explode form: count crossing edges per candidate pair, keep odd parity.
+    # Pairs whose every edge misses the ray produce zero rows — outside.
+    key_cols = [c for c in points.columns] + [poly_id]
+    e = F.explode(F.col("edges")).alias("e")
+    return (
+        cand.select(*key_cols, e)
+        .where(_crossing_flag(F.col("e"), px, py) == 1)
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_crossings"))
+        .where(F.col("_crossings") % 2 == 1)
+        .select(*out_cols)
+    )

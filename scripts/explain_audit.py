@@ -220,6 +220,32 @@ def main():
         print("FATAL: pipeline_e2e plan contains a cartesian product", file=sys.stderr)
         sys.exit(1)
 
+    from htg_spark import polygon_queries as polyq
+
+    pip = polyq.q_point_in_polygon(spark, sf_dir)
+    pip_plan = plan_of(pip)
+    sections.append(
+        (
+            "Point-in-polygon join (broadcast + fold)",
+            "Expected: points scan -> JVM key/coordinate projection -> "
+            "BroadcastHashJoin on the covering cell -> PNPOLY fold + parity "
+            "filter, all in ONE map-only stage over the points scan (the J1 "
+            "shape applied to vector geometry). HARD REQUIREMENT: zero "
+            "shuffle Exchanges (only the polygon-side BroadcastExchange) and "
+            "no cartesian product — at 10^12 points the operator must never "
+            "shuffle the point table.",
+            pip_plan,
+        )
+    )
+    n_shuffles = len(_re.findall(r"\(\d+\) Exchange\b", pip_plan))
+    if n_shuffles != 0 or "CartesianProduct" in pip_plan:
+        print(
+            f"FATAL: point-in-polygon broadcast plan has {n_shuffles} shuffle "
+            "Exchanges (expected 0 — map-only over the points scan)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     minhash = pq.q_minhash_signatures(spark, sf_dir)
     mh_plan = plan_of(minhash)
     sections.append(

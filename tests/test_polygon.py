@@ -1,0 +1,183 @@
+"""Point-in-polygon join (operators/polygon.py).
+
+Ground truth is an independent pure-Python PNPOLY (same crossing construction,
+W. Randolph Franklin's), evaluated per (point, polygon) pair over ALL pairs —
+so a covering-cell bug (missed cell, wrong index, bbox slip) shows up as a
+set difference, never a shared blind spot with the Spark side.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from htg_spark.operators.polygon import point_in_polygon_join
+from htg_spark.polygon_queries import STAR_OFFSETS
+
+
+def _pnpoly(px, py, ring):
+    """Reference PNPOLY: crossing parity, strict > on y, < on x-intersect."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            if px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+                inside = not inside
+    return inside
+
+
+POLY_SCHEMA = StructType(
+    [
+        StructField("poly_id", LongType()),
+        StructField(
+            "ring",
+            ArrayType(
+                StructType(
+                    [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                )
+            ),
+        ),
+    ]
+)
+
+PT_SCHEMA = StructType(
+    [
+        StructField("pt_id", LongType()),
+        StructField("px", DoubleType()),
+        StructField("py", DoubleType()),
+    ]
+)
+
+# Polygons chosen to stress the covering-cell enumeration: a unit square
+# straddling a degree boundary, a concave 4-spike star (points inside the
+# bbox but OUTSIDE the polygon), a thin sliver spanning 3 degrees of lon,
+# a triangle fully inside one half-degree cell, and a square in the
+# negative-coordinate quadrant (floor() on negatives).
+POLYGONS = [
+    (0, [(-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5)]),
+    (1, [((10.0 + dx * 1.75), (5.0 + dy * 1.75)) for dx, dy in STAR_OFFSETS]),
+    (2, [(20.0, 0.1), (23.0, 0.2), (23.0, 0.3), (20.0, 0.2)]),
+    (3, [(40.25, 40.25), (40.4, 40.25), (40.3, 40.45)]),
+    (4, [(-10.5, -20.5), (-9.5, -20.5), (-9.5, -19.5), (-10.5, -19.5)]),
+]
+
+# A deterministic point lattice covering every polygon's neighborhood plus
+# far-away points (candidate join must drop them cheaply).
+POINTS = []
+_pid = 0
+for cx, cy in [(0.0, 0.0), (10.0, 5.0), (21.5, 0.2), (40.3, 40.35), (-10.0, -20.0), (120.0, -60.0)]:
+    for i in range(-4, 5):
+        for j in range(-4, 5):
+            POINTS.append((_pid, cx + i * 0.55, cy + j * 0.55))
+            _pid += 1
+
+EXPECTED = sorted(
+    (pt, pid)
+    for pt, px, py in POINTS
+    for pid, ring in POLYGONS
+    if _pnpoly(px, py, ring)
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    polys = spark.createDataFrame(
+        [(pid, [{"x": float(x), "y": float(y)} for x, y in ring]) for pid, ring in POLYGONS],
+        POLY_SCHEMA,
+    )
+    pts = spark.createDataFrame(POINTS, PT_SCHEMA)
+    return pts, polys
+
+
+def _run(frames, **kw):
+    pts, polys = frames
+    out = point_in_polygon_join(pts, polys, **kw)
+    return sorted((r["pt_id"], r["poly_id"]) for r in out.collect())
+
+
+def test_broadcast_fold_matches_reference(frames):
+    assert _run(frames, strategy="broadcast", exact="fold") == EXPECTED
+    assert len(EXPECTED) > 20  # the fixture actually exercises containment
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+@pytest.mark.parametrize("exact", ["fold", "explode"])
+def test_all_strategy_exact_combinations_agree(frames, strategy, exact):
+    assert _run(frames, strategy=strategy, exact=exact) == EXPECTED
+
+
+def test_level_invariance(frames):
+    # the covering level changes candidate counts, never the answer
+    for level in (0, 2):
+        assert _run(frames, level=level) == EXPECTED
+
+
+def test_concave_star_bbox_interior_is_outside(spark):
+    """Points inside the star's bbox but in a concave notch must NOT match —
+    this is what separates PNPOLY from the bbox prune."""
+    ring = [(0.0 + dx, 0.0 + dy) for dx, dy in STAR_OFFSETS]
+    polys = spark.createDataFrame(
+        [(7, [{"x": x, "y": y} for x, y in ring])], POLY_SCHEMA
+    )
+    # (0.7, 0.7): inside bbox [-1,1]^2, outside the 4-spike star
+    # (0.0, 0.0): dead center, inside; (0.8, 0.05): inside the east spike
+    # (the spike edge (1,0)->(0.25,0.25) crosses y=0.05 at x=0.85)
+    cases = [(0, 0.7, 0.7), (1, 0.0, 0.0), (2, 0.8, 0.05)]
+    assert [pid for pid, x, y in cases if _pnpoly(x, y, ring)] == [1, 2]
+    pts = spark.createDataFrame(cases, PT_SCHEMA)
+    got = sorted(
+        (r["pt_id"], r["poly_id"])
+        for r in point_in_polygon_join(pts, polys).collect()
+    )
+    assert got == [(1, 7), (2, 7)]
+
+
+def test_ring_with_hole_parity(spark):
+    """A hole expressed as a second ring concatenated into the same edges
+    array: crossing parity composes (outer odd + inner odd = even = outside
+    the holed region). Donut = square [0,4]^2 minus square [1,3]^2."""
+    outer = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    inner = [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)]
+    # concatenating the two closed rings into one ring column would add a
+    # spurious bridge edge outer[-1]->inner[0]; instead express the donut as
+    # TWO polygon rows sharing poly_id via parity of total matches — here we
+    # just assert each ring behaves independently and composes by parity.
+    polys = spark.createDataFrame(
+        [
+            (0, [{"x": x, "y": y} for x, y in outer]),
+            (1, [{"x": x, "y": y} for x, y in inner]),
+        ],
+        POLY_SCHEMA,
+    )
+    pts = spark.createDataFrame(
+        [(0, 2.0, 2.0), (1, 0.5, 0.5), (2, 5.0, 5.0)], PT_SCHEMA
+    )
+    got = sorted(
+        (r["pt_id"], r["poly_id"])
+        for r in point_in_polygon_join(pts, polys).collect()
+    )
+    # point 0 is in BOTH rings (even parity across them -> in the hole);
+    # point 1 only in the outer; point 2 in neither
+    assert got == [(0, 0), (0, 1), (1, 0)]
+    by_pt = {}
+    for pt, _ in got:
+        by_pt[pt] = by_pt.get(pt, 0) + 1
+    assert by_pt.get(0, 0) % 2 == 0  # hole: even parity
+    assert by_pt.get(1, 0) % 2 == 1  # solid: odd parity
+
+
+def test_invalid_args(frames):
+    pts, polys = frames
+    with pytest.raises(ValueError):
+        point_in_polygon_join(pts, polys, exact="nope")
+    with pytest.raises(ValueError):
+        point_in_polygon_join(pts, polys, strategy="nope")
