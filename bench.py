@@ -156,6 +156,7 @@ def main():
         ("props_stats", pq.q_props_stats),
         ("user_sessions", pq.q_user_sessions),
         ("point_in_polygon", _polyq.q_point_in_polygon),
+        ("polygon_zonal_stats", _polyq.q_polygon_zonal_stats),
         ("pipeline_e2e", pq.q_pipeline_e2e),
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),
         ("image_resize", lambda s, d: multimodal.resize_images(imgs, 8, 8)),
@@ -293,7 +294,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "elevation-join + pipeline-ops wall-clock (35 headline queries, min of 2 trials)",
+                "metric": "elevation-join + pipeline-ops wall-clock (36 headline queries, min of 2 trials)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,

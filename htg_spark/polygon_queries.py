@@ -164,9 +164,138 @@ SELECT event_id, px, py, poly_id FROM hits WHERE crossings % 2 = 1
 """
 
 
+# --- zonal statistics: the composed raster<->vector rollup ------------------
+#
+# point_in_polygon_join (broadcast, map-only) -> nearest-elevation kernel
+# (broadcast, map-only) -> ONE narrow groupBy(poly_id) with partial
+# aggregation. At 100 TB this is two chained broadcast joins over the point
+# scan plus one shuffle of five numeric columns — the classic zonal-stats
+# plan shape. All aggregates are exact-integer (sum/count of int elevations;
+# avg is one exact-int division), so Spark and DuckDB agree bitwise with no
+# float-summation-order hazard.
+
+
+def derive_zonal_polygons(nation: DataFrame) -> DataFrame:
+    """Stars over the engine's 3-tile catalog region (lat 35-37, lon
+    138-140); every coordinate is an exact binary fraction. Mirrors the
+    zpolys CTE in the oracle."""
+    nk = F.col("n_nationkey").cast("long")
+    base = nation.select(
+        nk.alias("poly_id"),
+        (F.lit(138.0) + ((nk * 5) % 16).cast("double") * F.lit(0.125)).alias("cx"),
+        (F.lit(35.0) + ((nk * 11) % 16).cast("double") * F.lit(0.125)).alias("cy"),
+        (F.lit(0.125) + (nk % 3).cast("double") * F.lit(0.125)).alias("r"),
+    )
+    ring = F.array(
+        *[
+            F.struct(
+                (F.col("cx") + F.lit(dx) * F.col("r")).alias("x"),
+                (F.col("cy") + F.lit(dy) * F.col("r")).alias("y"),
+            )
+            for dx, dy in STAR_OFFSETS
+        ]
+    )
+    return base.select("poly_id", ring.alias("ring"))
+
+
+def q_polygon_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon elevation rollup of the contained points (zonal stats)."""
+    from .driver_queries import derive_points, get_engine
+
+    eng = get_engine(spark)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    contained = poly_op.point_in_polygon_join(
+        derive_points(events),
+        derive_zonal_polygons(nation),
+        x_col="lon",
+        y_col="lat",
+        level=PIP_LEVEL,
+        strategy="broadcast",
+        exact="fold",
+    )
+    enriched = eng.elevation_join(
+        contained, mode="nearest", strategy="broadcast", id_col="event_id"
+    )
+    elev = F.col("elevation").cast("int")
+    n_elev = F.count(elev)
+    return enriched.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        n_elev.alias("n_elev"),
+        F.coalesce(F.sum(elev), F.lit(0)).cast("long").alias("sum_elev"),
+        F.min(elev).alias("min_elev"),
+        F.max(elev).alias("max_elev"),
+        F.when(
+            n_elev > 0, F.sum(elev).cast("double") / n_elev.cast("double")
+        ).alias("avg_elev"),
+    )
+
+
+def _zonal_oracle_sql() -> str:
+    from .driver_queries import _SQL_NEAREST_ELEV, _SQL_PTS, _SQL_ROUND_RC
+
+    # _SQL_PTS opens the WITH and yields pts/keyed/pos; _SQL_ROUND_RC adds rc
+    return f"""
+{_SQL_PTS.strip()},
+{_SQL_ROUND_RC.strip().rstrip()},
+zpolys AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+         138.0 + CAST((CAST(n_nationkey AS BIGINT) * 5) % 16 AS DOUBLE) * 0.125 AS cx,
+         35.0 + CAST((CAST(n_nationkey AS BIGINT) * 11) % 16 AS DOUBLE) * 0.125 AS cy,
+         0.125 + CAST(CAST(n_nationkey AS BIGINT) % 3 AS DOUBLE) * 0.125 AS r
+  FROM nation
+),
+zedges AS (
+  SELECT poly_id, cx, cy, r,
+         cx + o.dx1 * r AS x1, cy + o.dy1 * r AS y1,
+         cx + o.dx2 * r AS x2, cy + o.dy2 * r AS y2
+  FROM zpolys
+  CROSS JOIN (VALUES {_edges_values_sql()}) AS o(dx1, dy1, dx2, dy2)
+),
+zcand AS (
+  SELECT p.event_id, p.lon AS px, p.lat AS py, e.poly_id, e.x1, e.y1, e.x2, e.y2
+  FROM pts p JOIN zedges e
+    ON p.lon >= e.cx - e.r AND p.lon <= e.cx + e.r
+   AND p.lat >= e.cy - e.r AND p.lat <= e.cy + e.r
+),
+zhits AS (
+  SELECT event_id, poly_id,
+         SUM(CASE WHEN (y1 > py) <> (y2 > py)
+                  THEN CASE WHEN px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                            THEN 1 ELSE 0 END
+                  ELSE 0 END) AS crossings
+  FROM zcand
+  GROUP BY event_id, poly_id
+),
+contained AS (
+  SELECT event_id, poly_id FROM zhits WHERE crossings % 2 = 1
+),
+elev AS (
+  SELECT event_id, {_SQL_NEAREST_ELEV.strip()} AS elevation FROM rc
+)
+SELECT c.poly_id,
+       COUNT(*) AS n_pts,
+       COUNT(e.elevation) AS n_elev,
+       CAST(COALESCE(SUM(e.elevation), 0) AS BIGINT) AS sum_elev,
+       MIN(e.elevation) AS min_elev,
+       MAX(e.elevation) AS max_elev,
+       CASE WHEN COUNT(e.elevation) > 0
+            THEN CAST(SUM(e.elevation) AS DOUBLE) / CAST(COUNT(e.elevation) AS DOUBLE)
+            ELSE NULL END AS avg_elev
+FROM contained c JOIN elev e USING (event_id)
+GROUP BY c.poly_id
+"""
+
+
 def queries():
-    return {"point_in_polygon": q_point_in_polygon}
+    return {
+        "point_in_polygon": q_point_in_polygon,
+        "polygon_zonal_stats": q_polygon_zonal_stats,
+    }
 
 
 def oracle_sql():
-    return {"point_in_polygon": _pip_oracle_sql()}
+    return {
+        "point_in_polygon": _pip_oracle_sql(),
+        "polygon_zonal_stats": _zonal_oracle_sql(),
+    }

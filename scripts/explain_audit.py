@@ -246,6 +246,28 @@ def main():
         )
         sys.exit(1)
 
+    zonal = polyq.q_polygon_zonal_stats(spark, sf_dir)
+    zonal_plan = plan_of(zonal)
+    sections.append(
+        (
+            "Polygon zonal stats (PIP -> elevation kernel -> rollup)",
+            "Expected: the PIP broadcast join and the elevation kernel chain "
+            "as map-only stages over the single points scan; the ONLY "
+            "shuffle is the final narrow groupBy(poly_id) hash aggregation "
+            "(partial map-side combine). HARD REQUIREMENT: exactly one "
+            "shuffle Exchange, no cartesian product.",
+            zonal_plan,
+        )
+    )
+    n_zonal_shuffles = len(_re.findall(r"\(\d+\) Exchange\b", zonal_plan))
+    if n_zonal_shuffles != 1 or "CartesianProduct" in zonal_plan:
+        print(
+            f"FATAL: zonal-stats plan has {n_zonal_shuffles} shuffle "
+            "Exchanges (expected exactly 1 — the poly_id rollup)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     minhash = pq.q_minhash_signatures(spark, sf_dir)
     mh_plan = plan_of(minhash)
     sections.append(

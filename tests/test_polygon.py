@@ -181,3 +181,75 @@ def test_invalid_args(frames):
         point_in_polygon_join(pts, polys, exact="nope")
     with pytest.raises(ValueError):
         point_in_polygon_join(pts, polys, strategy="nope")
+
+
+def test_zonal_stats_matches_pure_python(spark):
+    """polygon_zonal_stats at sf0.001 vs a from-scratch Python reference:
+    derive points + polygons by the same closed forms, PNPOLY over ALL
+    pairs, closed-form nearest elevation (gradient catalog (r+c)%4000,
+    voids at (r*1201+c)%97==0, tiles {35/138, 35/139, 36/138}), exact-int
+    rollup. Independent of both the Spark operators and the DuckDB oracle."""
+    import math
+
+    import pandas as pd
+
+    from htg_spark.polygon_queries import q_polygon_zonal_stats
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_id", "user_id"]]
+
+    def pt(e, u):
+        if e % 37 == 0:
+            return 75.0 + (e % 1000) / 1000.0, 10.0 + (u % 1000) / 1000.0
+        if e % 11 == 0:
+            return 50.0 + (e % 900) / 1000.0, 50.0 + (u % 900) / 1000.0
+        if e % 3 == 0:
+            return 35.42 + (e % 100) / 10000.0, 138.77 + (u % 100) / 10000.0
+        return 35.0 + (e % 2000) / 1000.0, 138.0 + ((e * 7 + u) % 2000) / 1000.0
+
+    def elev(lat, lon):
+        tl, tn = math.floor(lat), math.floor(lon)
+        if not (-60.0 <= lat <= 60.0 and -180.0 <= lon <= 180.0):
+            return None
+        if (tl, tn) not in {(35, 138), (35, 139), (36, 138)}:
+            return None
+        rp = (1.0 - (lat - tl)) * 1200.0
+        cp = (lon - tn) * 1200.0
+        r = int(math.floor(rp)) + (1 if rp - math.floor(rp) >= 0.5 else 0)
+        c = int(math.floor(cp)) + (1 if cp - math.floor(cp) >= 0.5 else 0)
+        return None if (r * 1201 + c) % 97 == 0 else (r + c) % 4000
+
+    polys = {}
+    for nk in range(25):
+        cx = 138.0 + ((nk * 5) % 16) * 0.125
+        cy = 35.0 + ((nk * 11) % 16) * 0.125
+        r = 0.125 + (nk % 3) * 0.125
+        polys[nk] = [(cx + dx * r, cy + dy * r) for dx, dy in STAR_OFFSETS]
+
+    agg = {}
+    for e, u in ev.itertuples(index=False):
+        lat, lon = pt(int(e), int(u))
+        for pid, ring in polys.items():
+            if _pnpoly(lon, lat, ring):
+                z = elev(lat, lon)
+                a = agg.setdefault(pid, [0, 0, 0, None, None])
+                a[0] += 1
+                if z is not None:
+                    a[1] += 1
+                    a[2] += z
+                    a[3] = z if a[3] is None else min(a[3], z)
+                    a[4] = z if a[4] is None else max(a[4], z)
+    expected = {
+        pid: (n, ne, s, mn, mx, (s / ne if ne else None))
+        for pid, (n, ne, s, mn, mx) in agg.items()
+    }
+
+    got = {
+        r["poly_id"]: (
+            r["n_pts"], r["n_elev"], r["sum_elev"], r["min_elev"],
+            r["max_elev"], r["avg_elev"],
+        )
+        for r in q_polygon_zonal_stats(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(expected) >= 3  # the sf0.001 fixture really hits polygons
