@@ -42,6 +42,48 @@ def tile_hit_counts(enriched_stream: DataFrame, window: str = "1 minute") -> Dat
     )
 
 
+def stream_geofence(
+    stream: DataFrame,
+    polygons: DataFrame,
+    *,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    **kw,
+) -> DataFrame:
+    """Geofencing: stream-static point-in-polygon join (operators/polygon.py).
+
+    The broadcast PIP join is stateless map-only over each micro-batch (the
+    polygon cells+edges ride a broadcast; nothing shuffles, no state), so it
+    is streaming-safe by construction — the same plan shape as
+    stream_elevation_join. The shuffle strategy is deliberately not offered
+    for streams: stream-static shuffle joins repartition every micro-batch.
+    """
+    if not stream.isStreaming:
+        raise ValueError("stream_geofence expects a streaming DataFrame")
+    from .operators.polygon import point_in_polygon_join
+
+    return point_in_polygon_join(
+        stream, polygons, x_col=x_col, y_col=y_col, strategy="broadcast", **kw
+    )
+
+
+def geofence_window_counts(
+    hits: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    delay: str = "2 minutes",
+) -> DataFrame:
+    """Stateful layer over the geofence hits: per-polygon counts in
+    event-time windows, late rows beyond `delay` dropped by the watermark.
+    State per key is one long; at scale the aggregation shuffles only
+    (window, poly_id, count) partials."""
+    return (
+        hits.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, window), "poly_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
 def stream_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

@@ -129,3 +129,104 @@ def test_stream_tile_running_stats(spark, tmp_path):
     # (max rows) reflects the accumulated state: 3 rows total
     assert int(out["rows"].max()) == 3
     assert int(out["rows"].min()) == 2  # first batch alone
+
+
+def test_stream_geofence_matches_batch(spark, tmp_path):
+    """File-source stream -> stream-static PIP broadcast join -> memory sink
+    equals the batch PIP result pair-for-pair; windowed per-polygon counts
+    equal the batch rollup."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from htg_spark.operators.polygon import point_in_polygon_join
+    from htg_spark.streaming import geofence_window_counts, stream_geofence
+
+    # two star polygons and a point grid straddling them
+    ring = [
+        {"x": 1.0, "y": 0.0}, {"x": 0.25, "y": 0.25}, {"x": 0.0, "y": 1.0},
+        {"x": -0.25, "y": 0.25}, {"x": -1.0, "y": 0.0}, {"x": -0.25, "y": -0.25},
+        {"x": 0.0, "y": -1.0}, {"x": 0.25, "y": -0.25},
+    ]
+    polys = spark.createDataFrame(
+        [
+            (0, [{"x": p["x"] + 10.0, "y": p["y"] + 40.0} for p in ring]),
+            (1, [{"x": p["x"] + 11.0, "y": p["y"] + 40.5} for p in ring]),
+        ],
+        "poly_id long, ring array<struct<x double, y double>>",
+    )
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    k = 0
+    for i in range(-6, 13):
+        for j in range(-6, 7):
+            rows.append(
+                (k, 10.0 + i * 0.17, 40.0 + j * 0.17, base + dt.timedelta(seconds=30 * k))
+            )
+            k += 1
+    pdf = pd.DataFrame(rows, columns=["pt_id", "lon", "lat", "ts"])
+    src = tmp_path / "geo"
+    src.mkdir()
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(str(src / "b2"))
+
+    batch_pts = spark.read.parquet(f"{src}/*")
+    batch_hits = point_in_polygon_join(
+        batch_pts, polys, x_col="lon", y_col="lat", strategy="broadcast"
+    )
+    expected_pairs = sorted(
+        (r["pt_id"], r["poly_id"]) for r in batch_hits.collect()
+    )
+    assert len(expected_pairs) > 10
+
+    stream = (
+        spark.readStream.schema("pt_id long, lon double, lat double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    hits = stream_geofence(stream, polys)
+    q = (
+        hits.writeStream.format("memory").queryName("geofence_hits")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got_pairs = sorted(
+        (r["pt_id"], r["poly_id"])
+        for r in spark.sql("SELECT pt_id, poly_id FROM geofence_hits").collect()
+    )
+    assert got_pairs == expected_pairs
+
+    counts = geofence_window_counts(
+        stream_geofence(stream, polys), window="10 minutes"
+    )
+    qc = (
+        counts.writeStream.format("memory").queryName("geofence_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    qc.awaitTermination(120)
+    got_counts = {
+        (r["window"]["start"], r["poly_id"]): r["hits"]
+        for r in spark.sql("SELECT * FROM geofence_counts").collect()
+    }
+    exp_counts = {
+        (r["ws"], r["poly_id"]): r["hits"]
+        for r in batch_hits.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "poly_id"
+        )
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(F.col("w")["start"].alias("ws"), "poly_id", "hits")
+        .collect()
+    }
+    assert got_counts == exp_counts
+
+
+def test_stream_geofence_rejects_batch_df(spark):
+    from htg_spark.streaming import stream_geofence
+
+    polys = spark.createDataFrame(
+        [(0, [{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 0.0}, {"x": 0.0, "y": 1.0}])],
+        "poly_id long, ring array<struct<x double, y double>>",
+    )
+    with pytest.raises(ValueError, match="streaming"):
+        stream_geofence(spark.range(3), polys)
