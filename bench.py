@@ -157,6 +157,7 @@ def main():
         ("user_sessions", pq.q_user_sessions),
         ("point_in_polygon", _polyq.q_point_in_polygon),
         ("polygon_zonal_stats", _polyq.q_polygon_zonal_stats),
+        ("images_in_polygon", _polyq.q_images_in_polygon),
         ("pipeline_e2e", pq.q_pipeline_e2e),
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),
         ("image_resize", lambda s, d: multimodal.resize_images(imgs, 8, 8)),
@@ -294,7 +295,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "elevation-join + pipeline-ops wall-clock (36 headline queries, min of 2 trials)",
+                "metric": "elevation-join + pipeline-ops wall-clock (37 headline queries, min of 2 trials)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,

@@ -184,6 +184,32 @@ _SQL_BILINEAR_ELEV = """
 """
 
 
+def images_pts_cte() -> str:
+    """The img+ipts CTE opener (phash encode -> bit-extraction geotags) —
+    the ONE SQL mirror of derive_image_phash + cells.lat/lon_from_phash,
+    shared by the images_geotag_join / images_elevation_join oracles here
+    and the images_in_polygon oracle in polygon_queries."""
+    p = _PW
+    return f"""
+WITH img AS (
+  SELECT event_id,
+    CASE WHEN event_id % 37 = 0 THEN {p['U75']} + (event_id * 7) % {p['KU1']}
+         WHEN event_id % 11 = 0 THEN {p['U50']} + (event_id * 13) % {p['KU09']}
+         ELSE {p['U35']} + (event_id * 7919) % {p['KU2']} END AS u,
+    CASE WHEN event_id % 37 = 0 THEN {p['V138']} + (event_id * 3) % {p['KV2']}
+         WHEN event_id % 11 = 0 THEN {p['V50']} + (event_id * 17) % {p['KV09']}
+         ELSE {p['V138']} + (event_id * 104729) % {p['KV2']} END AS v
+  FROM events
+),
+ipts AS (
+  SELECT 'img_' || CAST(event_id AS VARCHAR) AS image_id,
+    u + v * 4294967296 AS phash,
+    -90.0 + (CAST(u AS DOUBLE) / 4294967296.0) * 180.0 AS lat,
+    -180.0 + (CAST(v AS DOUBLE) / 2147483648.0) * 360.0 AS lon
+  FROM img
+)"""
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -679,27 +705,9 @@ SELECT CAST(count(*) AS BIGINT) AS n,
 FROM both_e WHERE e_n IS NOT NULL AND e_f IS NOT NULL
 """
     )
-    p = _PW
     # shared CTE body (geotag decode -> keyed -> found/ooc/knn branches);
     # used by BOTH images_geotag_join and images_elevation_join oracles
-    images_cte = f"""
-WITH img AS (
-  SELECT event_id,
-    CASE WHEN event_id % 37 = 0 THEN {p['U75']} + (event_id * 7) % {p['KU1']}
-         WHEN event_id % 11 = 0 THEN {p['U50']} + (event_id * 13) % {p['KU09']}
-         ELSE {p['U35']} + (event_id * 7919) % {p['KU2']} END AS u,
-    CASE WHEN event_id % 37 = 0 THEN {p['V138']} + (event_id * 3) % {p['KV2']}
-         WHEN event_id % 11 = 0 THEN {p['V50']} + (event_id * 17) % {p['KV09']}
-         ELSE {p['V138']} + (event_id * 104729) % {p['KV2']} END AS v
-  FROM events
-),
-ipts AS (
-  SELECT 'img_' || CAST(event_id AS VARCHAR) AS image_id,
-    u + v * 4294967296 AS phash,
-    -90.0 + (CAST(u AS DOUBLE) / 4294967296.0) * 180.0 AS lat,
-    -180.0 + (CAST(v AS DOUBLE) / 2147483648.0) * 360.0 AS lon
-  FROM img
-),
+    images_cte = images_pts_cte() + f""",
 ikeyed AS (
   SELECT *,
     CAST(floor(lat) AS INTEGER) AS tl, CAST(floor(lon) AS INTEGER) AS tn,

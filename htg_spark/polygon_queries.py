@@ -287,10 +287,75 @@ GROUP BY c.poly_id
 """
 
 
+def q_images_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule input path through the PIP join: input_hint-shaped
+    (image_id, phash) rows -> JVM-side phash bit-extraction geotags -> star
+    polygons over the catalog region. Same map-only broadcast shape."""
+    from . import cells
+    from .driver_queries import derive_image_phash
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    imgs = derive_image_phash(events).withColumns(
+        {
+            "lat": cells.lat_from_phash(F.col("phash")),
+            "lon": cells.lon_from_phash(F.col("phash")),
+        }
+    )
+    return poly_op.point_in_polygon_join(
+        imgs,
+        derive_zonal_polygons(nation),
+        x_col="lon",
+        y_col="lat",
+        level=PIP_LEVEL,
+        strategy="broadcast",
+        exact="fold",
+    )
+
+
+def _images_pip_oracle_sql() -> str:
+    from .driver_queries import images_pts_cte
+
+    return f"""
+{images_pts_cte().strip()},
+zpolys AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+         138.0 + CAST((CAST(n_nationkey AS BIGINT) * 5) % 16 AS DOUBLE) * 0.125 AS cx,
+         35.0 + CAST((CAST(n_nationkey AS BIGINT) * 11) % 16 AS DOUBLE) * 0.125 AS cy,
+         0.125 + CAST(CAST(n_nationkey AS BIGINT) % 3 AS DOUBLE) * 0.125 AS r
+  FROM nation
+),
+zedges AS (
+  SELECT poly_id, cx, cy, r,
+         cx + o.dx1 * r AS x1, cy + o.dy1 * r AS y1,
+         cx + o.dx2 * r AS x2, cy + o.dy2 * r AS y2
+  FROM zpolys
+  CROSS JOIN (VALUES {_edges_values_sql()}) AS o(dx1, dy1, dx2, dy2)
+),
+icand AS (
+  SELECT i.image_id, i.phash, i.lat, i.lon, e.poly_id, e.x1, e.y1, e.x2, e.y2
+  FROM ipts i JOIN zedges e
+    ON i.lon >= e.cx - e.r AND i.lon <= e.cx + e.r
+   AND i.lat >= e.cy - e.r AND i.lat <= e.cy + e.r
+),
+ihits AS (
+  SELECT image_id, phash, lat, lon, poly_id,
+         SUM(CASE WHEN (y1 > lat) <> (y2 > lat)
+                  THEN CASE WHEN lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+                            THEN 1 ELSE 0 END
+                  ELSE 0 END) AS crossings
+  FROM icand
+  GROUP BY image_id, phash, lat, lon, poly_id
+)
+SELECT image_id, phash, lat, lon, poly_id FROM ihits WHERE crossings % 2 = 1
+"""
+
+
 def queries():
     return {
         "point_in_polygon": q_point_in_polygon,
         "polygon_zonal_stats": q_polygon_zonal_stats,
+        "images_in_polygon": q_images_in_polygon,
     }
 
 
@@ -298,4 +363,5 @@ def oracle_sql():
     return {
         "point_in_polygon": _pip_oracle_sql(),
         "polygon_zonal_stats": _zonal_oracle_sql(),
+        "images_in_polygon": _images_pip_oracle_sql(),
     }
