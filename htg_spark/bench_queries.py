@@ -118,6 +118,38 @@ def run_dedup(spark, corpus):
     return row["n"], row["chk"]
 
 
+def pip_workload(spark: SparkSession, sf_dir: str, replicate: int = 8) -> DataFrame:
+    """Compute-bound PIP scaling workload: events-derived points replicated
+    `replicate`x against the 25 star polygons. The broadcast fold kernel is
+    pure JVM expression evaluation (no python workers, no tile blobs), so
+    this measures core scaling of the vector-geometry path."""
+    from .polygon_queries import derive_pip_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    rep = ev.withColumn("r", F.explode(F.lit(list(range(replicate))))).select(
+        (F.col("event_id") * replicate + F.col("r")).alias("event_id"), "user_id"
+    )
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    return derive_pip_points(rep).repartition(n_parts)
+
+
+def run_pip(pts: DataFrame, polys: DataFrame):
+    """Execute the broadcast-fold PIP join; order-insensitive exact-int
+    checksum (quantized coordinates + weighted poly_id)."""
+    from .operators.polygon import point_in_polygon_join
+
+    hits = point_in_polygon_join(pts, polys, strategy="broadcast", exact="fold")
+    row = hits.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("px") * 1000).cast("long")
+            + (F.col("py") * 1000).cast("long")
+            + F.col("poly_id") * 7
+        ).alias("chk"),
+    ).collect()[0]
+    return row["n"], row["chk"]
+
+
 def run_join(eng: ElevationEngine, pts: DataFrame, mode: str, strategy: str, **kw):
     """Execute the join and force full materialization; returns (rows, checksum)."""
     out = eng.elevation_join(pts, mode=mode, strategy=strategy, id_col="point_id", **kw)

@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--points-path", default=None, help="pre-materialized points parquet; skips generation")
     ap.add_argument("--replicate", type=int, default=16)
     ap.add_argument(
-        "--mode", default="nearest", choices=["nearest", "floor", "bilinear", "dedup"]
+        "--mode", default="nearest", choices=["nearest", "floor", "bilinear", "dedup", "pip"]
     )
     ap.add_argument("--strategy", default="broadcast", choices=["broadcast", "cogroup"])
     ap.add_argument("--repeats", type=int, default=3)
@@ -66,6 +66,41 @@ def main():
                     "job": "minhash_dedup",
                     "mode": "dedup",
                     "strategy": "jvm-md5",
+                    "cores": cores,
+                    "rows": n,
+                    "times_sec": [round(t, 3) for t in times],
+                    "best_sec": round(best, 3),
+                    "rows_per_sec": round(n / best),
+                    "checksum": chk,
+                    "found": rows,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.mode == "pip":
+        from htg_spark.bench_queries import pip_workload, run_pip
+        from htg_spark.polygon_queries import derive_polygons
+
+        pts = pip_workload(spark, args.sf_dir, replicate=args.replicate).persist()
+        n = pts.count()
+        polys = derive_polygons(
+            spark.read.parquet(f"{args.sf_dir}/nation.parquet")
+        )
+        run_pip(pts, polys)  # warm-up
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            rows, chk = run_pip(pts, polys)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        print(
+            json.dumps(
+                {
+                    "job": "point_in_polygon",
+                    "mode": "pip",
+                    "strategy": "broadcast-fold",
                     "cores": cores,
                     "rows": n,
                     "times_sec": [round(t, 3) for t in times],

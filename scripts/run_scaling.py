@@ -206,12 +206,12 @@ def main():
     args.points_path = "/tmp/scaling_points"
     import shutil
 
-    if args.mode == "dedup":
-        # the dedup job builds its own corpus from documents.parquet and
-        # never reads the points table — generating replicate x 600k points
-        # here would be pure wasted minutes/GB at the large replicates the
-        # CPU-bound workload needs
-        print("dedup mode: skipping points generation", flush=True)
+    if args.mode in ("dedup", "pip"):
+        # these jobs build their own workload (documents corpus / replicated
+        # PIP points) and never read the points table — generating
+        # replicate x 600k points here would be pure wasted minutes/GB at
+        # the large replicates the CPU-bound workloads need
+        print(f"{args.mode} mode: skipping points generation", flush=True)
     else:
         shutil.rmtree(args.points_path, ignore_errors=True)
         n = gen_points_parquet(args.sf_dir, args.replicate, args.points_path)
