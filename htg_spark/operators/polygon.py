@@ -40,9 +40,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "polygon_cells",
+    "geojson_point_in_polygon",
     "point_cell",
     "point_in_polygon_join",
+    "polygon_cells",
+    "rings_from_geojson",
     "with_edges",
 ]
 
@@ -119,6 +121,94 @@ def polygon_cells(polygons_with_bbox: DataFrame, level: int) -> DataFrame:
         )
     )
     return polygons_with_bbox.withColumn("pip_cell", F.explode(cells2d))
+
+
+def rings_from_geojson(features: DataFrame, id_col: str = "feature_id") -> DataFrame:
+    """(id_col, ring_id, ring) rows from GeoJSON Polygon / MultiPolygon
+    features (`geometry_json` column, the geojson_pipeline schema;
+    geojson.rs:108-125 ring layout). One row per ring — outer rings AND
+    holes alike; containment with holes is ring-count parity (even-odd
+    rule), composed by `geojson_point_in_polygon`. Closing positions
+    (first == last, the GeoJSON convention) are stripped: `with_edges`
+    closes rings itself. Non-(Multi)Polygon geometries yield no rows.
+
+    Python-side JSON parse via mapInPandas — the polygon side is the small
+    dimension (thousands of features, not the 10^12-point side), so this is
+    off the hot path by construction."""
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, ring_id int, ring array<struct<x: double, y: double>>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, gj in zip(pdf[id_col], pdf["geometry_json"]):
+                geom = json.loads(gj)
+                t = geom.get("type")
+                if t == "Polygon":
+                    polys = [geom["coordinates"]]
+                elif t == "MultiPolygon":
+                    polys = geom["coordinates"]
+                else:
+                    continue
+                rid = 0
+                for poly in polys:
+                    for ring in poly:
+                        if len(ring) > 1 and ring[0] == ring[-1]:
+                            ring = ring[:-1]
+                        rows.append(
+                            (
+                                fid,
+                                rid,
+                                [{"x": float(p[0]), "y": float(p[1])} for p in ring],
+                            )
+                        )
+                        rid += 1
+            yield pd.DataFrame(rows, columns=[id_col, "ring_id", "ring"])
+
+    return features.select(id_col, "geometry_json").mapInPandas(gen, out_schema)
+
+
+def geojson_point_in_polygon(
+    points: DataFrame,
+    features: DataFrame,
+    *,
+    x_col: str = "px",
+    y_col: str = "py",
+    id_col: str = "feature_id",
+    level: int = 1,
+    strategy: str = "broadcast",
+    exact: str = "fold",
+) -> DataFrame:
+    """Points contained in GeoJSON (Multi)Polygon features, even-odd rule:
+    a point is inside iff it lies in an ODD number of the feature's rings
+    (outer minus holes; disjoint MultiPolygon parts union). Plan shape: the
+    per-ring PIP join (map-only on the broadcast path) + one narrow
+    groupBy(point, feature) parity count."""
+    rings = rings_from_geojson(features, id_col=id_col)
+    per_ring = point_in_polygon_join(
+        points,
+        rings.select(F.concat_ws("#", id_col, "ring_id").alias("_ring_key"), "ring"),
+        x_col=x_col,
+        y_col=y_col,
+        poly_id="_ring_key",
+        level=level,
+        strategy=strategy,
+        exact=exact,
+    )
+    fid = F.split(F.col("_ring_key"), "#")[0].cast("long").alias(id_col)
+    return (
+        per_ring.select(*points.columns, fid)
+        .groupBy(*points.columns, id_col)
+        .agg(F.count(F.lit(1)).alias("_rings_hit"))
+        .where(F.col("_rings_hit") % 2 == 1)
+        .select(*points.columns, id_col)
+    )
 
 
 def _crossing_flag(e: Column, px: Column, py: Column) -> Column:

@@ -253,3 +253,57 @@ def test_zonal_stats_matches_pure_python(spark):
     }
     assert got == expected
     assert len(expected) >= 3  # the sf0.001 fixture really hits polygons
+
+
+def test_geojson_point_in_polygon_even_odd(spark):
+    """GeoJSON (Multi)Polygon containment: donut hole excluded (even-odd),
+    both MultiPolygon parts included, closed rings stripped, non-polygon
+    geometries ignored."""
+    import json
+
+    from htg_spark.operators.polygon import (
+        geojson_point_in_polygon,
+        rings_from_geojson,
+    )
+
+    donut = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+            [[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0], [1.0, 1.0]],
+        ],
+    }
+    two_parts = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 11.0], [10.0, 10.0]]],
+            [[[20.0, 20.0], [21.0, 20.0], [21.0, 21.0], [20.0, 21.0], [20.0, 20.0]]],
+        ],
+    }
+    line = {"type": "LineString", "coordinates": [[0.0, 0.0], [9.0, 9.0]]}
+    features = spark.createDataFrame(
+        [(0, json.dumps(donut)), (1, json.dumps(two_parts)), (2, json.dumps(line))],
+        "feature_id long, geometry_json string",
+    )
+
+    rings = rings_from_geojson(features).collect()
+    assert sorted((r["feature_id"], r["ring_id"]) for r in rings) == [
+        (0, 0), (0, 1), (1, 0), (1, 1),
+    ]
+    assert all(len(r["ring"]) == 4 for r in rings)  # closing position stripped
+
+    pts = spark.createDataFrame(
+        [
+            (0, 0.5, 0.5),    # donut solid part
+            (1, 2.0, 2.0),    # donut hole -> excluded
+            (2, 10.5, 10.5),  # multipolygon part 1
+            (3, 20.5, 20.5),  # multipolygon part 2
+            (4, 50.0, 50.0),  # nowhere
+        ],
+        "pt_id long, px double, py double",
+    )
+    got = sorted(
+        (r["pt_id"], r["feature_id"])
+        for r in geojson_point_in_polygon(pts, features).collect()
+    )
+    assert got == [(0, 0), (2, 1), (3, 1)]
