@@ -158,6 +158,7 @@ def main():
         ("point_in_polygon", _polyq.q_point_in_polygon),
         ("polygon_zonal_stats", _polyq.q_polygon_zonal_stats),
         ("images_in_polygon", _polyq.q_images_in_polygon),
+        ("geojson_containment", _polyq.q_geojson_containment),
         ("pipeline_e2e", pq.q_pipeline_e2e),
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),
         ("image_resize", lambda s, d: multimodal.resize_images(imgs, 8, 8)),

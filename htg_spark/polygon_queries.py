@@ -351,11 +351,137 @@ SELECT image_id, phash, lat, lon, poly_id FROM ihits WHERE crossings % 2 = 1
 """
 
 
+# --- GeoJSON containment: the parse path + hole / multi-part semantics ------
+#
+# Even nationkeys become a donut Polygon (outer square + hole), odd ones a
+# two-part MultiPolygon — so the oracle exercises BOTH even-odd compositions
+# (a hole subtracting, disjoint parts unioning). Corner offsets are in units
+# of r and are the single source of truth for the Python JSON builder AND the
+# oracle's VALUES edge table; every coordinate is (exact binary fraction) *
+# (exact binary fraction) + (exact double), so Spark's parsed-ring PNPOLY and
+# DuckDB's closed-form edges agree bitwise.
+
+GEOJSON_RING_CORNERS = {
+    0: [
+        [(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)],  # outer (CCW)
+        [(-0.5, -0.5), (-0.5, 0.5), (0.5, 0.5), (0.5, -0.5)],  # hole (CW)
+    ],
+    1: [
+        [(-1.5, -0.5), (-0.5, -0.5), (-0.5, 0.5), (-1.5, 0.5)],  # west part
+        [(0.5, -0.5), (1.5, -0.5), (1.5, 0.5), (0.5, 0.5)],  # east part
+    ],
+}
+
+
+def derive_geojson_features(nation: DataFrame) -> DataFrame:
+    """(feature_id, geometry_json) GeoJSON features from `nation` closed
+    forms — same centers/radii as `derive_polygons`. The JSON round trip is
+    exact: json.dumps emits repr, which parses back to the identical double."""
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fids, geoms = [], []
+            for nk in pdf["n_nationkey"]:
+                nk = int(nk)
+                cx = float(-170 + (nk * 29) % 340) + 0.5
+                cy = float(-55 + (nk * 37) % 110) + 0.25
+                r = 0.25 + float(nk % 4) * 0.5
+                rings = [
+                    [[cx + dx * r, cy + dy * r] for dx, dy in corners]
+                    for corners in GEOJSON_RING_CORNERS[nk % 2]
+                ]
+                closed = [ring + [list(ring[0])] for ring in rings]
+                if nk % 2 == 0:
+                    geom = {"type": "Polygon", "coordinates": closed}
+                else:
+                    geom = {
+                        "type": "MultiPolygon",
+                        "coordinates": [[rg] for rg in closed],
+                    }
+                fids.append(nk)
+                geoms.append(json.dumps(geom))
+            yield pd.DataFrame({"feature_id": fids, "geometry_json": geoms})
+
+    return nation.select("n_nationkey").mapInPandas(
+        gen, "feature_id long, geometry_json string"
+    )
+
+
+def q_geojson_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON (Multi)Polygon containment over the pip point set: JSON parse
+    -> per-ring cell-pruned PNPOLY (map-only broadcast) -> ring-count parity."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return poly_op.geojson_point_in_polygon(
+        derive_pip_points(events),
+        derive_geojson_features(nation),
+        level=PIP_LEVEL,
+        strategy="broadcast",
+        exact="fold",
+    )
+
+
+def _geojson_edges_values_sql() -> str:
+    """VALUES rows (par, rid, dx1, dy1, dx2, dy2) — closed ring edges in
+    units of r, generated from GEOJSON_RING_CORNERS."""
+    rows = []
+    for par, rings in GEOJSON_RING_CORNERS.items():
+        for rid, corners in enumerate(rings):
+            n = len(corners)
+            for i in range(n):
+                dx1, dy1 = corners[i]
+                dx2, dy2 = corners[(i + 1) % n]
+                rows.append(f"({par}, {rid}, {dx1!r}, {dy1!r}, {dx2!r}, {dy2!r})")
+    return ",\n          ".join(rows)
+
+
+def _geojson_oracle_sql() -> str:
+    # Independent of the Spark plan: bbox range-join pruning (the feature-wide
+    # bbox, x +-1.5r / y +-r, a superset of every ring), per-ring crossing
+    # parity, then the even-odd ring count.
+    return f"""
+WITH {_SQL_POLYS.strip()},
+{_SQL_PTS.strip()},
+gedges AS (
+  SELECT poly_id, cx, cy, r, o.rid,
+         cx + o.dx1 * r AS x1, cy + o.dy1 * r AS y1,
+         cx + o.dx2 * r AS x2, cy + o.dy2 * r AS y2
+  FROM polys JOIN (VALUES {_geojson_edges_values_sql()})
+         AS o(par, rid, dx1, dy1, dx2, dy2)
+    ON polys.poly_id % 2 = o.par
+),
+gcand AS (
+  SELECT p.event_id, p.px, p.py, e.poly_id, e.rid, e.x1, e.y1, e.x2, e.y2
+  FROM pts p JOIN gedges e
+    ON p.px >= e.cx - 1.5 * e.r AND p.px <= e.cx + 1.5 * e.r
+   AND p.py >= e.cy - e.r AND p.py <= e.cy + e.r
+),
+rhits AS (
+  SELECT event_id, px, py, poly_id, rid,
+         SUM(CASE WHEN (y1 > py) <> (y2 > py)
+                  THEN CASE WHEN px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                            THEN 1 ELSE 0 END
+                  ELSE 0 END) AS crossings
+  FROM gcand
+  GROUP BY event_id, px, py, poly_id, rid
+)
+SELECT event_id, px, py, poly_id AS feature_id
+FROM rhits WHERE crossings % 2 = 1
+GROUP BY event_id, px, py, poly_id
+HAVING COUNT(*) % 2 = 1
+"""
+
+
 def queries():
     return {
         "point_in_polygon": q_point_in_polygon,
         "polygon_zonal_stats": q_polygon_zonal_stats,
         "images_in_polygon": q_images_in_polygon,
+        "geojson_containment": q_geojson_containment,
     }
 
 
@@ -364,4 +490,5 @@ def oracle_sql():
         "point_in_polygon": _pip_oracle_sql(),
         "polygon_zonal_stats": _zonal_oracle_sql(),
         "images_in_polygon": _images_pip_oracle_sql(),
+        "geojson_containment": _geojson_oracle_sql(),
     }
