@@ -44,6 +44,7 @@ __all__ = [
     "point_cell",
     "point_in_polygon_join",
     "polygon_cells",
+    "refined_cell_flag",
     "rings_from_geojson",
     "with_edges",
 ]
@@ -211,6 +212,67 @@ def geojson_point_in_polygon(
     )
 
 
+def refined_cell_flag(edges: Column, cell: Column, level: int) -> Column:
+    """True when the covering cell `cell` can intersect the polygon — the
+    exact-geometry covering refinement. A bbox covering of a concave polygon
+    (a star, a coastline) is mostly empty corners; every retained cell is a
+    candidate row the big point side must pay a full PNPOLY fold for, so at
+    10^12-point scale dropping non-intersecting cells cuts the dominant cost
+    directly. The test is conservative-safe, never dropping a cell that
+    intersects the polygon:
+
+    - keep if ANY edge's bbox overlaps the (closed) cell rect — if the
+      polygon boundary passes through the cell, the crossing edge's bbox
+      must overlap it;
+    - else keep if the cell's lower-left corner is inside the polygon
+      (crossing parity) — boundary-disjoint cells are entirely inside or
+      entirely outside, and the corner belongs to the cell.
+
+    One `F.aggregate` fold computes both (crossings + any-overlap) in a
+    single pass over the edges; the cell-rect coordinates ride in the
+    accumulator seed (the captured-outer-attribute pitfall, see the fold in
+    `point_in_polygon_join`). Runs on the polygon-cells side only — the
+    small dimension — so the HOF interpretation cost is off the hot path."""
+    k = 1 << level
+    kk = F.lit(361 * k)
+    gy = F.floor(cell / kk).cast("long")
+    gx = cell - gy * kk
+    # gx/k and gy/k are exact (k a power of two, magnitudes << 2^53)
+    x0 = gx.cast("double") / F.lit(float(k)) - F.lit(180.0)
+    y0 = gy.cast("double") / F.lit(float(k)) - F.lit(90.0)
+    s = F.lit(1.0 / k)
+
+    def step(acc: Column, e: Column) -> Column:
+        ex_min, ex_max = F.least(e["x1"], e["x2"]), F.greatest(e["x1"], e["x2"])
+        ey_min, ey_max = F.least(e["y1"], e["y2"]), F.greatest(e["y1"], e["y2"])
+        ov = (
+            (ex_min <= acc["qx"] + acc["s"])
+            & (ex_max >= acc["qx"])
+            & (ey_min <= acc["qy"] + acc["s"])
+            & (ey_max >= acc["qy"])
+        ).cast("int")
+        return F.struct(
+            (acc["n"] + _crossing_flag(e, acc["qx"], acc["qy"])).alias("n"),
+            F.greatest(acc["ov"], ov).alias("ov"),
+            acc["qx"].alias("qx"),
+            acc["qy"].alias("qy"),
+            acc["s"].alias("s"),
+        )
+
+    return F.aggregate(
+        edges,
+        F.struct(
+            F.lit(0).alias("n"),
+            F.lit(0).alias("ov"),
+            x0.alias("qx"),
+            y0.alias("qy"),
+            s.alias("s"),
+        ),
+        step,
+        lambda acc: (acc["ov"] == 1) | (acc["n"] % 2 == 1),
+    )
+
+
 def _crossing_flag(e: Column, px: Column, py: Column) -> Column:
     """1 when edge e crosses the rightward horizontal ray from (px, py).
 
@@ -238,6 +300,7 @@ def point_in_polygon_join(
     level: int = 1,
     strategy: str = "broadcast",
     exact: str = "fold",
+    refine: bool = True,
 ) -> DataFrame:
     """Inner-join points to the polygons containing them.
 
@@ -252,6 +315,9 @@ def point_in_polygon_join(
               to broadcast.
     exact:    'fold' (aggregate HOF, no extra shuffle) or 'explode'
               (codegen filter + count-parity groupBy, one extra shuffle).
+    refine:   drop covering cells that provably cannot intersect the polygon
+              (`refined_cell_flag`) — result-identical, fewer candidate
+              pairs (and a smaller broadcast) for concave polygons.
     Returns points columns + poly_id for each containing polygon.
     """
     if exact not in ("fold", "explode"):
@@ -264,12 +330,17 @@ def point_in_polygon_join(
     pe = with_edges(polygons, ring_col)
     pts = points.withColumn("pip_cell", point_cell(px, py, level))
 
+    cells = polygon_cells(pe, level)
+    if refine:
+        cells = cells.where(
+            refined_cell_flag(F.col("edges"), F.col("pip_cell"), level)
+        )
     if strategy == "broadcast":
-        cells = polygon_cells(pe, level).select(poly_id, "pip_cell", "edges")
-        cand = pts.join(F.broadcast(cells), "pip_cell")
+        cand = pts.join(
+            F.broadcast(cells.select(poly_id, "pip_cell", "edges")), "pip_cell"
+        )
     else:
-        thin = polygon_cells(pe.select(poly_id, "min_x", "max_x", "min_y", "max_y"), level)
-        cand = pts.join(thin.select(poly_id, "pip_cell"), "pip_cell").join(
+        cand = pts.join(cells.select(poly_id, "pip_cell"), "pip_cell").join(
             pe.select(poly_id, "edges"), poly_id
         )
 

@@ -268,6 +268,33 @@ def main():
         )
         sys.exit(1)
 
+    gj = polyq.q_geojson_containment(spark, sf_dir)
+    gj_plan = plan_of(gj)
+    sections.append(
+        (
+            "GeoJSON containment (per-ring PIP -> even-odd parity)",
+            "Expected: the per-ring PIP broadcast join map-only over the "
+            "points scan (ring parse + covering refinement confined to the "
+            "broadcast side), then ONE narrow groupBy(point, feature) "
+            "ring-count parity. HARD REQUIREMENT: exactly one shuffle "
+            "Exchange, exactly one BroadcastHashJoin, no cartesian product.",
+            gj_plan,
+        )
+    )
+    n_gj_shuffles = len(_re.findall(r"\(\d+\) Exchange\b", gj_plan))
+    if (
+        n_gj_shuffles != 1
+        or gj_plan.count("BroadcastHashJoin") != 1
+        or "CartesianProduct" in gj_plan
+    ):
+        print(
+            f"FATAL: geojson-containment plan has {n_gj_shuffles} shuffle "
+            "Exchanges (expected exactly 1 — the ring-parity groupBy) / "
+            f"{gj_plan.count('BroadcastHashJoin')} BroadcastHashJoins",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     minhash = pq.q_minhash_signatures(spark, sf_dir)
     mh_plan = plan_of(minhash)
     sections.append(

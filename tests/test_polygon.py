@@ -255,6 +255,47 @@ def test_zonal_stats_matches_pure_python(spark):
     assert len(expected) >= 3  # the sf0.001 fixture really hits polygons
 
 
+def test_refine_false_matches_reference(frames):
+    for strategy in ("broadcast", "shuffle"):
+        assert _run(frames, strategy=strategy, refine=False) == EXPECTED
+
+
+def test_refinement_prunes_cells_conservatively(spark, frames):
+    """The refined covering is strictly smaller on the concave fixture, and
+    never drops a cell that holds an actually-contained point (checked
+    against an independent pure-Python cell computation)."""
+    import math
+
+    from htg_spark.operators.polygon import (
+        polygon_cells,
+        refined_cell_flag,
+        with_edges,
+    )
+
+    _pts, polys = frames
+    cells = polygon_cells(with_edges(polys), 1)
+    n_all = cells.count()
+    kept = {
+        (r["poly_id"], r["pip_cell"])
+        for r in cells.where(
+            refined_cell_flag(F.col("edges"), F.col("pip_cell"), 1)
+        ).collect()
+    }
+    # the star bbox corners / sliver corners really get pruned
+    assert len(kept) < n_all - 5
+
+    def cell_py(x, y, level=1):
+        k = 1 << level
+        gy = (math.floor(y) + 90) * k + math.floor((y - math.floor(y)) * k)
+        gx = (math.floor(x) + 180) * k + math.floor((x - math.floor(x)) * k)
+        return gy * (361 * k) + gx
+
+    pts_by_id = {pid: (x, y) for pid, x, y in POINTS}
+    for pt, poly in EXPECTED:
+        x, y = pts_by_id[pt]
+        assert (poly, cell_py(x, y)) in kept, (pt, poly)
+
+
 def test_geojson_point_in_polygon_even_odd(spark):
     """GeoJSON (Multi)Polygon containment: donut hole excluded (even-odd),
     both MultiPolygon parts included, closed rings stripped, non-polygon
