@@ -131,7 +131,9 @@ def rings_from_geojson(features: DataFrame, id_col: str = "feature_id") -> DataF
     holes alike; containment with holes is ring-count parity (even-odd
     rule), composed by `geojson_point_in_polygon`. Closing positions
     (first == last, the GeoJSON convention) are stripped: `with_edges`
-    closes rings itself. Non-(Multi)Polygon geometries yield no rows.
+    closes rings itself. GeometryCollection recurses (nested collections
+    included, geojson.rs:120-125); other geometry types yield no rows —
+    points and lines have zero area, so nothing is ever contained in them.
 
     Python-side JSON parse via mapInPandas — the polygon side is the small
     dimension (thousands of features, not the 10^12-point side), so this is
@@ -145,20 +147,22 @@ def rings_from_geojson(features: DataFrame, id_col: str = "feature_id") -> DataF
         f"{id_col} long, ring_id int, ring array<struct<x: double, y: double>>"
     )
 
+    def polys_of(geom):
+        t = geom.get("type")
+        if t == "Polygon":
+            yield geom["coordinates"]
+        elif t == "MultiPolygon":
+            yield from geom["coordinates"]
+        elif t == "GeometryCollection":
+            for g in geom.get("geometries", []):
+                yield from polys_of(g)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for fid, gj in zip(pdf[id_col], pdf["geometry_json"]):
-                geom = json.loads(gj)
-                t = geom.get("type")
-                if t == "Polygon":
-                    polys = [geom["coordinates"]]
-                elif t == "MultiPolygon":
-                    polys = geom["coordinates"]
-                else:
-                    continue
                 rid = 0
-                for poly in polys:
+                for poly in polys_of(json.loads(gj)):
                     for ring in poly:
                         if len(ring) > 1 and ring[0] == ring[-1]:
                             ring = ring[:-1]

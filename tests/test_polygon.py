@@ -322,14 +322,36 @@ def test_geojson_point_in_polygon_even_odd(spark):
         ],
     }
     line = {"type": "LineString", "coordinates": [[0.0, 0.0], [9.0, 9.0]]}
+    collection = {
+        "type": "GeometryCollection",
+        "geometries": [
+            {"type": "Point", "coordinates": [30.0, 30.0]},
+            {
+                "type": "GeometryCollection",  # nested collection recurses
+                "geometries": [
+                    {
+                        "type": "Polygon",
+                        "coordinates": [
+                            [[30.0, 30.0], [31.0, 30.0], [31.0, 31.0], [30.0, 31.0], [30.0, 30.0]]
+                        ],
+                    }
+                ],
+            },
+        ],
+    }
     features = spark.createDataFrame(
-        [(0, json.dumps(donut)), (1, json.dumps(two_parts)), (2, json.dumps(line))],
+        [
+            (0, json.dumps(donut)),
+            (1, json.dumps(two_parts)),
+            (2, json.dumps(line)),
+            (3, json.dumps(collection)),
+        ],
         "feature_id long, geometry_json string",
     )
 
     rings = rings_from_geojson(features).collect()
     assert sorted((r["feature_id"], r["ring_id"]) for r in rings) == [
-        (0, 0), (0, 1), (1, 0), (1, 1),
+        (0, 0), (0, 1), (1, 0), (1, 1), (3, 0),
     ]
     assert all(len(r["ring"]) == 4 for r in rings)  # closing position stripped
 
@@ -340,6 +362,7 @@ def test_geojson_point_in_polygon_even_odd(spark):
             (2, 10.5, 10.5),  # multipolygon part 1
             (3, 20.5, 20.5),  # multipolygon part 2
             (4, 50.0, 50.0),  # nowhere
+            (5, 30.5, 30.5),  # inside the collection's nested polygon
         ],
         "pt_id long, px double, py double",
     )
@@ -347,4 +370,4 @@ def test_geojson_point_in_polygon_even_odd(spark):
         (r["pt_id"], r["feature_id"])
         for r in geojson_point_in_polygon(pts, features).collect()
     )
-    assert got == [(0, 0), (2, 1), (3, 1)]
+    assert got == [(0, 0), (2, 1), (3, 1), (5, 3)]
