@@ -14,6 +14,8 @@ integer microseconds — bit-identical across engines (no float time math).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -71,6 +73,99 @@ def sessionize(
             F.countDistinct(type_col).alias("n_event_types"),
         )
         .select(user_col, "session_id", "n_events", "duration_us", "n_event_types")
+    )
+
+
+def asof_join(
+    probes: DataFrame,
+    markers: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_cols: Sequence[str],
+    tolerance: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: for every probe row, attach the
+    payload of the latest marker row with the same key and marker ts <=
+    probe ts (the time-series join Spark SQL lacks as a primitive; the
+    reference's nearest-tile fallback is the spatial analog of the same
+    "closest earlier neighbor" contract).
+
+    NOT a range join: the naive `probes JOIN markers ON key AND m.ts <=
+    p.ts` explodes to O(probes x markers-per-key) intermediate rows before
+    the per-probe max — at 100 TB that intermediate dwarfs both inputs.
+    This is the union-sort shape instead: tag both inputs, union them
+    (marker payload NULL on probe rows and vice versa), then ONE window
+    pass per key ordered by (ts, is_probe) takes `last(payload, ignore
+    nulls)` over the preceding frame. Cost: a single hash Exchange on the
+    key serving both inputs + one sort — the same partitioning a
+    sessionization pass already uses, and shuffle bytes are exactly
+    |probes| + |markers| rows. Per-key work is sequential (windows cannot
+    salt), so the scale knob is key cardinality, not corpus size; event
+    streams keyed by user/session/device have millions of small keys.
+
+    Equal timestamps: markers sort BEFORE probes (is_probe breaks the
+    tie), so a marker at exactly the probe ts matches — the same inclusive
+    `p.ts >= m.ts` contract as DuckDB ASOF JOIN and pandas merge_asof.
+    If `tiebreak_col` is given, markers are first reduced to one row per
+    (key, ts) keeping the greatest tiebreak value (max_by on every payload
+    column), making the pick total and engine-reproducible even with
+    duplicate marker timestamps; without it the caller guarantees (key,
+    ts) uniqueness on the marker side.
+
+    `tolerance`, if given, voids matches older than `tolerance` ts units
+    before the probe (backward-nearest means any EARLIER marker is farther
+    still, so a post-filter is exact, not an approximation).
+
+    Output: every probe row + `asof_ts` (matched marker ts) +
+    `asof_<payload>` for each payload column; all NULL when no marker
+    qualifies.
+    """
+    if tiebreak_col is not None:
+        markers = markers.groupBy(key_col, ts_col).agg(
+            *[
+                F.max_by(F.col(c), F.col(tiebreak_col)).alias(c)
+                for c in payload_cols
+            ]
+        )
+    m_payload = F.struct(
+        F.col(ts_col).alias("_mts"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    marker_side = markers.select(key_col, ts_col, m_payload.alias("_m"))
+    m_type = marker_side.schema["_m"].dataType.simpleString()
+    probe_cols = probes.columns
+    p_types = dict(probes.dtypes)
+    p = probes.select(
+        *probe_cols,
+        F.lit(1).alias("_is_probe"),
+        F.lit(None).cast(m_type).alias("_m"),
+    )
+    m = marker_side.select(
+        *[
+            F.col(c) if c in (key_col, ts_col) else F.lit(None).cast(p_types[c]).alias(c)
+            for c in probe_cols
+        ],
+        F.lit(0).alias("_is_probe"),
+        F.col("_m"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        p.unionByName(m)
+        .select(*probe_cols, "_is_probe", F.last("_m", ignorenulls=True).over(w).alias("_asof"))
+        .where(F.col("_is_probe") == 1)
+    )
+    hit = F.col("_asof").isNotNull()
+    if tolerance is not None:
+        hit = hit & ((F.col(ts_col) - F.col("_asof._mts")) <= F.lit(tolerance))
+    return joined.select(
+        *probe_cols,
+        F.when(hit, F.col("_asof._mts")).alias("asof_ts"),
+        *[F.when(hit, F.col(f"_asof.{c}")).alias(f"asof_{c}") for c in payload_cols],
     )
 
 

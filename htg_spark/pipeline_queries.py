@@ -546,6 +546,47 @@ def q_user_sessions(spark, sf_dir):
     return ev.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_event_asof_join(spark, sf_dir):
+    """As-of join (the time-series join Spark lacks as a primitive): each
+    click event picks up the latest prior-or-equal purchase by the same
+    user — union-sort window shape, ONE shuffle on user_id, no range-join
+    explosion. Timestamps are exact naive epoch microseconds (NTZ math,
+    DST-proof) matching the DuckDB oracle's epoch_us."""
+    from .operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts").cast("timestamp_ntz"),
+    )
+    probes = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("us")
+    )
+    markers = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("us"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    res = ev.asof_join(
+        probes,
+        markers,
+        key_col="user_id",
+        ts_col="us",
+        payload_cols=["purchase_id", "purchase_value"],
+        tiebreak_col="purchase_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.col("asof_purchase_id").alias("purchase_id"),
+        F.col("asof_purchase_value").alias("purchase_value"),
+        (F.col("us") - F.col("asof_ts")).alias("gap_us"),
+    )
+
+
 def q_rolling_fingerprint(spark, sf_dir):
     """Position-sensitive polynomial rolling hash per document (the classic
     Rabin-Karp fingerprint), exact-integer parity with the SQL oracle."""
@@ -840,6 +881,27 @@ SELECT user_id, min(event_id) AS session_id, count(*) AS n_events,
   max(us) - min(us) AS duration_us,
   count(DISTINCT event_type) AS n_event_types
 FROM g GROUP BY user_id, grp
+"""
+    # DuckDB ASOF LEFT JOIN shares asof_join's exact contract: backward
+    # inclusive (p.us >= m.us), per-key, NULL payload when no marker
+    # qualifies; the pe pre-reduce (max/arg_max per (user, us)) mirrors the
+    # operator's tiebreak_col max_by reduce, so duplicate marker timestamps
+    # resolve identically in both engines
+    event_asof_join_sql = """
+WITH pr AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'click'
+),
+pe AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    max(event_id) AS purchase_id,
+    arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT pr.event_id, pr.user_id, pr.us,
+  pe.purchase_id, pe.purchase_value, pr.us - pe.us AS gap_us
+FROM pr ASOF LEFT JOIN pe ON pr.user_id = pe.user_id AND pr.us >= pe.us
 """
     # the ONE definition of each PII pattern (operators/text.py) feeds both
     # engines — the Python string values interpolate into DuckDB SQL
@@ -1348,6 +1410,7 @@ FROM rc
         "repetition_stats": repetition_sql,
         "top_terms": top_terms_sql,
         "user_sessions": user_sessions_sql,
+        "event_asof_join": event_asof_join_sql,
         "text_quality": text_quality_sql,
         "lang_id": lang_id_sql,
         "doc_fingerprint": fingerprint_sql,
@@ -1379,6 +1442,7 @@ def queries():
         "repetition_stats": q_repetition_stats,
         "top_terms": q_top_terms,
         "user_sessions": q_user_sessions,
+        "event_asof_join": q_event_asof_join,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,

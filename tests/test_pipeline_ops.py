@@ -392,6 +392,82 @@ def test_sessionize(spark):
     assert len(re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 1
 
 
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of: equal-ts marker matches; duplicate marker
+    timestamps reduce by max tiebreak; keys with no qualifying marker get
+    NULLs; tolerance voids too-old matches; ONE Exchange in the plan."""
+    from htg_spark.operators import events as ev
+
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            [(10, 1, 100), (11, 1, 50), (12, 1, 20), (13, 1, 70), (20, 2, 99)],
+            columns=["pid", "uid", "us"],
+        )
+    )
+    markers = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, 100, 5, 1.5),
+                (1, 60, 6, 2.5),
+                (1, 60, 66, 7.5),  # duplicate ts -> max_by(mid) wins
+                (1, 30, 7, 3.5),
+                (3, 1, 8, 9.9),  # key absent from probes
+            ],
+            columns=["uid", "us", "mid", "val"],
+        )
+    )
+    out = (
+        ev.asof_join(
+            probes, markers, key_col="uid", ts_col="us",
+            payload_cols=["mid", "val"], tiebreak_col="mid",
+        )
+        .orderBy("pid")
+        .toPandas()
+    )
+    # pid 10: inclusive equal-ts match (us=100); pid 11: latest marker
+    # <= 50 is us=30 -> mid 7; pid 12: nothing <= 20 -> NULL; pid 13:
+    # the duplicate-ts us=60 group reduces to max_by(mid) -> mid 66 with
+    # its own val; pid 20: uid 2 has no markers at all -> NULL
+    assert out["asof_mid"].tolist()[0] == 5
+    assert out["asof_mid"].tolist()[1] == 7
+    assert pd.isna(out["asof_mid"].tolist()[2])
+    assert out["asof_mid"].tolist()[3] == 66
+    assert out["asof_val"].tolist()[3] == 7.5
+    assert pd.isna(out["asof_mid"].tolist()[4])
+    assert out["asof_ts"].tolist()[0] == 100
+    assert out["asof_ts"].tolist()[1] == 30
+    assert out["asof_ts"].tolist()[3] == 60
+
+    tol = (
+        ev.asof_join(
+            probes, markers, key_col="uid", ts_col="us",
+            payload_cols=["mid"], tiebreak_col="mid", tolerance=10,
+        )
+        .orderBy("pid")
+        .toPandas()
+    )
+    # pid 10 gap 0 keeps; pid 11's nearest (us=30, gap 20 > 10) is voided
+    # and NOT resurrected by anything earlier (backward-nearest is exact);
+    # pid 13 gap 10 sits exactly at the inclusive tolerance edge
+    assert tol["asof_mid"].tolist()[0] == 5
+    assert pd.isna(tol["asof_mid"].tolist()[1])
+    assert tol["asof_mid"].tolist()[3] == 66
+
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ev.asof_join(
+            probes, markers, key_col="uid", ts_col="us",
+            payload_cols=["mid"],
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_lang_id_detects_real_languages(docs):
     out = text.lang_id(docs).orderBy("doc_id").toPandas().set_index("doc_id")
     assert out.loc[0, "pred_lang"] == "en"
