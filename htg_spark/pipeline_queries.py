@@ -546,6 +546,61 @@ def q_user_sessions(spark, sf_dir):
     return ev.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def phash_dup_corpus(spark, sf_dir) -> DataFrame:
+    """The image-payload near-dup corpus: every fixture image plus, for
+    each event_id % 13 == 0, a 'dup_N' copy whose phash differs by a
+    deterministic 3-bit xor mask (5 bits for every third plant — those
+    land ABOVE the hamming<=3 threshold and must be rejected). Bit
+    positions stay in [0, 63) so the 63-bit phash never goes negative and
+    bit_count(xor(..)) agrees across engines."""
+    from . import driver_queries as dq
+
+    base = dq.derive_image_phash(dq._events(spark, sf_dir))
+    planted = (
+        base.select(
+            "image_id",
+            "phash",
+            F.expr("cast(substring(image_id, 5) as bigint)").alias("e"),
+        )
+        .where(F.col("e") % 13 == 0)
+        .select(
+            F.concat(F.lit("dup_"), F.expr("substring(image_id, 5)")).alias(
+                "image_id"
+            ),
+            F.col("phash")
+            .bitwiseXOR(
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(e % 63 as int))"
+                    " | shiftleft(cast(1 as bigint), cast((e*7+11) % 63 as int))"
+                    " | shiftleft(cast(1 as bigint), cast((e*13+29) % 63 as int))"
+                    " | (CASE WHEN e % 3 = 0 THEN"
+                    " shiftleft(cast(1 as bigint), cast((e*17+5) % 63 as int))"
+                    " | shiftleft(cast(1 as bigint), cast((e*23+41) % 63 as int))"
+                    " ELSE cast(0 as bigint) END)"
+                )
+            )
+            .alias("phash"),
+        )
+    )
+    return base.unionByName(planted)
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs by perceptual-hash hamming distance —
+    the image-payload twin of SimHash text dedup, REUSING the same
+    Manku-style block-banding engine over the 63-bit phash column (no
+    text, no shingles: the signature already exists on every image row).
+    Scale shape: one explode into C(4,1) band keys + a single self-equi-
+    join — never all-pairs; the oracle is the honest quadratic at fixture
+    scale."""
+    sigs = phash_dup_corpus(spark, sf_dir).select(
+        "image_id", F.col("phash").alias("simhash")
+    )
+    return dedup.simhash_near_dup_pairs(
+        sigs, id_col="image_id", max_hamming=3, sig_bits=63
+    )
+
+
 def q_event_asof_join(spark, sf_dir):
     """As-of join (the time-series join Spark lacks as a primitive): each
     click event picks up the latest prior-or-equal purchase by the same
@@ -882,6 +937,41 @@ SELECT user_id, min(event_id) AS session_id, count(*) AS n_events,
   count(DISTINCT event_type) AS n_event_types
 FROM g GROUP BY user_id, grp
 """
+    # image phash near-dup: the oracle is the honest all-pairs quadratic
+    # (fine at sf0.01's ~10k images) — it shares NO candidate-generation
+    # logic with the banding engine, so a banding recall bug cannot hide.
+    # The planted-dup masks mirror phash_dup_corpus bit-for-bit.
+    from . import driver_queries as _dq
+
+    phash_near_dup_sql = (
+        _dq.images_pts_cte()
+        + """,
+pl AS (
+  SELECT image_id, phash, CAST(substr(image_id, 5) AS BIGINT) AS e
+  FROM ipts WHERE CAST(substr(image_id, 5) AS BIGINT) % 13 = 0
+),
+planted AS (
+  SELECT 'dup_' || substr(image_id, 5) AS image_id,
+    xor(phash,
+        (1::BIGINT << CAST(e % 63 AS INT))
+      | (1::BIGINT << CAST((e*7+11) % 63 AS INT))
+      | (1::BIGINT << CAST((e*13+29) % 63 AS INT))
+      | (CASE WHEN e % 3 = 0 THEN
+            (1::BIGINT << CAST((e*17+5) % 63 AS INT))
+          | (1::BIGINT << CAST((e*23+41) % 63 AS INT))
+         ELSE 0::BIGINT END)) AS phash
+  FROM pl
+),
+corpus AS (
+  SELECT image_id, phash FROM ipts
+  UNION ALL SELECT image_id, phash FROM planted
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM corpus a JOIN corpus b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+    )
     # DuckDB ASOF LEFT JOIN shares asof_join's exact contract: backward
     # inclusive (p.us >= m.us), per-key, NULL payload when no marker
     # qualifies; the pe pre-reduce (max/arg_max per (user, us)) mirrors the
@@ -1411,6 +1501,7 @@ FROM rc
         "top_terms": top_terms_sql,
         "user_sessions": user_sessions_sql,
         "event_asof_join": event_asof_join_sql,
+        "phash_near_dup": phash_near_dup_sql,
         "text_quality": text_quality_sql,
         "lang_id": lang_id_sql,
         "doc_fingerprint": fingerprint_sql,
@@ -1443,6 +1534,7 @@ def queries():
         "top_terms": q_top_terms,
         "user_sessions": q_user_sessions,
         "event_asof_join": q_event_asof_join,
+        "phash_near_dup": q_phash_near_dup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,

@@ -468,6 +468,35 @@ def test_asof_join_semantics(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_phash_banding_63bit(spark):
+    """The image-phash reuse of the banding engine at sig_bits=63: high
+    bit 62 participates in a block (the top block is 15 bits wide), exact
+    hamming filters above-threshold candidates, and nothing overflows the
+    63-bit signature domain."""
+    base = (1 << 62) | 5
+    rows = [
+        ("a", base),
+        ("b", base ^ 0b1011),  # hamming 3 vs a
+        ("c", base ^ ((1 << 62) | (1 << 61))),  # hamming 2 vs a (top bits)
+        ("d", base ^ 0b11111),  # hamming 5 vs a (excluded), 2 vs b
+    ]
+    sigs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "simhash"])
+    )
+    out = (
+        dedup.simhash_near_dup_pairs(
+            sigs, id_col="image_id", max_hamming=3, sig_bits=63
+        )
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    assert out[["id_a", "id_b", "hamming"]].values.tolist() == [
+        ["a", "b", 3],
+        ["a", "c", 2],
+        ["b", "d", 2],
+    ]
+
+
 def test_lang_id_detects_real_languages(docs):
     out = text.lang_id(docs).orderBy("doc_id").toPandas().set_index("doc_id")
     assert out.loc[0, "pred_lang"] == "en"
