@@ -444,6 +444,39 @@ def q_images_geotag_join(spark, sf_dir):
     )
 
 
+def q_cell_heatmap(spark, sf_dir):
+    """Multi-resolution spatial density rollup (the tile/heatmap service
+    query): image counts per cell at levels 0, 2, 4 of the H3/S2-style
+    scheme (cells.cell_id_at_level), all levels in ONE scan + ONE shuffle.
+    Scale shape: each point explodes into 3 (level, cell) keys, then a
+    single hash aggregation — map-side partial combine bounds the shuffle
+    by DISTINCT cell count (<= 64800 * 4^level), not by corpus rows, so
+    the exchange stays tiny even at 10^12 images."""
+    imgs = derive_image_phash(_events(spark, sf_dir))
+    pts = imgs.select(
+        cells.lat_from_phash(F.col("phash")).alias("lat"),
+        cells.lon_from_phash(F.col("phash")).alias("lon"),
+    )
+    lc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lvl).cast("int").alias("level"),
+                    cells.cell_id_at_level(F.col("lat"), F.col("lon"), lvl).alias(
+                        "cell"
+                    ),
+                )
+                for lvl in (0, 2, 4)
+            ]
+        )
+    ).alias("lc")
+    return (
+        pts.select(lc)
+        .groupBy(F.col("lc.level").alias("level"), F.col("lc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
 def derive_images_table(events: DataFrame) -> DataFrame:
     """Full input_hint-shaped image table derived deterministically from
     event_id — every non-binary consequence is a closed form DuckDB can
@@ -871,6 +904,34 @@ SELECT event_id,
 FROM keyed
 """
     )
+    # the per-level closed forms below are the SQL mirror of
+    # cells.cell_id_at_level (level = 0/2/4 -> 4^level subcells/degree):
+    # identical IEEE double ops (same lat/lon derivation the other image
+    # oracles pin), so the floor() cell assignments agree bit-for-bit
+    cell_heatmap = (
+        images_pts_cte()
+        + """,
+h AS (
+  SELECT 0 AS level,
+    (CAST(floor(lat) AS BIGINT) + 90) * 360 + CAST(floor(lon) AS BIGINT) + 180 AS cell
+  FROM ipts
+  UNION ALL
+  SELECT 2,
+    ((CAST(floor(lat) AS BIGINT) + 90) * 360 + CAST(floor(lon) AS BIGINT) + 180) * 16
+      + CAST(floor((lat - floor(lat)) * 4) AS BIGINT) * 4
+      + CAST(floor((lon - floor(lon)) * 4) AS BIGINT)
+  FROM ipts
+  UNION ALL
+  SELECT 4,
+    ((CAST(floor(lat) AS BIGINT) + 90) * 360 + CAST(floor(lon) AS BIGINT) + 180) * 256
+      + CAST(floor((lat - floor(lat)) * 16) AS BIGINT) * 16
+      + CAST(floor((lon - floor(lon)) * 16) AS BIGINT)
+  FROM ipts
+)
+SELECT CAST(level AS INT) AS level, cell, count(*) AS n_images
+FROM h GROUP BY level, cell
+"""
+    )
     return {
         "continent_route": continent,
         "elevation_nearest": nearest,
@@ -882,6 +943,7 @@ FROM keyed
         "tile_assignment": tile_assignment,
         "coverage_counts": coverage_counts,
         "cell_ids": cell_ids,
+        "cell_heatmap": cell_heatmap,
         "filename_roundtrip": filename_roundtrip,
         "knn_fallback": knn,
         "elevation_cogroup_knn": knn,
@@ -906,6 +968,7 @@ def queries():
         "tile_assignment": q_tile_assignment,
         "coverage_counts": q_coverage_counts,
         "cell_ids": q_cell_ids,
+        "cell_heatmap": q_cell_heatmap,
         "filename_roundtrip": q_filename_roundtrip,
         "knn_fallback": q_knn_fallback,
         "elevation_cogroup_knn": q_elevation_cogroup_knn,
