@@ -122,6 +122,7 @@ def main():
     # payloads derived from the events table, materialized once OUTSIDE the
     # timed region (the ops being timed are decode/stat/resize/embed, not
     # the synthetic generator)
+    from htg_spark import driver_queries as _dq
     from htg_spark.driver_queries import derive_images_table
     from htg_spark.operators import multimodal
 
@@ -155,6 +156,9 @@ def main():
         ("line_dedup", pq.q_line_dedup),
         ("props_stats", pq.q_props_stats),
         ("user_sessions", pq.q_user_sessions),
+        ("event_asof_join", pq.q_event_asof_join),
+        ("phash_near_dup", pq.q_phash_near_dup),
+        ("cell_heatmap", _dq.q_cell_heatmap),
         ("point_in_polygon", _polyq.q_point_in_polygon),
         ("polygon_zonal_stats", _polyq.q_polygon_zonal_stats),
         ("images_in_polygon", _polyq.q_images_in_polygon),
