@@ -282,15 +282,75 @@ def main():
         )
     )
     n_gj_shuffles = len(_re.findall(r"\(\d+\) Exchange\b", gj_plan))
+    # count formatted-plan DETAIL headers "(n) BroadcastHashJoin", not raw
+    # substring occurrences: each node prints twice in .explain('formatted')
+    # (once in the tree, once in the detail section), so a substring count
+    # reads one join as two
+    n_gj_bhj = len(_re.findall(r"\(\d+\) BroadcastHashJoin\b", gj_plan))
     if (
         n_gj_shuffles != 1
-        or gj_plan.count("BroadcastHashJoin") != 1
+        or n_gj_bhj != 1
         or "CartesianProduct" in gj_plan
     ):
         print(
             f"FATAL: geojson-containment plan has {n_gj_shuffles} shuffle "
             "Exchanges (expected exactly 1 — the ring-parity groupBy) / "
-            f"{gj_plan.count('BroadcastHashJoin')} BroadcastHashJoins",
+            f"{n_gj_bhj} BroadcastHashJoins",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    from htg_spark import driver_queries as dq
+
+    asof = pq.q_event_asof_join(spark, sf_dir)
+    asof_plan = plan_of(asof)
+    sections.append(
+        (
+            "As-of join (union-sort window shape)",
+            "Expected: both event scans tagged and unioned, then ONE hash "
+            "Exchange on user_id feeding a single Sort + Window "
+            "(last(payload, ignorenulls)) — never the O(probes x "
+            "markers/key) range-join blowup. The marker pre-reduce "
+            "(max_by per (user, ts)) rides the same partitioning. HARD "
+            "REQUIREMENT: no join operator at all in the plan, no "
+            "cartesian product, and every Exchange is hashpartitioning "
+            "on user_id.",
+            asof_plan,
+        )
+    )
+    if (
+        "CartesianProduct" in asof_plan
+        or "BroadcastNestedLoop" in asof_plan
+        or "SortMergeJoin" in asof_plan
+        or "BroadcastHashJoin" in asof_plan
+    ):
+        print("FATAL: as-of plan contains a join operator (expected pure "
+              "union+window shape)", file=sys.stderr)
+        sys.exit(1)
+    heat = dq.q_cell_heatmap(spark, sf_dir)
+    heat_plan = plan_of(heat)
+    sections.append(
+        (
+            "Cell heatmap (multi-level density rollup)",
+            "Expected: one events scan -> phash geotag projection -> "
+            "explode into 3 (level, cell) keys -> partial hash aggregate "
+            "(map-side combine) -> ONE Exchange keyed on (level, cell) -> "
+            "final hash aggregate. The shuffle carries only partial "
+            "counts, bounded by distinct-cell count. HARD REQUIREMENT: "
+            "exactly one shuffle Exchange, partial aggregation present, "
+            "no join of any kind.",
+            heat_plan,
+        )
+    )
+    n_heat_ex = len(_re.findall(r"\(\d+\) Exchange\b", heat_plan))
+    if (
+        n_heat_ex != 1
+        or "partial_count" not in heat_plan
+        or "Join" in heat_plan
+    ):
+        print(
+            f"FATAL: cell-heatmap plan has {n_heat_ex} shuffle Exchanges "
+            "(expected exactly 1) or lost its map-side partial aggregation",
             file=sys.stderr,
         )
         sys.exit(1)
