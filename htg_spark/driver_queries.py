@@ -477,6 +477,32 @@ def q_cell_heatmap(spark, sf_dir):
     )
 
 
+# the shared POI reference grid for the kNN points join: 25 points, 5x5,
+# closed-form (exactly-representable doubles), interpolated verbatim into
+# the DuckDB VALUES list so both engines see identical literals
+KNN_POIS = [
+    (i, -60.0 + 24.0 * (i // 5) + 7.5, -150.0 + 60.0 * (i % 5) + 12.5)
+    for i in range(25)
+]
+
+
+def q_knn_poi_join(spark, sf_dir):
+    """Top-3 nearest POIs per image geotag (J11): the 2-D spatial analog
+    of ANN top-k — POI set broadcast as an inline literal, ONE zero-shuffle
+    codegen projection (array of (d2, poi_id) structs -> array_sort ->
+    slice 3 -> posexplode). Exact double parity via fixed op order; ties
+    break by poi_id."""
+    from .operators.geo_misc import knn_points_join
+
+    imgs = derive_image_phash(_events(spark, sf_dir))
+    pts = imgs.select(
+        "image_id",
+        cells.lat_from_phash(F.col("phash")).alias("lat"),
+        cells.lon_from_phash(F.col("phash")).alias("lon"),
+    )
+    return knn_points_join(pts, KNN_POIS, k=3)
+
+
 def derive_images_table(events: DataFrame) -> DataFrame:
     """Full input_hint-shaped image table derived deterministically from
     event_id — every non-binary consequence is a closed form DuckDB can
@@ -932,6 +958,32 @@ SELECT CAST(level AS INT) AS level, cell, count(*) AS n_images
 FROM h GROUP BY level, cell
 """
     )
+    # kNN POI oracle: the honest quadratic (25 POIs x points, window rank)
+    # — shares NO argmin logic with the array_sort projection; the VALUES
+    # literals come from the same KNN_POIS constants the Spark side inlines
+    poi_values = ",\n    ".join(
+        f"({pid}, {plat!r}, {plon!r})" for pid, plat, plon in KNN_POIS
+    )
+    knn_poi = (
+        images_pts_cte()
+        + f""",
+poi(poi_id, plat, plon) AS (VALUES
+    {poi_values}),
+d AS (
+  SELECT image_id, lat, lon, poi_id,
+    (lat - plat) * (lat - plat) + (lon - plon) * (lon - plon) AS d2
+  FROM ipts CROSS JOIN poi
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY image_id ORDER BY d2 ASC, poi_id ASC) AS rank
+  FROM d
+)
+SELECT image_id, lat, lon, CAST(rank AS INT) AS rank,
+  CAST(poi_id AS INT) AS poi_id, d2
+FROM r WHERE rank <= 3
+"""
+    )
     return {
         "continent_route": continent,
         "elevation_nearest": nearest,
@@ -944,6 +996,7 @@ FROM h GROUP BY level, cell
         "coverage_counts": coverage_counts,
         "cell_ids": cell_ids,
         "cell_heatmap": cell_heatmap,
+        "knn_poi_join": knn_poi,
         "filename_roundtrip": filename_roundtrip,
         "knn_fallback": knn,
         "elevation_cogroup_knn": knn,
@@ -969,6 +1022,7 @@ def queries():
         "coverage_counts": q_coverage_counts,
         "cell_ids": q_cell_ids,
         "cell_heatmap": q_cell_heatmap,
+        "knn_poi_join": q_knn_poi_join,
         "filename_roundtrip": q_filename_roundtrip,
         "knn_fallback": q_knn_fallback,
         "elevation_cogroup_knn": q_elevation_cogroup_knn,

@@ -1,9 +1,12 @@
 """Small geo operators completing the SURVEY.md §2 inventory: the continent
-router (S5) and the HTG_PRELOAD bounds grammar (P4)."""
+router (S5), the HTG_PRELOAD bounds grammar (P4), and the broadcast top-k
+nearest-points join (J11)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # priority-ordered bbox rules (htg/src/download.rs:553-581); inclusive bounds
@@ -30,6 +33,68 @@ def continent_col(lat: Column, lon: Column) -> Column:
     for name, lat0, lat1, lon0, lon1 in reversed(_CONTINENT_RULES):
         expr = F.when(lat.between(lat0, lat1) & lon.between(lon0, lon1), name).otherwise(expr)
     return expr
+
+
+def knn_points_join(
+    pts: DataFrame,
+    pois: Sequence[tuple[int, float, float]],
+    k: int = 3,
+    id_col: str = "image_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Top-k nearest-neighbor join of every point against a small reference
+    point set (POIs) — the 2-D spatial analog of the embedding ANN top-k,
+    generalizing the engine's nearest-TILE-center kNN fallback
+    (engine.py:154-189, service parity htg/src/service.rs nearest-tile) to
+    an arbitrary point table and k > 1.
+
+    Scale shape (the broadcast side of the trade): the POI set rides into
+    the plan as an inline array literal, so the whole query is ONE
+    zero-shuffle codegen projection over the points scan — per point, an
+    array of (d2, poi_id) structs, array_sort (lexicographic: distance
+    first, poi_id tie-break), slice k, posexplode. 10^12 points stream
+    through map-only; nothing is collected or shuffled. For POI sets too
+    large to inline (>~10^3), the scale path is the covering-cell
+    equi-join family (operators/polygon.py) — bucket POIs by cell, join
+    candidates by neighboring cells, and fall back to ring expansion —
+    exactly the IVF trade in 2-D.
+
+    Distances are squared planar degrees computed in a FIXED op order
+    ((lat-plat)*(lat-plat) + (lon-plon)*(lon-plon)) so every engine agrees
+    bit-for-bit; sorting on (d2, poi_id) makes ranks total and
+    reproducible even when two POIs tie exactly (perpendicular-bisector
+    points).
+
+    Output: (id, lat, lon, rank 1..k, poi_id, d2).
+    """
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    arr = F.array(
+        *[
+            F.struct(
+                (
+                    (lat - F.lit(plat)) * (lat - F.lit(plat))
+                    + (lon - F.lit(plon)) * (lon - F.lit(plon))
+                ).alias("d2"),
+                F.lit(int(pid)).cast("int").alias("poi_id"),
+            )
+            for pid, plat, plon in pois
+        ]
+    )
+    exploded = pts.select(
+        id_col,
+        lat_col,
+        lon_col,
+        F.posexplode(F.slice(F.array_sort(arr), 1, k)).alias("pos", "nn"),
+    )
+    return exploded.select(
+        id_col,
+        lat_col,
+        lon_col,
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("nn.poi_id").alias("poi_id"),
+        F.col("nn.d2").alias("d2"),
+    )
 
 
 def parse_preload_bounds(value: str):

@@ -52,3 +52,44 @@ def test_parse_preload_bounds():
     # malformed chunks dropped; fully-unparseable -> None (preload all)
     assert parse_preload_bounds("35,138,36,139;bogus") == [(35.0, 138.0, 36.0, 139.0)]
     assert parse_preload_bounds("bogus") is None
+
+
+def test_knn_points_join_exact_and_zero_shuffle(spark):
+    """Top-k nearest POIs: brute-force NumPy agreement on ranks and
+    distances, deterministic poi_id tie-break for an equidistant point,
+    and a zero-Exchange map-only plan."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    import numpy as np
+
+    from htg_spark.operators.geo_misc import knn_points_join
+
+    pois = [(0, 0.0, 0.0), (1, 0.0, 10.0), (2, 10.0, 0.0), (3, 10.0, 10.0)]
+    # (5,5) ties ALL FOUR pois at d2=50 -> ranks must follow poi_id order
+    pts_rows = [("a", 1.0, 2.0), ("b", 9.0, 9.5), ("tie", 5.0, 5.0)]
+    pts = spark.createDataFrame(
+        pd.DataFrame(pts_rows, columns=["image_id", "lat", "lon"])
+    )
+    out = (
+        knn_points_join(pts, pois, k=3)
+        .orderBy("image_id", "rank")
+        .toPandas()
+    )
+    P = np.array([[plat, plon] for _, plat, plon in pois])
+    for iid, lat, lon in pts_rows:
+        d2 = (lat - P[:, 0]) ** 2 + (lon - P[:, 1]) ** 2
+        order = np.lexsort((np.arange(len(pois)), d2))[:3]
+        got = out[out.image_id == iid]
+        assert got["poi_id"].tolist() == [pois[j][0] for j in order]
+        assert got["d2"].tolist() == [float(d2[j]) for j in order]
+        assert got["rank"].tolist() == [1, 2, 3]
+    assert out[out.image_id == "tie"]["poi_id"].tolist() == [0, 1, 2]
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        knn_points_join(pts, pois, k=3).explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+    assert "Join" not in plan
