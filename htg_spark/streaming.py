@@ -84,6 +84,53 @@ def geofence_window_counts(
     )
 
 
+def stream_cell_heatmap(
+    stream: DataFrame,
+    levels: tuple[int, ...] = (0, 2, 4),
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    delay: str = "2 minutes",
+) -> DataFrame:
+    """Streaming multi-level cell density (the live heatmap): per event-time
+    window, image/point counts per H3/S2-style cell at each level — the
+    streaming twin of driver_queries.q_cell_heatmap.
+
+    Shape: the explode into (level, cell) keys is stateless map-side work;
+    the only state is the windowed count aggregation, one long per
+    (window, level, cell) — bounded by distinct-cell count x active
+    windows, not by stream volume. Late rows beyond `delay` are dropped by
+    the watermark, so state ages out as windows close."""
+    if not stream.isStreaming:
+        raise ValueError("stream_cell_heatmap expects a streaming DataFrame")
+    from . import cells
+
+    lc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lvl).cast("int").alias("level"),
+                    cells.cell_id_at_level(
+                        F.col(lat_col), F.col(lon_col), lvl
+                    ).alias("cell"),
+                )
+                for lvl in levels
+            ]
+        )
+    ).alias("lc")
+    return (
+        stream.withWatermark(ts_col, delay)
+        .select(ts_col, lc)
+        .groupBy(
+            F.window(ts_col, window),
+            F.col("lc.level").alias("level"),
+            F.col("lc.cell").alias("cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
 def stream_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

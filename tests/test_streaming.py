@@ -230,3 +230,74 @@ def test_stream_geofence_rejects_batch_df(spark):
     )
     with pytest.raises(ValueError, match="streaming"):
         stream_geofence(spark.range(3), polys)
+
+
+def test_stream_cell_heatmap_matches_batch(spark, tmp_path):
+    """2-micro-batch file stream through the windowed multi-level cell
+    rollup equals the batch explode+groupBy on the same rows; a batch
+    frame is rejected."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from htg_spark import cells
+    from htg_spark.streaming import stream_cell_heatmap
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for k in range(120):
+        rows.append(
+            (k, -1.7 + (k % 11) * 0.31, 9.4 + (k % 7) * 0.47,
+             base + dt.timedelta(seconds=10 * k))
+        )
+    pdf = pd.DataFrame(rows, columns=["pt_id", "lat", "lon", "ts"])
+    src = tmp_path / "heat"
+    src.mkdir()
+    spark.createDataFrame(pdf.iloc[:60]).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(pdf.iloc[60:]).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("pt_id long, lat double, lon double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream_cell_heatmap(stream, window="5 minutes")
+        .writeStream.format("memory").queryName("heatmap")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"], r["level"], r["cell"]): r["n_points"]
+        for r in spark.sql("SELECT * FROM heatmap").collect()
+    }
+
+    batch = spark.read.parquet(f"{src}/*")
+    lc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lvl).cast("int").alias("level"),
+                    cells.cell_id_at_level(F.col("lat"), F.col("lon"), lvl).alias("cell"),
+                )
+                for lvl in (0, 2, 4)
+            ]
+        )
+    ).alias("lc")
+    exp = {
+        (r["ws"], r["level"], r["cell"]): r["n_points"]
+        for r in batch.select("ts", lc)
+        .groupBy(
+            F.window("ts", "5 minutes").alias("w"),
+            F.col("lc.level").alias("level"),
+            F.col("lc.cell").alias("cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(F.col("w")["start"].alias("ws"), "level", "cell", "n_points")
+        .collect()
+    }
+    assert len(exp) > 20
+    assert got == exp
+
+    with pytest.raises(ValueError, match="streaming"):
+        stream_cell_heatmap(spark.range(3))
