@@ -107,11 +107,12 @@ def asof_join(
     Equal timestamps: markers sort BEFORE probes (is_probe breaks the
     tie), so a marker at exactly the probe ts matches — the same inclusive
     `p.ts >= m.ts` contract as DuckDB ASOF JOIN and pandas merge_asof.
-    If `tiebreak_col` is given, markers are first reduced to one row per
-    (key, ts) keeping the greatest tiebreak value (max_by on every payload
-    column), making the pick total and engine-reproducible even with
-    duplicate marker timestamps; without it the caller guarantees (key,
-    ts) uniqueness on the marker side.
+    If `tiebreak_col` is given, duplicate marker timestamps resolve to the
+    row with the GREATEST tiebreak value — folded into the window sort
+    order itself (markers order by (ts, tiebreak), and `last()` keeps the
+    final one), so the resolution costs ZERO extra shuffle (a groupBy
+    pre-reduce would add a second Exchange on (key, ts)). Without it the
+    caller guarantees (key, ts) uniqueness on the marker side.
 
     `tolerance`, if given, voids matches older than `tolerance` ts units
     before the probe (backward-nearest means any EARLIER marker is farther
@@ -121,24 +122,24 @@ def asof_join(
     `asof_<payload>` for each payload column; all NULL when no marker
     qualifies.
     """
-    if tiebreak_col is not None:
-        markers = markers.groupBy(key_col, ts_col).agg(
-            *[
-                F.max_by(F.col(c), F.col(tiebreak_col)).alias(c)
-                for c in payload_cols
-            ]
-        )
     m_payload = F.struct(
         F.col(ts_col).alias("_mts"),
         *[F.col(c).alias(c) for c in payload_cols],
     )
-    marker_side = markers.select(key_col, ts_col, m_payload.alias("_m"))
+    tb = (
+        F.col(tiebreak_col) if tiebreak_col is not None else F.lit(None).cast("long")
+    )
+    marker_side = markers.select(
+        key_col, ts_col, tb.alias("_tb"), m_payload.alias("_m")
+    )
     m_type = marker_side.schema["_m"].dataType.simpleString()
+    tb_type = dict(marker_side.dtypes)["_tb"]
     probe_cols = probes.columns
     p_types = dict(probes.dtypes)
     p = probes.select(
         *probe_cols,
         F.lit(1).alias("_is_probe"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         F.lit(None).cast(m_type).alias("_m"),
     )
     m = marker_side.select(
@@ -147,11 +148,20 @@ def asof_join(
             for c in probe_cols
         ],
         F.lit(0).alias("_is_probe"),
+        F.col("_tb"),
         F.col("_m"),
     )
+    # probes carry a NULL tiebreak: asc_nulls_first keeps their relative
+    # position irrelevant (last(_m, ignorenulls) skips probe rows anyway)
+    # while equal-ts markers end with the greatest tiebreak — which last()
+    # then picks, no pre-aggregation pass needed
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col).asc(), F.col("_is_probe").asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_is_probe").asc(),
+            F.col("_tb").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     joined = (

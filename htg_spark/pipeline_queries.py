@@ -975,8 +975,8 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
     # DuckDB ASOF LEFT JOIN shares asof_join's exact contract: backward
     # inclusive (p.us >= m.us), per-key, NULL payload when no marker
     # qualifies; the pe pre-reduce (max/arg_max per (user, us)) mirrors the
-    # operator's tiebreak_col max_by reduce, so duplicate marker timestamps
-    # resolve identically in both engines
+    # operator's tiebreak sort-order resolution (greatest tiebreak wins at
+    # equal ts), so duplicate marker timestamps resolve identically
     event_asof_join_sql = """
 WITH pr AS (
   SELECT event_id, user_id, epoch_us(ts) AS us

@@ -310,22 +310,27 @@ def main():
             "Expected: both event scans tagged and unioned, then ONE hash "
             "Exchange on user_id feeding a single Sort + Window "
             "(last(payload, ignorenulls)) — never the O(probes x "
-            "markers/key) range-join blowup. The marker pre-reduce "
-            "(max_by per (user, ts)) rides the same partitioning. HARD "
-            "REQUIREMENT: no join operator at all in the plan, no "
-            "cartesian product, and every Exchange is hashpartitioning "
-            "on user_id.",
+            "markers/key) range-join blowup. Duplicate-marker-timestamp "
+            "resolution rides the window SORT ORDER (ts, is_probe, "
+            "tiebreak), so it adds no second Exchange. HARD REQUIREMENT: "
+            "exactly one shuffle Exchange, no join operator at all in the "
+            "plan, no cartesian product.",
             asof_plan,
         )
     )
+    n_asof_ex = len(_re.findall(r"\(\d+\) Exchange\b", asof_plan))
     if (
-        "CartesianProduct" in asof_plan
+        n_asof_ex != 1
+        or "CartesianProduct" in asof_plan
         or "BroadcastNestedLoop" in asof_plan
         or "SortMergeJoin" in asof_plan
         or "BroadcastHashJoin" in asof_plan
     ):
-        print("FATAL: as-of plan contains a join operator (expected pure "
-              "union+window shape)", file=sys.stderr)
+        print(
+            f"FATAL: as-of plan has {n_asof_ex} shuffle Exchanges "
+            "(expected exactly 1) or contains a join operator",
+            file=sys.stderr,
+        )
         sys.exit(1)
     heat = dq.q_cell_heatmap(spark, sf_dir)
     heat_plan = plan_of(heat)

@@ -453,19 +453,22 @@ def test_asof_join_semantics(spark):
     assert pd.isna(tol["asof_mid"].tolist()[1])
     assert tol["asof_mid"].tolist()[3] == 66
 
+    # ONE Exchange with AND without the tiebreak: the dup-ts resolution
+    # rides the window sort order, never a groupBy pre-reduce
     import io
     import re
     from contextlib import redirect_stdout
 
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        ev.asof_join(
-            probes, markers, key_col="uid", ts_col="us",
-            payload_cols=["mid"],
-        ).explain("formatted")
-    plan = buf.getvalue()
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    for tb in (None, "mid"):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            ev.asof_join(
+                probes, markers, key_col="uid", ts_col="us",
+                payload_cols=["mid"], tiebreak_col=tb,
+            ).explain("formatted")
+        plan = buf.getvalue()
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
 def test_phash_banding_63bit(spark):
