@@ -532,6 +532,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     n_blocks: int | None = None,
     sig_bits: int = 60,
+    interleave: bool = False,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via block banding (the Manku-style
     hamming-distance index): split the signature into `n_blocks` blocks; a
@@ -556,6 +557,20 @@ def simhash_near_dup_pairs(
     identical (each signature crosses C(b, h) times either way) but the
     plan stays O(1) wide.
 
+    `interleave=True` assigns bit position p to block p % n_blocks instead
+    of contiguous runs. The pigeonhole guarantee is partition-agnostic (any
+    disjoint cover of the bit positions works), but the BUCKET BALANCE is
+    not: signatures whose entropy concentrates in a few bit ranges (real
+    perceptual hashes with correlated bit planes; any encoded/structured
+    id) leave some contiguous block nearly constant, and that block's
+    self-join degenerates toward all-pairs — measured: the geotag-encoded
+    image phash corpus OOM'd a 107k-row join through contiguous blocks
+    (top-15-bit block had ~300 distinct values) and runs in seconds
+    interleaved. Striding spreads every correlated bit range across ALL
+    blocks, so each key keeps ~sig_bits/n_blocks worth of whatever entropy
+    the signature has. Uniform signatures (text SimHash) are indifferent,
+    so the default stays contiguous for plan stability.
+
     Output: (id_a, id_b, hamming) for pairs with hamming <= max_hamming.
     No cross join anywhere at any parameterization.
     """
@@ -565,23 +580,37 @@ def simhash_near_dup_pairs(
     b = n_blocks if n_blocks is not None else h + 1
     if b <= h:
         raise ValueError(f"n_blocks={b} must exceed max_hamming={h} (pigeonhole)")
-    base, rem = divmod(sig_bits, b)
-    widths = [base + (1 if i < rem else 0) for i in range(b)]
-    offs = [sum(widths[:i]) for i in range(b)]
     # exact integer bit extraction: a floor-divide through double would lose
     # the low bits of any signature >= 2^53 and silently drop pairs
-    # lazy checkpoint BEFORE the explode (stored rows stay 1x, not C(b,h)x):
-    # both self-join sides reference this subtree and Spark has no
-    # cross-branch reuse — without it the signature computation runs twice
-    blocks = sigs.select(
-        F.col(id_col),
-        F.col("simhash"),
-        *[
+    if interleave:
+        positions = [
+            [p for p in range(sig_bits) if p % b == i] for i in range(b)
+        ]
+        widths = [len(ps) for ps in positions]
+
+        def _block(i: int):
+            expr = F.lit(0).cast("long")
+            for t, p in enumerate(positions[i]):
+                bit = F.shiftright(F.col("simhash"), p).bitwiseAND(F.lit(1))
+                expr = expr + F.shiftleft(bit.cast("long"), t)
+            return expr
+
+        block_cols = [_block(i).alias(f"blk{i}") for i in range(b)]
+    else:
+        base, rem = divmod(sig_bits, b)
+        widths = [base + (1 if i < rem else 0) for i in range(b)]
+        offs = [sum(widths[:i]) for i in range(b)]
+        block_cols = [
             F.shiftright(F.col("simhash"), offs[i])
             .bitwiseAND(F.lit((1 << widths[i]) - 1))
             .alias(f"blk{i}")
             for i in range(b)
-        ],
+        ]
+    # lazy checkpoint BEFORE the explode (stored rows stay 1x, not C(b,h)x):
+    # both self-join sides reference this subtree and Spark has no
+    # cross-branch reuse — without it the signature computation runs twice
+    blocks = sigs.select(
+        F.col(id_col), F.col("simhash"), *block_cols
     ).localCheckpoint(eager=False)
     combo_keys = []
     for ci, combo in enumerate(combinations(range(b), b - h)):

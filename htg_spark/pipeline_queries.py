@@ -592,12 +592,16 @@ def q_phash_near_dup(spark, sf_dir):
     text, no shingles: the signature already exists on every image row).
     Scale shape: one explode into C(4,1) band keys + a single self-equi-
     join — never all-pairs; the oracle is the honest quadratic at fixture
-    scale."""
+    scale. interleave=True because the fixture phash (like a real
+    DCT pHash) concentrates entropy in specific bit ranges — contiguous
+    bands leave the top block nearly constant and the self-join
+    degenerates toward all-pairs (measured OOM at 107k rows); strided
+    bit assignment keeps every band key high-entropy."""
     sigs = phash_dup_corpus(spark, sf_dir).select(
         "image_id", F.col("phash").alias("simhash")
     )
     return dedup.simhash_near_dup_pairs(
-        sigs, id_col="image_id", max_hamming=3, sig_bits=63
+        sigs, id_col="image_id", max_hamming=3, sig_bits=63, interleave=True
     )
 
 

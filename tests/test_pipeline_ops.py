@@ -486,18 +486,46 @@ def test_phash_banding_63bit(spark):
     sigs = spark.createDataFrame(
         pd.DataFrame(rows, columns=["image_id", "simhash"])
     )
-    out = (
-        dedup.simhash_near_dup_pairs(
-            sigs, id_col="image_id", max_hamming=3, sig_bits=63
+    for interleave in (False, True):
+        out = (
+            dedup.simhash_near_dup_pairs(
+                sigs, id_col="image_id", max_hamming=3, sig_bits=63,
+                interleave=interleave,
+            )
+            .orderBy("id_a", "id_b")
+            .toPandas()
         )
-        .orderBy("id_a", "id_b")
-        .toPandas()
-    )
-    assert out[["id_a", "id_b", "hamming"]].values.tolist() == [
-        ["a", "b", 3],
-        ["a", "c", 2],
-        ["b", "d", 2],
-    ]
+        assert out[["id_a", "id_b", "hamming"]].values.tolist() == [
+            ["a", "b", 3],
+            ["a", "c", 2],
+            ["b", "d", 2],
+        ]
+
+
+def test_banding_interleave_equals_contiguous(spark):
+    """Interleaved block assignment finds EXACTLY the same pair set as
+    contiguous blocks (pigeonhole is partition-agnostic; only bucket
+    balance differs) — on a corpus with planted near-dups across both
+    low and high bit ranges."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 1 << 63, size=400, dtype=np.uint64)
+    rows = [(f"r{i}", int(v) & ((1 << 63) - 1)) for i, v in enumerate(base)]
+    # plant near-dups: low-bit flips, high-bit flips, mixed
+    for i in range(0, 60, 3):
+        mask = (1 << (i % 63)) | (1 << ((i * 17 + 40) % 63))
+        rows.append((f"d{i}", rows[i][1] ^ mask))
+    sigs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "simhash"]))
+    got = {}
+    for interleave in (False, True):
+        out = dedup.simhash_near_dup_pairs(
+            sigs, id_col="doc_id", max_hamming=3, sig_bits=63,
+            interleave=interleave, n_blocks=5,
+        ).toPandas()
+        got[interleave] = sorted(map(tuple, out.values.tolist()))
+    assert got[True] == got[False]
+    assert len(got[True]) >= 20
 
 
 def test_lang_id_detects_real_languages(docs):
