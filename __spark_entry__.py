@@ -12,7 +12,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from htg_spark import driver_queries, enrich_queries, pipeline_queries, polygon_queries
+from htg_spark import (
+    driver_queries,
+    enrich_queries,
+    pipeline_queries,
+    polygon_queries,
+    terrain_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **pipeline_queries.queries(),
         **enrich_queries.queries(),
         **polygon_queries.queries(),
+        **terrain_queries.queries(),
     }
 
 
@@ -42,4 +49,5 @@ def oracle_sql() -> dict[str, str]:
         **pipeline_queries.oracle_sql(),
         **enrich_queries.oracle_sql(),
         **polygon_queries.oracle_sql(),
+        **terrain_queries.oracle_sql(),
     }

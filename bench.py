@@ -105,6 +105,7 @@ def main():
 
     from htg_spark import pipeline_queries as pq
     from htg_spark import polygon_queries as _polyq
+    from htg_spark import terrain_queries as _tq
 
     def materialize(df):
         """Force computation of EVERY output column: a bare .count() lets
@@ -164,6 +165,8 @@ def main():
         ("polygon_zonal_stats", _polyq.q_polygon_zonal_stats),
         ("images_in_polygon", _polyq.q_images_in_polygon),
         ("geojson_containment", _polyq.q_geojson_containment),
+        ("terrain_horn", _tq.q_terrain_horn),
+        ("path_profile", _tq.q_path_profile),
         ("pipeline_e2e", pq.q_pipeline_e2e),
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),
         ("image_resize", lambda s, d: multimodal.resize_images(imgs, 8, 8)),

@@ -1,0 +1,310 @@
+"""Terrain derivatives over SRTM grids: Horn slope / aspect / hillshade.
+
+The raster layer the reference stops short of: htg serves point lookups
+(``htg/src/tile.rs:158-284``); this module adds the classic first-order
+terrain products computed from the SAME decoded tiles — the 3x3 Horn
+(1981) finite-difference stencil every GIS ships as `slope`/`aspect`/
+`hillshade`.
+
+Design split (Spark-first):
+
+- The ONLY Python work is the raster gather: a map-only ``mapInArrow``
+  stage (same shape as ``engine._join_broadcast``) groups each Arrow batch
+  by tile, reads the 3x3 neighborhood per point, and emits the two Horn
+  stencil sums as EXACT int64 columns (``gxs``, ``gys``). Integer sums are
+  order-free, so this stage has no float-parity surface at all.
+- Every derived product — gradient, slope magnitude, hillshade, aspect
+  octant — is a JVM-side whole-stage-codegen expression over those two
+  longs (``terrain_cols``), built from correctly-rounded IEEE ops only
+  (*, /, +, -, sqrt) in a documented evaluation order, so DuckDB / NumPy /
+  Spark agree bit-for-bit and a closed-form SQL oracle can value-check the
+  full pipeline.
+
+Stencil convention (z = elevation, row 0 = north edge, col 0 = west edge):
+
+    gxs = (z[r-1,c+1] + 2*z[r,c+1] + z[r+1,c+1])
+        - (z[r-1,c-1] + 2*z[r,c-1] + z[r+1,c-1])      # east minus west
+    gys = (z[r-1,c-1] + 2*z[r-1,c] + z[r-1,c+1])
+        - (z[r+1,c-1] + 2*z[r+1,c] + z[r+1,c+1])      # north minus south
+
+    gx = gxs / 8.0   # dz per cell toward EAST
+    gy = gys / 8.0   # dz per cell toward NORTH
+    slope = sqrt(gx*gx + gy*gy)                        # rise per cell
+    hillshade = max(0, ((LZ - gx*LX) - gy*LY) / sqrt((1.0 + gx*gx) + gy*gy))
+        — unnormalized-normal dot product with the unit sun vector
+        L = (LX, LY, LZ); default sun: azimuth 315° (NW), altitude 45°,
+        i.e. L = (-0.5, 0.5, 0.7071067811865476) with x=east, y=north.
+        Unscaled illumination in [0, 1] (multiply by 255 for the classic
+        8-bit rendering).
+    aspect_octant — the 45° compass sector of the UPSLOPE gradient vector
+        (gxs, gys), an exact-integer CASE chain (0=E 1=NE 2=N 3=NW 4=W
+        5=SW 6=S 7=SE; the 180° boundary classifies as NW — the chain is
+        the spec); NULL when the neighborhood is flat (gxs = gys = 0).
+
+Validity: a point gets terrain values only when its tile is present AND
+its nearest sample (tile.rs round-half-away rule) is interior
+(1 <= r,c <= n-2 — no edge clamping: a clamped stencil would silently
+halve the step size) AND none of the 9 samples is VOID. Otherwise
+``terrain_ok`` is false and gxs/gys (hence every derived column) are NULL.
+Cross-tile stencils (stitching the neighbor tile's edge row in) are a
+deliberate non-goal here, matching how the reference treats tiles as
+independent (tile.rs:299-318).
+
+Scale shape: identical to the broadcast elevation join — tile blobs ride
+a broadcast, the stage is map-only (ZERO shuffle Exchanges, gated in
+PLANS.md), and per-batch work is one argsort group-by plus nine vectorized
+gathers. At 10^12 points this is the same plan that already scales; there
+is nothing new to shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import hgt
+
+# default sun: azimuth 315 (NW), altitude 45. Exact-double literals shared
+# verbatim with the SQL oracle (cos45*sin315 == -0.5 and cos45*cos315 ==
+# +0.5 exactly in IEEE doubles; LZ is repr-round-trip stable).
+SUN_LX = -0.5
+SUN_LY = 0.5
+SUN_LZ = 0.7071067811865476
+
+_TERRAIN_APPENDED = [
+    ("lat", T.DoubleType()),
+    ("lon", T.DoubleType()),
+    ("tile_lat", T.IntegerType()),
+    ("tile_lon", T.IntegerType()),
+    ("in_coverage", T.BooleanType()),
+    ("tile_found", T.BooleanType()),
+    ("terrain_ok", T.BooleanType()),
+    ("gxs", T.LongType()),
+    ("gys", T.LongType()),
+]
+
+
+def horn_sums(grid: np.ndarray, row: np.ndarray, col: np.ndarray):
+    """Vectorized 3x3 Horn stencil at integer samples (row, col).
+
+    Returns (gxs, gys, ok): int64 stencil sums and a validity mask.
+    ok is False where the sample is non-interior or any of the 9
+    neighborhood samples is VOID; gxs/gys are 0 there (callers must mask).
+    """
+    n = grid.shape[0]
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    interior = (row >= 1) & (row <= n - 2) & (col >= 1) & (col <= n - 2)
+    # clamp indices for the gather only — non-interior rows are masked out,
+    # the clamped values never reach a result
+    r = np.clip(row, 1, n - 2)
+    c = np.clip(col, 1, n - 2)
+    g = grid.astype(np.int64, copy=False)
+    z = {
+        (dr, dc): g[r + dr, c + dc]
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    }
+    void = np.zeros(len(r), dtype=bool)
+    for v in z.values():
+        void |= v == hgt.VOID_VALUE
+    ok = interior & ~void
+    gxs = (z[(-1, 1)] + 2 * z[(0, 1)] + z[(1, 1)]) - (
+        z[(-1, -1)] + 2 * z[(0, -1)] + z[(1, -1)]
+    )
+    gys = (z[(-1, -1)] + 2 * z[(-1, 0)] + z[(-1, 1)]) - (
+        z[(1, -1)] + 2 * z[(1, 0)] + z[(1, 1)]
+    )
+    zero = np.zeros_like(gxs)
+    return np.where(ok, gxs, zero), np.where(ok, gys, zero), ok
+
+
+def terrain_batch(lat: np.ndarray, lon: np.ndarray, get_grid):
+    """Batch kernel: tile-group the points (same composite-code argsort as
+    ``engine.kernel_batch``), locate each point's nearest sample
+    (round-half-away, tile.rs:158-186), and evaluate the Horn stencil.
+    Returns a dict of column arrays matching ``_TERRAIN_APPENDED``."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = len(lat)
+    in_cov = np.asarray(hgt.is_valid_srtm_coord(lat, lon))
+    klat, klon = hgt.tile_key(lat, lon)
+    found = np.zeros(n, dtype=bool)
+    ok = np.zeros(n, dtype=bool)
+    gxs = np.zeros(n, dtype=np.int64)
+    gys = np.zeros(n, dtype=np.int64)
+
+    idx = np.nonzero(in_cov)[0]
+    if len(idx):
+        code = (klat[idx].astype(np.int64) + 90) * 400 + (
+            klon[idx].astype(np.int64) + 180
+        )
+        order = np.argsort(code, kind="stable")
+        sc = code[order]
+        bounds = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        ends = np.r_[bounds[1:], len(sc)]
+        for s, e in zip(bounds, ends):
+            gi = idx[order[s:e]]
+            tl = int(sc[s] // 400 - 90)
+            tn = int(sc[s] % 400 - 180)
+            grid = get_grid((tl, tn))
+            if grid is None:
+                continue
+            found[gi] = True
+            row_pos, col_pos = hgt.grid_position(lat[gi], lon[gi], grid.shape[0])
+            r = hgt.round_half_away_nonneg(row_pos).astype(np.int64)
+            c = hgt.round_half_away_nonneg(col_pos).astype(np.int64)
+            gx_g, gy_g, ok_g = horn_sums(grid, r, c)
+            gxs[gi] = gx_g
+            gys[gi] = gy_g
+            ok[gi] = ok_g
+
+    return {
+        "lat": lat,
+        "lon": lon,
+        "tile_lat": klat.astype(np.int32),
+        "tile_lon": klon.astype(np.int32),
+        "in_coverage": in_cov,
+        "tile_found": found,
+        "terrain_ok": ok,
+        "gxs": gxs,
+        "gys": gys,
+    }
+
+
+def terrain_join(engine, points: DataFrame) -> DataFrame:
+    """Append (tile_lat, tile_lon, in_coverage, tile_found, terrain_ok,
+    gxs, gys) to `points` via the map-only broadcast plan — the terrain
+    twin of ``ElevationEngine._join_broadcast``. gxs/gys are NULL wherever
+    terrain_ok is false.
+
+    Derived float products are deliberately NOT computed here: apply
+    ``terrain_cols`` (JVM codegen) on the result.
+    """
+    import pyarrow as pa
+
+    from ..engine import _executor_cache
+
+    pts = points
+    if "lat" not in pts.columns or "lon" not in pts.columns:
+        raise ValueError("points need (lat, lon) columns")
+    bcast = engine._broadcast_blobs()
+    cache_cap = engine.cache_size
+    token = engine._cache_token
+
+    out_schema = T.StructType(
+        [f for f in pts.schema.fields if f.name not in ("lat", "lon")]
+    )
+    for name, typ in _TERRAIN_APPENDED:
+        out_schema = out_schema.add(name, typ)
+    passthrough = [f.name for f in pts.schema.fields if f.name not in ("lat", "lon")]
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        cache = _executor_cache(token, cache_cap)
+        blobs = bcast.value
+
+        def get_grid(key):
+            return cache.get(key, blobs.get)
+
+        for batch in batches:
+            lat = batch.column(batch.schema.get_field_index("lat")).to_numpy(
+                zero_copy_only=False
+            )
+            lon = batch.column(batch.schema.get_field_index("lon")).to_numpy(
+                zero_copy_only=False
+            )
+            res = terrain_batch(lat, lon, get_grid)
+            bad = ~res["terrain_ok"]
+            arrays = [
+                batch.column(batch.schema.get_field_index(c)) for c in passthrough
+            ]
+            arrays += [
+                pa.array(res["lat"], type=pa.float64()),
+                pa.array(res["lon"], type=pa.float64()),
+                pa.array(res["tile_lat"], type=pa.int32()),
+                pa.array(res["tile_lon"], type=pa.int32()),
+                pa.array(res["in_coverage"]),
+                pa.array(res["tile_found"]),
+                pa.array(res["terrain_ok"]),
+                pa.array(res["gxs"], mask=bad),
+                pa.array(res["gys"], mask=bad),
+            ]
+            names = passthrough + [n for n, _t in _TERRAIN_APPENDED]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return pts.mapInArrow(run, schema=out_schema)
+
+
+def aspect_octant_col(gxs: Column, gys: Column) -> Column:
+    """45-degree compass sector of the integer gradient (gxs, gys) — an
+    exact CASE chain over int64 comparisons, mirrored verbatim in the SQL
+    oracle (the chain IS the spec; see module docstring for boundaries)."""
+    ax = -gxs  # -x, evaluated once for readability; exact int64
+    ay = -gys
+    return (
+        F.when(gxs.isNull() | gys.isNull(), F.lit(None).cast("int"))
+        .when((gxs == 0) & (gys == 0), F.lit(None).cast("int"))
+        .when((gys >= 0) & (gxs > 0) & (gxs > gys), F.lit(0))     # E   [0,45)
+        .when((gxs > 0) & (gys > 0) & (gys >= gxs), F.lit(1))     # NE  [45,90)
+        .when((gys > 0) & (gxs <= 0) & (gys > ax), F.lit(2))      # N   [90,135)
+        .when((gys >= 0) & (gxs < 0) & (ax >= gys), F.lit(3))     # NW  [135,180]
+        .when((gys < 0) & (gxs < 0) & (ax > ay), F.lit(4))        # W   (180,225)
+        .when((gxs < 0) & (gys < 0) & (ay >= ax), F.lit(5))       # SW  [225,270)
+        .when((gys < 0) & (gxs >= 0) & (ay > gxs), F.lit(6))      # S   [270,315)
+        .otherwise(F.lit(7))                                       # SE  [315,360)
+        .cast("int")
+    )
+
+
+def terrain_cols(
+    gxs: Column,
+    gys: Column,
+    sun: tuple[float, float, float] = (SUN_LX, SUN_LY, SUN_LZ),
+) -> dict[str, Column]:
+    """Derived terrain products as JVM expressions over the stencil sums.
+
+    Evaluation order is the parity contract (each op correctly rounded,
+    so identical inputs + identical order == identical bits everywhere):
+
+        gx    = cast(gxs as double) / 8.0
+        gy    = cast(gys as double) / 8.0
+        slope = sqrt(gx*gx + gy*gy)
+        hill  = greatest(0.0, ((LZ - gx*LX) - gy*LY)
+                              / sqrt((1.0 + gx*gx) + gy*gy))
+    """
+    lx, ly, lz = sun
+    gx = gxs.cast("double") / F.lit(8.0)
+    gy = gys.cast("double") / F.lit(8.0)
+    slope = F.sqrt(gx * gx + gy * gy)
+    num = (F.lit(lz) - gx * F.lit(lx)) - gy * F.lit(ly)
+    denom = F.sqrt((F.lit(1.0) + gx * gx) + gy * gy)
+    # greatest() SKIPS nulls in both Spark and DuckDB — unguarded it would
+    # turn an invalid row into hillshade 0.0 instead of NULL
+    hill = F.when(
+        gxs.isNull() | gys.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.greatest(F.lit(0.0), num / denom))
+    return {
+        "gx": gx,
+        "gy": gy,
+        "slope": slope,
+        "hillshade": hill,
+        "aspect_octant": aspect_octant_col(gxs, gys),
+    }
+
+
+def horn_reference(grid: np.ndarray, row: int, col: int):
+    """From-scratch scalar reference (independent of horn_sums' vectorized
+    gather) for tests: returns (gxs, gys, ok)."""
+    n = grid.shape[0]
+    if not (1 <= row <= n - 2 and 1 <= col <= n - 2):
+        return 0, 0, False
+    z = [[int(grid[row + dr, col + dc]) for dc in (-1, 0, 1)] for dr in (-1, 0, 1)]
+    if any(v == hgt.VOID_VALUE for r_ in z for v in r_):
+        return 0, 0, False
+    gxs = (z[0][2] + 2 * z[1][2] + z[2][2]) - (z[0][0] + 2 * z[1][0] + z[2][0])
+    gys = (z[0][0] + 2 * z[0][1] + z[0][2]) - (z[2][0] + 2 * z[2][1] + z[2][2])
+    return gxs, gys, True

@@ -1,0 +1,311 @@
+"""Driver-contract queries for the terrain layer: Horn slope/aspect/
+hillshade, path elevation profiles, and line-of-sight — with closed-form
+DuckDB oracles over the analytic gradient catalog (see driver_queries).
+
+Parity model (same as every elevation oracle here):
+
+- The Spark side does the REAL raster work — decodes HGT binaries, gathers
+  the 3x3 Horn stencil / per-sample lookups inside the map-only broadcast
+  plan — while the oracle recomputes each stencil sample from the gradient
+  closed form z(r, c) = (r + c) % 4000 with the analytic void rule.
+- Everything integer stays integer (stencil sums, elevations, gains) so
+  order never matters; every float is built from correctly-rounded IEEE
+  ops (* / + - sqrt) in ONE documented evaluation order shared verbatim
+  between the Spark expressions and the SQL, so value hashes match
+  bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .driver_queries import (
+    _SQL_PTS,
+    _SQL_ROUND_RC,
+    _events,
+    derive_points,
+    get_engine,
+)
+from .operators import terrain
+
+# path endpoint for the profile/LOS queries: inside present tile (36, 138).
+# Paths from the derived-point clusters cross tile boundaries, the missing
+# (36, 139) tile, voids, and (for the lat-75 stripe) out-of-coverage air —
+# every validity branch of the per-sample kernel shows up in the result.
+PATH_END_LAT = 36.2
+PATH_END_LON = 138.2
+N_STEPS = 8  # 9 samples; t = step/8.0 is an EXACT double (power-of-two denom)
+OBSERVER_HEIGHT = 10.0  # meters above the start sample for line-of-sight
+
+
+def q_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn terrain products at every derived point: the raster gather is
+    a zero-shuffle mapInArrow stage emitting exact int64 stencil sums; all
+    float products are JVM codegen expressions (terrain.terrain_cols)."""
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    out = terrain.terrain_join(eng, pts)
+    d = terrain.terrain_cols(F.col("gxs"), F.col("gys"))
+    return out.select(
+        "event_id",
+        "tile_lat",
+        "tile_lon",
+        "in_coverage",
+        "tile_found",
+        "terrain_ok",
+        "gxs",
+        "gys",
+        d["gx"].alias("gx"),
+        d["gy"].alias("gy"),
+        d["slope"].alias("slope"),
+        d["hillshade"].alias("hillshade"),
+        d["aspect_octant"].alias("aspect_octant"),
+    )
+
+
+def path_samples(pts: DataFrame) -> DataFrame:
+    """9 samples along the segment from each point to the fixed endpoint:
+    lat_t = lat + (END - lat) * (step / 8.0). One stateless explode — the
+    sample table is 9x the points, still map-only before the join."""
+    t = F.col("step").cast("double") / F.lit(8.0)
+    s = pts.select(
+        "event_id",
+        "lat",
+        "lon",
+        F.explode(F.sequence(F.lit(0), F.lit(N_STEPS))).alias("step"),
+    )
+    return s.select(
+        "event_id",
+        "step",
+        (F.col("lat") + (F.lit(PATH_END_LAT) - F.col("lat")) * t).alias("lat"),
+        (F.col("lon") + (F.lit(PATH_END_LON) - F.col("lon")) * t).alias("lon"),
+    )
+
+
+def q_path_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elevation profile + line-of-sight along each point's path to the
+    fixed endpoint. Per (event_id, step): the sampled coordinate, its
+    nearest-kernel elevation, the running positive elevation gain, the
+    elevation angle from the (observer-height-raised) start, and whether
+    the sample is visible from the start (its angle strictly exceeds the
+    running max of all earlier angles; void/missing samples are
+    transparent — they neither block nor see).
+
+    Plan shape: explode (map) -> broadcast elevation join (map) -> ONE
+    hash Exchange on event_id serving every window (lag, first, running
+    sum, running max all share the same partitioning + ordering)."""
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    samples = path_samples(pts)
+    out = eng.elevation_join(
+        samples, mode="nearest", strategy="broadcast", id_col="event_id"
+    )
+
+    w = Window.partitionBy("event_id").orderBy("step")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+
+    # window functions cannot nest in one projection — stage them. Every
+    # stage shares the same (partition, order), so Catalyst serves all four
+    # (lag, first, running sum, running max) from ONE Exchange + Sort.
+    e_l = F.col("elevation").cast("long")
+    staged = out.select(
+        "event_id",
+        F.col("step").cast("int").alias("step"),
+        F.col("lat").alias("lat_s"),
+        F.col("lon").alias("lon_s"),
+        "elevation",
+        (e_l - F.lag(e_l).over(w)).alias("delta"),
+        F.first("elevation").over(w).alias("z0"),
+    )
+    z0 = F.col("z0")
+    base = staged.select(
+        "event_id",
+        "step",
+        "lat_s",
+        "lon_s",
+        "elevation",
+        F.sum(F.when(F.col("delta") > 0, F.col("delta"))).over(w).alias("cum_gain"),
+        F.when(
+            (F.col("step") >= 1) & F.col("elevation").isNotNull() & z0.isNotNull(),
+            (
+                F.col("elevation").cast("double")
+                - (z0.cast("double") + F.lit(OBSERVER_HEIGHT))
+            )
+            / (F.col("step").cast("double") / F.lit(float(N_STEPS))),
+        ).alias("tan_angle"),
+    )
+    prev_max = F.max("tan_angle").over(wprev)
+    return base.select(
+        "event_id",
+        "step",
+        "lat_s",
+        "lon_s",
+        "elevation",
+        "cum_gain",
+        "tan_angle",
+        F.when(F.col("tan_angle").isNull(), F.lit(None).cast("boolean"))
+        .when(prev_max.isNull(), F.lit(True))
+        .otherwise(F.col("tan_angle") > prev_max)
+        .alias("visible"),
+    )
+
+
+# --- oracle SQL -------------------------------------------------------------------
+
+# the 9 stencil samples as (dr, dc) offsets; shared by the ok-predicate and
+# sum generators so the oracle can never disagree with itself
+_OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _z(dr: int, dc: int) -> str:
+    r = "r" if dr == 0 else f"(r{dr:+d})"
+    c = "c" if dc == 0 else f"(c{dc:+d})"
+    return f"(({r}+{c}) % 4000)"
+
+
+def _nonvoid(dr: int, dc: int) -> str:
+    r = "r" if dr == 0 else f"(r{dr:+d})"
+    c = "c" if dc == 0 else f"(c{dc:+d})"
+    return f"(({r}*1201 + {c}) % 97 <> 0)"
+
+
+_ASPECT_CASE = """
+  CASE WHEN gxs IS NULL OR gys IS NULL THEN NULL
+       WHEN gxs = 0 AND gys = 0 THEN NULL
+       WHEN gys >= 0 AND gxs > 0 AND gxs > gys THEN 0
+       WHEN gxs > 0 AND gys > 0 AND gys >= gxs THEN 1
+       WHEN gys > 0 AND gxs <= 0 AND gys > -gxs THEN 2
+       WHEN gys >= 0 AND gxs < 0 AND -gxs >= gys THEN 3
+       WHEN gys < 0 AND gxs < 0 AND -gxs > -gys THEN 4
+       WHEN gxs < 0 AND gys < 0 AND -gys >= -gxs THEN 5
+       WHEN gys < 0 AND gxs >= 0 AND -gys > gxs THEN 6
+       ELSE 7 END
+"""
+
+
+def _terrain_sql() -> str:
+    ok = " AND ".join(_nonvoid(dr, dc) for dr, dc in _OFFS)
+    east = " + ".join(
+        (f"2 * {_z(dr, 1)}" if dr == 0 else _z(dr, 1)) for dr in (-1, 0, 1)
+    )
+    west = " + ".join(
+        (f"2 * {_z(dr, -1)}" if dr == 0 else _z(dr, -1)) for dr in (-1, 0, 1)
+    )
+    north = " + ".join(
+        (f"2 * {_z(-1, dc)}" if dc == 0 else _z(-1, dc)) for dc in (-1, 0, 1)
+    )
+    south = " + ".join(
+        (f"2 * {_z(1, dc)}" if dc == 0 else _z(1, dc)) for dc in (-1, 0, 1)
+    )
+    return (
+        _SQL_PTS
+        + ", "
+        + _SQL_ROUND_RC
+        + f""",
+nb AS (
+  SELECT event_id, tile_lat, tile_lon, in_coverage, has_tile, r, c,
+    (in_coverage AND has_tile
+     AND r >= 1 AND r <= 1199 AND c >= 1 AND c <= 1199
+     AND {ok}) AS ok
+  FROM rc
+),
+st AS (
+  SELECT *,
+    CASE WHEN ok THEN ({east}) - ({west}) END AS gxs,
+    CASE WHEN ok THEN ({north}) - ({south}) END AS gys
+  FROM nb
+),
+d AS (
+  SELECT *, CAST(gxs AS DOUBLE) / 8.0 AS gx, CAST(gys AS DOUBLE) / 8.0 AS gy
+  FROM st
+)
+SELECT event_id, tile_lat, tile_lon, in_coverage,
+  (in_coverage AND has_tile) AS tile_found,
+  ok AS terrain_ok, gxs, gys, gx, gy,
+  sqrt(gx*gx + gy*gy) AS slope,
+  CASE WHEN gxs IS NULL OR gys IS NULL THEN NULL
+       ELSE GREATEST(0.0, ((0.7071067811865476 - gx * (-0.5)) - gy * 0.5)
+                          / sqrt((1.0 + gx*gx) + gy*gy)) END AS hillshade,
+  CAST({_ASPECT_CASE} AS INTEGER) AS aspect_octant
+FROM d
+"""
+    )
+
+
+def _path_profile_sql() -> str:
+    return (
+        _SQL_PTS
+        + f""",
+spts AS (
+  SELECT event_id, step,
+    lat + ({PATH_END_LAT!r} - lat) * (CAST(step AS DOUBLE) / {float(N_STEPS)!r}) AS lat_s,
+    lon + ({PATH_END_LON!r} - lon) * (CAST(step AS DOUBLE) / {float(N_STEPS)!r}) AS lon_s
+  FROM pts CROSS JOIN (SELECT unnest(generate_series(0, {N_STEPS})) AS step) steps
+),
+skeyed AS (
+  SELECT *,
+    (lat_s >= -60.0 AND lat_s <= 60.0 AND lon_s >= -180.0 AND lon_s <= 180.0) AS in_cov,
+    ((CAST(floor(lat_s) AS INTEGER) = 35 AND CAST(floor(lon_s) AS INTEGER) = 138)
+     OR (CAST(floor(lat_s) AS INTEGER) = 35 AND CAST(floor(lon_s) AS INTEGER) = 139)
+     OR (CAST(floor(lat_s) AS INTEGER) = 36 AND CAST(floor(lon_s) AS INTEGER) = 138)) AS has_tile,
+    (1.0 - (lat_s - floor(lat_s))) * 1200.0 AS rp,
+    (lon_s - floor(lon_s)) * 1200.0 AS cp
+  FROM spts
+),
+src AS (
+  SELECT *,
+    CAST(floor(rp) AS BIGINT) + (CASE WHEN rp - floor(rp) >= 0.5 THEN 1 ELSE 0 END) AS r,
+    CAST(floor(cp) AS BIGINT) + (CASE WHEN cp - floor(cp) >= 0.5 THEN 1 ELSE 0 END) AS c
+  FROM skeyed
+),
+sel AS (
+  SELECT event_id, step, lat_s, lon_s,
+    CASE WHEN in_cov AND has_tile AND ((r * 1201 + c) % 97 <> 0)
+         THEN CAST((r + c) % 4000 AS INTEGER) END AS elevation
+  FROM src
+),
+wd AS (
+  SELECT *,
+    elevation - lag(elevation) OVER (PARTITION BY event_id ORDER BY step) AS delta,
+    first_value(elevation) OVER (PARTITION BY event_id ORDER BY step) AS z0
+  FROM sel
+),
+wt AS (
+  SELECT event_id, step, lat_s, lon_s, elevation,
+    CAST(sum(CASE WHEN delta > 0 THEN delta END)
+         OVER (PARTITION BY event_id ORDER BY step) AS BIGINT) AS cum_gain,
+    CASE WHEN step >= 1 AND elevation IS NOT NULL AND z0 IS NOT NULL
+         THEN (CAST(elevation AS DOUBLE) - (CAST(z0 AS DOUBLE) + {OBSERVER_HEIGHT!r}))
+              / (CAST(step AS DOUBLE) / {float(N_STEPS)!r})
+    END AS tan_angle
+  FROM wd
+),
+wm AS (
+  SELECT *,
+    max(tan_angle) OVER (PARTITION BY event_id ORDER BY step
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM wt
+)
+SELECT event_id, CAST(step AS INTEGER) AS step, lat_s, lon_s, elevation,
+  cum_gain, tan_angle,
+  CASE WHEN tan_angle IS NULL THEN NULL
+       WHEN prev_max IS NULL THEN TRUE
+       ELSE tan_angle > prev_max END AS visible
+FROM wm
+"""
+    )
+
+
+def queries():
+    return {
+        "terrain_horn": q_terrain_horn,
+        "path_profile": q_path_profile,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "terrain_horn": _terrain_sql(),
+        "path_profile": _path_profile_sql(),
+    }

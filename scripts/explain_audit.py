@@ -376,6 +376,54 @@ def main():
         print(f"FATAL: minhash plan has {n_ex} Exchanges (expected 1)", file=sys.stderr)
         sys.exit(1)
 
+    import htg_spark.terrain_queries as tq
+
+    terr = tq.q_terrain_horn(spark, sf_dir)
+    terr_plan = plan_of(terr)
+    sections.append(
+        (
+            "Horn terrain products (map-only)",
+            "Expected: events scan -> JVM point derivation -> ONE MapInArrow "
+            "stage (3x3 stencil gather over broadcast tiles, exact int64 "
+            "sums out) -> JVM codegen projection for slope/hillshade/aspect. "
+            "HARD REQUIREMENT: zero Exchanges — the raster never shuffles "
+            "and neither do the points.",
+            terr_plan,
+        )
+    )
+    n_terr_ex = len(_re.findall(r"\(\d+\) Exchange\b", terr_plan))
+    if n_terr_ex != 0:
+        print(
+            f"FATAL: terrain plan has {n_terr_ex} shuffle Exchanges "
+            "(expected 0 — map-only)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    prof = tq.q_path_profile(spark, sf_dir)
+    prof_plan = plan_of(prof)
+    sections.append(
+        (
+            "Path profile + line-of-sight (single window Exchange)",
+            "Expected: explode (map) -> broadcast elevation join (map) -> "
+            "ONE hash Exchange on event_id + ONE Sort feeding every window "
+            "function (lag, first_value, running sum, running max share the "
+            "same partitioning and ordering). HARD REQUIREMENT: exactly one "
+            "shuffle Exchange and at most one Sort.",
+            prof_plan,
+        )
+    )
+    n_prof_ex = len(_re.findall(r"\(\d+\) Exchange\b", prof_plan))
+    n_prof_sort = len(_re.findall(r"\(\d+\) Sort\b", prof_plan))
+    if n_prof_ex != 1 or n_prof_sort > 1:
+        print(
+            f"FATAL: path-profile plan has {n_prof_ex} shuffle Exchanges / "
+            f"{n_prof_sort} Sorts (expected 1 / <=1 — all windows must share "
+            "one partitioning)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — .explain('formatted') audit of the key plan shapes\n")
         for title, expect, plan in sections:

@@ -1,0 +1,224 @@
+"""Terrain layer tests: Horn stencil kernel parity vs a from-scratch
+scalar reference, octant chain coverage, the map-only join end-to-end vs
+pure Python, line-of-sight semantics, and the zero-shuffle plan gate."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from htg_spark import hgt
+from htg_spark.driver_queries import derive_points
+from htg_spark.operators import terrain
+
+
+def _rand_grid(rng, n=32, voids=True):
+    g = rng.integers(-400, 4000, size=(n, n)).astype(np.int16)
+    if voids:
+        mask = rng.random((n, n)) < 0.03
+        g[mask] = hgt.VOID_VALUE
+    return g
+
+
+def test_horn_sums_matches_scalar_reference():
+    rng = np.random.default_rng(11)
+    g = _rand_grid(rng)
+    n = g.shape[0]
+    # every sample incl. edges and void-adjacent ones
+    rows, cols = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    rows, cols = rows.ravel(), cols.ravel()
+    gxs, gys, ok = terrain.horn_sums(g, rows, cols)
+    for i in range(len(rows)):
+        exp_gx, exp_gy, exp_ok = terrain.horn_reference(g, int(rows[i]), int(cols[i]))
+        assert bool(ok[i]) == exp_ok, (rows[i], cols[i])
+        if exp_ok:
+            assert int(gxs[i]) == exp_gx
+            assert int(gys[i]) == exp_gy
+
+
+def test_horn_sums_edge_and_void():
+    g = np.full((8, 8), 100, dtype=np.int16)
+    g[3, 4] = hgt.VOID_VALUE
+    r = np.array([0, 7, 1, 2, 5])  # edges invalid; (2,*) near void
+    c = np.array([3, 3, 1, 3, 5])
+    _, _, ok = terrain.horn_sums(g, r, c)
+    assert list(ok) == [False, False, True, False, True]
+    # (2,3): neighborhood rows 1..3, cols 2..4 includes the void at (3,4)
+
+
+def _py_octant(gxs: int, gys: int):
+    """Independent mirror of the documented CASE chain."""
+    if gxs == 0 and gys == 0:
+        return None
+    if gys >= 0 and gxs > 0 and gxs > gys:
+        return 0
+    if gxs > 0 and gys > 0 and gys >= gxs:
+        return 1
+    if gys > 0 and gxs <= 0 and gys > -gxs:
+        return 2
+    if gys >= 0 and gxs < 0 and -gxs >= gys:
+        return 3
+    if gys < 0 and gxs < 0 and -gxs > -gys:
+        return 4
+    if gxs < 0 and gys < 0 and -gys >= -gxs:
+        return 5
+    if gys < 0 and gxs >= 0 and -gys > gxs:
+        return 6
+    return 7
+
+
+def test_aspect_octant_chain(spark):
+    """All 8 sectors, every axis/diagonal boundary, and the flat case —
+    the Spark CASE chain must equal the documented pure-Python chain AND
+    land in the geometrically-correct 45-degree sector for interior
+    angles."""
+    cases = []
+    for ang in range(0, 360, 15):
+        rad = math.radians(ang)
+        cases.append((round(1000 * math.cos(rad)), round(1000 * math.sin(rad))))
+    cases += [(0, 0), (5, 5), (-5, 5), (-5, -5), (5, -5), (0, 7), (7, 0), (0, -7), (-7, 0)]
+    df = spark.createDataFrame(
+        [(i, int(x), int(y)) for i, (x, y) in enumerate(cases)],
+        "i int, gxs long, gys long",
+    )
+    out = (
+        df.select("i", "gxs", "gys",
+                  terrain.aspect_octant_col(F.col("gxs"), F.col("gys")).alias("o"))
+        .orderBy("i")
+        .collect()
+    )
+    for row in out:
+        assert row.o == _py_octant(row.gxs, row.gys), (row.gxs, row.gys)
+        # interior (non-boundary) angles must land in the true sector
+        ang = math.degrees(math.atan2(row.gys, row.gxs)) % 360 if (row.gxs, row.gys) != (0, 0) else None
+        if ang is not None and ang % 45 not in (0.0,):
+            assert row.o == int(ang // 45), (row.gxs, row.gys, ang)
+
+
+def test_terrain_join_matches_pure_python(spark):
+    """End-to-end vs an independent recomputation: decode-free closed-form
+    gradient grid -> pure-Python nearest-sample + Horn stencil per point."""
+    from htg_spark.driver_queries import CATALOG_KEYS, get_engine, gradient_void_grid
+
+    sf_dir = "/root/testdata/sf0.001"
+    eng = get_engine(spark)
+    pts = derive_points(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    out = terrain.terrain_join(eng, pts)
+    d = terrain.terrain_cols(F.col("gxs"), F.col("gys"))
+    rows = (
+        out.select("event_id", "lat", "lon", "terrain_ok", "gxs", "gys",
+                   d["slope"].alias("slope"), d["hillshade"].alias("hillshade"))
+        .orderBy("event_id")
+        .collect()
+    )
+    assert len(rows) > 0
+    g = gradient_void_grid()
+    keys = set(CATALOG_KEYS)
+    n_ok = 0
+    for row in rows:
+        tl, tn = math.floor(row.lat), math.floor(row.lon)
+        in_cov = -60.0 <= row.lat <= 60.0 and -180.0 <= row.lon <= 180.0
+        if not (in_cov and (tl, tn) in keys):
+            assert not row.terrain_ok and row.gxs is None
+            continue
+        rp = (1.0 - (row.lat - tl)) * 1200.0
+        cp = (row.lon - tn) * 1200.0
+        r = int(math.floor(rp) + (rp - math.floor(rp) >= 0.5))
+        c = int(math.floor(cp) + (cp - math.floor(cp) >= 0.5))
+        exp_gx, exp_gy, exp_ok = terrain.horn_reference(g, r, c)
+        assert row.terrain_ok == exp_ok, (row.event_id, r, c)
+        if exp_ok:
+            n_ok += 1
+            assert row.gxs == exp_gx and row.gys == exp_gy
+            gx, gy = exp_gx / 8.0, exp_gy / 8.0
+            assert row.slope == math.sqrt(gx * gx + gy * gy)
+            assert 0.0 <= row.hillshade <= 1.0 + 1e-12
+    assert n_ok > 50  # the gradient fixture leaves most samples valid
+
+
+def test_terrain_join_plan_is_map_only(spark):
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from htg_spark.driver_queries import get_engine
+
+    eng = get_engine(spark)
+    pts = derive_points(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    out = terrain.terrain_join(eng, pts)
+    d = terrain.terrain_cols(F.col("gxs"), F.col("gys"))
+    final = out.select("event_id", d["slope"].alias("slope"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        final.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0, plan
+
+
+def test_line_of_sight_semantics(spark):
+    """Hand-built profile through a synthetic engine: a wall hides
+    everything behind it until a taller sample; void samples are
+    transparent; NULL start nullifies the path."""
+    from pyspark.sql import Window
+
+    # replicate the q_path_profile window logic over a hand-made table
+    rows = [
+        # event 1: z0=100 (+10 observer); wall at step 2; step 3 hidden;
+        # step 4 taller than the wall's angle again
+        (1, 0, 100), (1, 1, 100), (1, 2, 400), (1, 3, 200), (1, 4, 900),
+        # event 2: start elevation NULL -> all angles NULL
+        (2, 0, None), (2, 1, 500),
+        # event 3: void mid-sample is transparent
+        (3, 0, 0), (3, 1, None), (3, 2, 50),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, step int, elevation int")
+    w = Window.partitionBy("event_id").orderBy("step")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    z0 = F.first("elevation").over(w)
+    tan = F.when(
+        (F.col("step") >= 1) & F.col("elevation").isNotNull() & z0.isNotNull(),
+        (F.col("elevation").cast("double") - (z0.cast("double") + F.lit(10.0)))
+        / (F.col("step").cast("double") / F.lit(8.0)),
+    ).alias("tan_angle")
+    base = df.select("event_id", "step", "elevation", tan)
+    prev_max = F.max("tan_angle").over(wprev)
+    out = base.select(
+        "event_id", "step",
+        F.when(F.col("tan_angle").isNull(), F.lit(None).cast("boolean"))
+        .when(prev_max.isNull(), F.lit(True))
+        .otherwise(F.col("tan_angle") > prev_max)
+        .alias("visible"),
+    ).orderBy("event_id", "step").collect()
+    got = {(r.event_id, r.step): r.visible for r in out}
+    assert got[(1, 0)] is None          # observer sample has no angle
+    # step1: tan=(100-110)/0.125=-80; prev_max NULL (first angle) -> TRUE
+    assert got[(1, 1)] is True
+    # step2: tan=(400-110)/0.25=1160 > -80 -> TRUE
+    assert got[(1, 2)] is True
+    # step3: tan=(200-110)/0.375=240 < 1160 -> FALSE (hidden by the wall)
+    assert got[(1, 3)] is False
+    # step4: tan=(900-110)/0.5=1580 > 1160 -> TRUE
+    assert got[(1, 4)] is True
+    assert got[(2, 1)] is None          # NULL start -> path unusable
+    assert got[(3, 1)] is None          # void sample itself: no angle
+    # step2 of event 3: tan=(50-10)/0.25=160; prev non-null angles: none -> TRUE
+    assert got[(3, 2)] is True
+
+
+def test_path_profile_cum_gain(spark):
+    """cum_gain is the running sum of positive deltas, NULL-gap tolerant."""
+    from pyspark.sql import Window
+
+    rows = [(1, 0, 10), (1, 1, 30), (1, 2, None), (1, 3, 25), (1, 4, 60)]
+    df = spark.createDataFrame(rows, "event_id int, step int, elevation int")
+    w = Window.partitionBy("event_id").orderBy("step")
+    e_l = F.col("elevation").cast("long")
+    staged = df.select("event_id", "step", (e_l - F.lag(e_l).over(w)).alias("delta"))
+    out = staged.select(
+        "step", F.sum(F.when(F.col("delta") > 0, F.col("delta"))).over(w).alias("g")
+    ).orderBy("step").collect()
+    # deltas: NULL, +20, NULL, NULL, +35 -> cum: NULL, 20, 20, 20, 55
+    assert [r.g for r in out] == [None, 20, 20, 20, 55]
