@@ -296,6 +296,145 @@ def terrain_cols(
     }
 
 
+def tile_horn_grids(grid: np.ndarray):
+    """Whole-tile Horn stencil over the (n-2)x(n-2) interior — nine shifted
+    int64 views, no per-point gather. Returns (gxs, gys, ok) arrays of
+    shape (n-2, n-2); ok is False where any of the 9 samples is VOID."""
+    n = grid.shape[0]
+    g = grid.astype(np.int64, copy=False)
+
+    def z(dr: int, dc: int) -> np.ndarray:
+        return g[1 + dr : n - 1 + dr, 1 + dc : n - 1 + dc]
+
+    void = np.zeros((n - 2, n - 2), dtype=bool)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            void |= z(dr, dc) == hgt.VOID_VALUE
+    gxs = (z(-1, 1) + 2 * z(0, 1) + z(1, 1)) - (
+        z(-1, -1) + 2 * z(0, -1) + z(1, -1)
+    )
+    gys = (z(-1, -1) + 2 * z(-1, 0) + z(-1, 1)) - (
+        z(1, -1) + 2 * z(1, 0) + z(1, 1)
+    )
+    return gxs, gys, ~void
+
+
+def hillshade_bytes(gxs: np.ndarray, gys: np.ndarray, ok: np.ndarray):
+    """Quantize the hillshade dot product to uint8 (0..255) with the exact
+    evaluation order of ``terrain_cols`` plus round-half-away quantization
+    (floor(x) + (x - floor(x) >= 0.5), the tile.rs rounding rule — NOT
+    floor(x + 0.5), which breaks at representation boundaries). Invalid
+    cells render as 0. Returns (img: uint8 array, byte_values: int64 array
+    with -1 at invalid cells for exact aggregation)."""
+    gx = gxs.astype(np.float64) / 8.0
+    gy = gys.astype(np.float64) / 8.0
+    num = (SUN_LZ - gx * SUN_LX) - gy * SUN_LY
+    denom = np.sqrt((1.0 + gx * gx) + gy * gy)
+    hs = np.maximum(0.0, num / denom)
+    x = hs * 255.0
+    fl = np.floor(x)
+    byte = (fl + (x - fl >= 0.5)).astype(np.int64)
+    byte = np.where(ok, byte, -1)
+    img = np.where(ok, byte, 0).astype(np.uint8)
+    return img, byte
+
+
+# flush an output RecordBatch before its payload exceeds this (Arrow binary
+# offsets are int32 — a batch past 2^31 payload bytes silently corrupts;
+# see CLAUDE.md)
+_RENDER_FLUSH_BYTES = 1 << 28
+
+
+def render_hillshade(catalog: DataFrame) -> DataFrame:
+    """Render every catalog tile's hillshade as a REAL grayscale image row
+    (input_hint shape: image_id, bytes, w, h, fmt — plus the tile key and
+    exact aggregate stats): the raster-wide terrain product, one mapInArrow
+    pass over the tile blobs, zero shuffles.
+
+    The image is the (n-2)x(n-2) interior, row-major uint8, fmt='gray8'
+    (invalid cells — void-adjacent stencils — render 0 and are excluded
+    from the stats). n_valid / sum_byte / min_byte / max_byte are exact
+    integers, so a closed-form SQL oracle can value-check the full render
+    arithmetic without shipping the pixels."""
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("tile_lat", T.IntegerType()),
+            T.StructField("tile_lon", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("n_valid", T.LongType()),
+            T.StructField("sum_byte", T.LongType()),
+            T.StructField("min_byte", T.IntegerType()),
+            T.StructField("max_byte", T.IntegerType()),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        def flush(rows):
+            cols = list(zip(*rows))
+            arrays = [
+                pa.array(cols[0], type=pa.string()),
+                pa.array(cols[1], type=pa.int32()),
+                pa.array(cols[2], type=pa.int32()),
+                pa.array(cols[3], type=pa.int32()),
+                pa.array(cols[4], type=pa.int32()),
+                pa.array(cols[5], type=pa.string()),
+                pa.array(cols[6], type=pa.binary()),
+                pa.array(cols[7], type=pa.int64()),
+                pa.array(cols[8], type=pa.int64()),
+                pa.array(cols[9], type=pa.int32()),
+                pa.array(cols[10], type=pa.int32()),
+            ]
+            return pa.RecordBatch.from_arrays(arrays, names=names)
+
+        for batch in batches:
+            tl_a = batch.column(batch.schema.get_field_index("tile_lat"))
+            tn_a = batch.column(batch.schema.get_field_index("tile_lon"))
+            fn_a = batch.column(batch.schema.get_field_index("filename"))
+            data_a = batch.column(batch.schema.get_field_index("data"))
+            rows, payload = [], 0
+            for i in range(batch.num_rows):
+                grid = hgt.decode_tile(data_a[i].as_py())
+                gxs, gys, ok = tile_horn_grids(grid)
+                img, byte = hillshade_bytes(gxs, gys, ok)
+                valid = byte >= 0
+                n_valid = int(valid.sum())
+                vb = byte[valid]
+                m = int(grid.shape[0]) - 2
+                tl, tn = int(tl_a[i].as_py()), int(tn_a[i].as_py())
+                rows.append(
+                    (
+                        "hillshade_" + fn_a[i].as_py().rsplit(".", 1)[0],
+                        tl,
+                        tn,
+                        m,
+                        m,
+                        "gray8",
+                        img.tobytes(),
+                        n_valid,
+                        int(vb.sum()) if n_valid else 0,
+                        int(vb.min()) if n_valid else None,
+                        int(vb.max()) if n_valid else None,
+                    )
+                )
+                payload += m * m
+                if payload >= _RENDER_FLUSH_BYTES:
+                    yield flush(rows)
+                    rows, payload = [], 0
+            if rows:
+                yield flush(rows)
+
+    return catalog.select("tile_lat", "tile_lon", "filename", "data").mapInArrow(
+        run, schema=out_schema
+    )
+
+
 def horn_reference(grid: np.ndarray, row: int, col: int):
     """From-scratch scalar reference (independent of horn_sums' vectorized
     gather) for tests: returns (gxs, gys, ok)."""

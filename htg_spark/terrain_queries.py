@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from .driver_queries import (
     _SQL_PTS,
     _SQL_ROUND_RC,
+    _TILES_VALUES,
     _events,
     derive_points,
     get_engine,
@@ -61,6 +62,35 @@ def q_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
         d["slope"].alias("slope"),
         d["hillshade"].alias("hillshade"),
         d["aspect_octant"].alias("aspect_octant"),
+    )
+
+
+def q_tile_hillshade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raster-WIDE terrain product: render every catalog tile's Horn
+    hillshade as a real grayscale image (terrain.render_hillshade — one
+    map-only pass over the tile blobs) and report the exact per-tile
+    aggregate stats of the rendered bytes. The pixels themselves are
+    pytest-checked against NumPy (tests/test_terrain.py); here the oracle
+    recomputes n_valid / sum_byte / min / max / mean from the gradient
+    closed form over the full 1199x1199 interior, so the whole render
+    arithmetic — stencil, hillshade dot product, round-half-away byte
+    quantization — is value-checked without shipping 1.4 MB blobs through
+    the compare."""
+    eng = get_engine(spark)
+    out = terrain.render_hillshade(eng.catalog)
+    return out.select(
+        "image_id",
+        "tile_lat",
+        "tile_lon",
+        "w",
+        "h",
+        "n_valid",
+        "sum_byte",
+        "min_byte",
+        "max_byte",
+        (F.col("sum_byte").cast("double") / F.col("n_valid").cast("double")).alias(
+            "mean_byte"
+        ),
     )
 
 
@@ -233,6 +263,71 @@ FROM d
     )
 
 
+def _hillshade_stats_sql() -> str:
+    """Per-tile render stats from the gradient closed form over the full
+    interior grid. The grid content is tile-independent (z = (r+c) % 4000,
+    void = (r*1201+c) % 97 == 0 — no tile term), so ONE 1199x1199 aggregate
+    cross-joined to the tile list mirrors the per-tile render exactly."""
+    ok = " AND ".join(_nonvoid(dr, dc) for dr, dc in _OFFS)
+    east = " + ".join(
+        (f"2 * {_z(dr, 1)}" if dr == 0 else _z(dr, 1)) for dr in (-1, 0, 1)
+    )
+    west = " + ".join(
+        (f"2 * {_z(dr, -1)}" if dr == 0 else _z(dr, -1)) for dr in (-1, 0, 1)
+    )
+    north = " + ".join(
+        (f"2 * {_z(-1, dc)}" if dc == 0 else _z(-1, dc)) for dc in (-1, 0, 1)
+    )
+    south = " + ".join(
+        (f"2 * {_z(1, dc)}" if dc == 0 else _z(1, dc)) for dc in (-1, 0, 1)
+    )
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(1, 1200) r, range(1, 1200) c
+),
+st AS (
+  SELECT r, c, ({ok}) AS ok,
+    ({east}) - ({west}) AS gxs,
+    ({north}) - ({south}) AS gys
+  FROM g
+),
+d AS (
+  SELECT *, CAST(gxs AS DOUBLE) / 8.0 AS gx, CAST(gys AS DOUBLE) / 8.0 AS gy
+  FROM st
+),
+hz AS (
+  SELECT ok,
+    GREATEST(0.0, ((0.7071067811865476 - gx * (-0.5)) - gy * 0.5)
+                  / sqrt((1.0 + gx*gx) + gy*gy)) * 255.0 AS x
+  FROM d
+),
+b AS (
+  SELECT ok,
+    CAST(floor(x) AS BIGINT)
+      + (CASE WHEN x - floor(x) >= 0.5 THEN 1 ELSE 0 END) AS byte
+  FROM hz
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+    CAST(sum(CASE WHEN ok THEN byte END) AS BIGINT) AS sum_byte,
+    CAST(min(CASE WHEN ok THEN byte END) AS INTEGER) AS min_byte,
+    CAST(max(CASE WHEN ok THEN byte END) AS INTEGER) AS max_byte
+  FROM b
+)
+SELECT
+  'hillshade_' || printf('%s%02d%s%03d',
+      CASE WHEN tiles.tile_lat >= 0 THEN 'N' ELSE 'S' END, abs(tiles.tile_lat),
+      CASE WHEN tiles.tile_lon >= 0 THEN 'E' ELSE 'W' END, abs(tiles.tile_lon))
+    AS image_id,
+  tiles.tile_lat, tiles.tile_lon,
+  1199 AS w, 1199 AS h,
+  agg.n_valid, agg.sum_byte, agg.min_byte, agg.max_byte,
+  CAST(agg.sum_byte AS DOUBLE) / CAST(agg.n_valid AS DOUBLE) AS mean_byte
+FROM {_TILES_VALUES} CROSS JOIN agg
+"""
+
+
 def _path_profile_sql() -> str:
     return (
         _SQL_PTS
@@ -300,6 +395,7 @@ FROM wm
 def queries():
     return {
         "terrain_horn": q_terrain_horn,
+        "tile_hillshade_stats": q_tile_hillshade_stats,
         "path_profile": q_path_profile,
     }
 
@@ -307,5 +403,6 @@ def queries():
 def oracle_sql() -> dict[str, str]:
     return {
         "terrain_horn": _terrain_sql(),
+        "tile_hillshade_stats": _hillshade_stats_sql(),
         "path_profile": _path_profile_sql(),
     }

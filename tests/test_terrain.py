@@ -208,6 +208,87 @@ def test_line_of_sight_semantics(spark):
     assert got[(3, 2)] is True
 
 
+def test_tile_horn_grids_matches_pointwise():
+    """The whole-tile shifted-view stencil equals the per-point gather
+    kernel at every interior sample of a random void-planted grid."""
+    rng = np.random.default_rng(3)
+    g = _rand_grid(rng, n=40)
+    gxs_t, gys_t, ok_t = terrain.tile_horn_grids(g)
+    rows, cols = np.meshgrid(np.arange(1, 39), np.arange(1, 39), indexing="ij")
+    gxs_p, gys_p, ok_p = terrain.horn_sums(g, rows.ravel(), cols.ravel())
+    assert np.array_equal(ok_t.ravel(), ok_p)
+    assert np.array_equal(np.where(ok_t, gxs_t, 0).ravel(), gxs_p)
+    assert np.array_equal(np.where(ok_t, gys_t, 0).ravel(), gys_p)
+
+
+def test_render_hillshade_bytes_and_stats(spark):
+    """Rendered image rows: pixel bytes equal an independent per-cell
+    scalar recomputation on a sample; stats are exact aggregates of the
+    rendered bytes; the plan is map-only."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from htg_spark.driver_queries import get_engine, gradient_void_grid
+
+    eng = get_engine(spark)
+    out = terrain.render_hillshade(eng.catalog)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange\b", buf.getvalue())) == 0
+
+    rows = out.collect()
+    assert len(rows) == 3
+    g = gradient_void_grid()
+    for row in rows:
+        assert (row.w, row.h, row.fmt) == (1199, 1199, "gray8")
+        assert row.image_id.startswith("hillshade_N3")
+        img = np.frombuffer(bytes(row.bytes), dtype=np.uint8).reshape(1199, 1199)
+        # independent scalar recomputation on a deterministic sample
+        rng = np.random.default_rng(5)
+        for _ in range(200):
+            r = int(rng.integers(1, 1200))
+            c = int(rng.integers(1, 1200))
+            exp_gx, exp_gy, exp_ok = terrain.horn_reference(g, r, c)
+            if not exp_ok:
+                assert img[r - 1, c - 1] == 0
+                continue
+            gx, gy = exp_gx / 8.0, exp_gy / 8.0
+            num = (terrain.SUN_LZ - gx * terrain.SUN_LX) - gy * terrain.SUN_LY
+            den = math.sqrt((1.0 + gx * gx) + gy * gy)
+            x = max(0.0, num / den) * 255.0
+            fl = math.floor(x)
+            assert img[r - 1, c - 1] == int(fl + (x - fl >= 0.5))
+        # stats are exact aggregates of the rendered bytes
+        gxs, gys, ok = terrain.tile_horn_grids(g)
+        _, byte = terrain.hillshade_bytes(gxs, gys, ok)
+        valid = byte >= 0
+        assert row.n_valid == int(valid.sum())
+        assert row.sum_byte == int(byte[valid].sum())
+        assert row.min_byte == int(byte[valid].min())
+        assert row.max_byte == int(byte[valid].max())
+
+
+def test_render_hillshade_flushes_large_batches(monkeypatch, spark):
+    """The Arrow int32-offset guard: output batches flush before the
+    payload cap, so one input batch with many tiles yields several
+    bounded RecordBatches rather than one giant one."""
+    from htg_spark import catalog as cat_mod
+    from htg_spark.operators import terrain as terr
+
+    monkeypatch.setattr(terr, "_RENDER_FLUSH_BYTES", 3_000_000)
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 4000, size=(1201, 1201)).astype(np.int16)
+    grids = {(10, k): base for k in range(6)}  # ~8.6 MB of rendered payload
+    cat = cat_mod.catalog_from_grids(spark, grids).coalesce(1)
+    out = terr.render_hillshade(cat).collect()
+    assert len(out) == 6
+    assert sorted(r.tile_lon for r in out) == list(range(6))
+    # every row still correct length
+    assert all(len(bytes(r.bytes)) == 1199 * 1199 for r in out)
+
+
 def test_path_profile_cum_gain(spark):
     """cum_gain is the running sum of positive deltas, NULL-gap tolerant."""
     from pyspark.sql import Window
