@@ -166,6 +166,7 @@ def main():
         ("images_in_polygon", _polyq.q_images_in_polygon),
         ("geojson_containment", _polyq.q_geojson_containment),
         ("terrain_horn", _tq.q_terrain_horn),
+        ("terrain_cogroup", _tq.q_terrain_cogroup),
         ("tile_hillshade_stats", _tq.q_tile_hillshade_stats),
         ("path_profile", _tq.q_path_profile),
         ("pipeline_e2e", pq.q_pipeline_e2e),

@@ -176,22 +176,45 @@ def terrain_batch(lat: np.ndarray, lon: np.ndarray, get_grid):
     }
 
 
-def terrain_join(engine, points: DataFrame) -> DataFrame:
+def terrain_join(
+    engine,
+    points: DataFrame,
+    strategy: str = "broadcast",
+    id_col: str = "event_id",
+    n_salts: int = 8,
+    blob_source: str | None = None,
+) -> DataFrame:
     """Append (tile_lat, tile_lon, in_coverage, tile_found, terrain_ok,
-    gxs, gys) to `points` via the map-only broadcast plan — the terrain
-    twin of ``ElevationEngine._join_broadcast``. gxs/gys are NULL wherever
-    terrain_ok is false.
+    gxs, gys) to `points`. gxs/gys are NULL wherever terrain_ok is false.
+
+    strategy='broadcast' is the map-only plan (tile blobs ride a Spark
+    broadcast — the terrain twin of ``ElevationEngine._join_broadcast``);
+    strategy='cogroup' is the 100-TB scale path: the engine's adaptive
+    salted-cogroup shuffle (histogram pre-pass, hot cells fan out, cold
+    cells cross once; blob_source='path' ships only tile URIs so raster
+    bytes never enter a shuffle). Both return identical rows
+    (test_terrain_cogroup_equals_broadcast).
 
     Derived float products are deliberately NOT computed here: apply
     ``terrain_cols`` (JVM codegen) on the result.
     """
+    pts = points
+    if "lat" not in pts.columns or "lon" not in pts.columns:
+        raise ValueError("points need (lat, lon) columns")
+    if strategy == "cogroup":
+        if blob_source is None:
+            blob_source = "path" if "path" in engine.catalog.columns else "inline"
+        return _terrain_cogroup(engine, pts, id_col, n_salts, blob_source)
+    if strategy != "broadcast":
+        raise ValueError(f"bad strategy {strategy!r}")
+    return _terrain_broadcast(engine, pts)
+
+
+def _terrain_broadcast(engine, pts: DataFrame) -> DataFrame:
     import pyarrow as pa
 
     from ..engine import _executor_cache
 
-    pts = points
-    if "lat" not in pts.columns or "lon" not in pts.columns:
-        raise ValueError("points need (lat, lon) columns")
     bcast = engine._broadcast_blobs()
     cache_cap = engine.cache_size
     token = engine._cache_token
@@ -237,6 +260,71 @@ def terrain_join(engine, points: DataFrame) -> DataFrame:
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return pts.mapInArrow(run, schema=out_schema)
+
+
+def _terrain_result_table(rid, res: dict):
+    """Arrow-native grouped-kernel output (no per-group pandas round-trip —
+    same rationale as engine._result_table)."""
+    import pyarrow as pa
+
+    bad = ~res["terrain_ok"]
+    arrays = [
+        rid,
+        pa.array(res["lat"], type=pa.float64()),
+        pa.array(res["lon"], type=pa.float64()),
+        pa.array(np.asarray(res["tile_lat"], dtype=np.int32)),
+        pa.array(np.asarray(res["tile_lon"], dtype=np.int32)),
+        pa.array(np.asarray(res["in_coverage"], dtype=bool)),
+        pa.array(np.asarray(res["tile_found"], dtype=bool)),
+        pa.array(np.asarray(res["terrain_ok"], dtype=bool)),
+        pa.array(res["gxs"], mask=bad),
+        pa.array(res["gys"], mask=bad),
+    ]
+    names = ["_rid"] + [n for n, _t in _TERRAIN_APPENDED]
+    return pa.Table.from_arrays(arrays, names=names)
+
+
+def _terrain_cogroup(
+    engine, pts: DataFrame, id_col: str, n_salts: int, blob_source: str
+) -> DataFrame:
+    """Scale-path terrain join through the engine's adaptive salted-cogroup
+    shuffle (engine._salted_inputs: 2% histogram pre-pass, per-cell k_salt,
+    narrow point columns only; blob_source='path' keeps raster bytes out of
+    the exchange entirely)."""
+    from ..engine import _group_grid
+
+    if id_col not in pts.columns:
+        raise ValueError(f"cogroup strategy needs a unique id column {id_col!r}")
+    narrow, cat = engine._salted_inputs(pts, id_col, n_salts, blob_source)
+
+    id_field = pts.schema[id_col].dataType
+    out_schema = T.StructType([T.StructField("_rid", id_field)])
+    for name, typ in _TERRAIN_APPENDED:
+        out_schema = out_schema.add(name, typ)
+
+    def apply(key, ltbl, rtbl):
+        lat = ltbl.column("lat").to_numpy(zero_copy_only=False)
+        lon = ltbl.column("lon").to_numpy(zero_copy_only=False)
+        grid = None if ltbl.num_rows == 0 else _group_grid(rtbl, blob_source)
+        klat, klon = key[0].as_py(), key[1].as_py()
+        res = terrain_batch(
+            lat,
+            lon,
+            (lambda k, _g=grid: _g if (k[0], k[1]) == (klat, klon) else None),
+        )
+        return _terrain_result_table(ltbl.column("_rid"), res)
+
+    joined = (
+        narrow.groupBy("tile_lat", "tile_lon", "salt")
+        .cogroup(cat.groupBy("tile_lat", "tile_lon", "salt"))
+        .applyInArrow(apply, schema=out_schema)
+    )
+    extra_cols = [c for c in pts.columns if c not in (id_col, "lat", "lon")]
+    if not extra_cols:
+        return joined.withColumnRenamed("_rid", id_col)
+    return pts.drop("lat", "lon").join(
+        joined.withColumnRenamed("_rid", id_col), on=id_col, how="inner"
+    )
 
 
 def aspect_octant_col(gxs: Column, gys: Column) -> Column:

@@ -65,6 +65,34 @@ def q_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_terrain_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Horn products through the salted-cogroup SCALE path (the
+    plan that survives a catalog too big to broadcast) — shares the
+    terrain_horn oracle, proving the shuffle variant returns identical
+    rows."""
+    eng = get_engine(spark)
+    pts = derive_points(_events(spark, sf_dir))
+    out = terrain.terrain_join(
+        eng, pts, strategy="cogroup", id_col="event_id", n_salts=4
+    )
+    d = terrain.terrain_cols(F.col("gxs"), F.col("gys"))
+    return out.select(
+        "event_id",
+        "tile_lat",
+        "tile_lon",
+        "in_coverage",
+        "tile_found",
+        "terrain_ok",
+        "gxs",
+        "gys",
+        d["gx"].alias("gx"),
+        d["gy"].alias("gy"),
+        d["slope"].alias("slope"),
+        d["hillshade"].alias("hillshade"),
+        d["aspect_octant"].alias("aspect_octant"),
+    )
+
+
 def q_tile_hillshade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raster-WIDE terrain product: render every catalog tile's Horn
     hillshade as a real grayscale image (terrain.render_hillshade — one
@@ -395,14 +423,17 @@ FROM wm
 def queries():
     return {
         "terrain_horn": q_terrain_horn,
+        "terrain_cogroup": q_terrain_cogroup,
         "tile_hillshade_stats": q_tile_hillshade_stats,
         "path_profile": q_path_profile,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    terr = _terrain_sql()
     return {
-        "terrain_horn": _terrain_sql(),
+        "terrain_horn": terr,
+        "terrain_cogroup": terr,
         "tile_hillshade_stats": _hillshade_stats_sql(),
         "path_profile": _path_profile_sql(),
     }

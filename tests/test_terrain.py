@@ -289,6 +289,52 @@ def test_render_hillshade_flushes_large_batches(monkeypatch, spark):
     assert all(len(bytes(r.bytes)) == 1199 * 1199 for r in out)
 
 
+def test_terrain_cogroup_equals_broadcast(spark):
+    """The salted-cogroup scale path returns IDENTICAL rows to the
+    broadcast plan — inline blobs AND the no-blob-shuffle path variant."""
+    from htg_spark.driver_queries import get_engine, get_path_engine
+
+    pts = derive_points(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    cols = ["event_id", "tile_lat", "tile_lon", "in_coverage", "tile_found",
+            "terrain_ok", "gxs", "gys"]
+    ref = (
+        terrain.terrain_join(get_engine(spark), pts)
+        .select(*cols).orderBy("event_id").collect()
+    )
+    assert len(ref) > 0
+    for eng, bs in ((get_engine(spark), "inline"), (get_path_engine(spark), "path")):
+        got = (
+            terrain.terrain_join(
+                eng, pts, strategy="cogroup", id_col="event_id",
+                n_salts=4, blob_source=bs,
+            )
+            .select(*cols).orderBy("event_id").collect()
+        )
+        assert got == ref, bs
+
+
+def test_terrain_cogroup_path_never_shuffles_blobs(spark):
+    """blob_source='path' terrain cogroup: no Exchange in the plan may
+    carry the binary data column (same gate as the elevation path plan)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from htg_spark.driver_queries import get_path_engine
+
+    pts = derive_points(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    out = terrain.terrain_join(
+        get_path_engine(spark), pts, strategy="cogroup", id_col="event_id",
+        n_salts=4, blob_source="path",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    for m in re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "data#" not in m, m
+
+
 def test_path_profile_cum_gain(spark):
     """cum_gain is the running sum of positive deltas, NULL-gap tolerant."""
     from pyspark.sql import Window
