@@ -163,6 +163,32 @@ def run_join(eng: ElevationEngine, pts: DataFrame, mode: str, strategy: str, **k
     return row["n"], row["chk"], row["found"]
 
 
+def run_terrain(eng: ElevationEngine, pts: DataFrame, strategy: str = "broadcast"):
+    """Execute the Horn terrain join + derived products and force full
+    materialization; returns (rows, checksum, n_ok). Checksum is
+    order-insensitive: exact int64 stencil sums weighted apart, plus the
+    float products quantized to int64 BEFORE the sum (each value is
+    bit-deterministic, so the quantized longs are too)."""
+    from .operators import terrain
+
+    out = terrain.terrain_join(eng, pts, strategy=strategy, id_col="point_id")
+    d = terrain.terrain_cols(F.col("gxs"), F.col("gys"))
+    sel = out.select(
+        "gxs", "gys", "terrain_ok",
+        d["slope"].alias("slope"), d["hillshade"].alias("hillshade"),
+    )
+    row = sel.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("gxs") * 3 + F.col("gys") * 5).alias("chk_i"),
+        F.sum(
+            (F.col("slope") * 1000000.0).cast("long")
+            + (F.col("hillshade") * 1000000.0).cast("long")
+        ).alias("chk_f"),
+        F.sum(F.col("terrain_ok").cast("long")).alias("ok"),
+    ).collect()[0]
+    return row["n"], (row["chk_i"] or 0) + (row["chk_f"] or 0), row["ok"]
+
+
 def ann_recall_at_scale(
     spark: SparkSession,
     n: int = 100_000,

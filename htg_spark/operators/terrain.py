@@ -103,15 +103,17 @@ def horn_sums(grid: np.ndarray, row: np.ndarray, col: np.ndarray):
     # the clamped values never reach a result
     r = np.clip(row, 1, n - 2)
     c = np.clip(col, 1, n - 2)
-    g = grid.astype(np.int64, copy=False)
-    z = {
-        (dr, dc): g[r + dr, c + dc]
-        for dr in (-1, 0, 1)
-        for dc in (-1, 0, 1)
-    }
+    # gather int16 FIRST, widen the batch-sized results: widening the whole
+    # grid would memcpy 11.6 MB per batch call (measured: it halves the
+    # kernel's N-vs-4N scaling efficiency on a bandwidth-throttled host);
+    # the gathered arrays are 9 x batch x 8 B instead
     void = np.zeros(len(r), dtype=bool)
-    for v in z.values():
-        void |= v == hgt.VOID_VALUE
+    z = {}
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            v16 = grid[r + dr, c + dc]
+            void |= v16 == hgt.VOID_VALUE
+            z[(dr, dc)] = v16.astype(np.int64)
     ok = interior & ~void
     gxs = (z[(-1, 1)] + 2 * z[(0, 1)] + z[(1, 1)]) - (
         z[(-1, -1)] + 2 * z[(0, -1)] + z[(1, -1)]

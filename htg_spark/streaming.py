@@ -31,6 +31,20 @@ def stream_elevation_join(
     return engine.elevation_join(stream, mode=mode, strategy="broadcast", **kw)
 
 
+def stream_terrain_join(engine: ElevationEngine, stream: DataFrame, **kw) -> DataFrame:
+    """Apply the Horn terrain join (operators/terrain.py) to a streaming
+    DataFrame: the broadcast stencil stage is stateless map-only (tiles
+    ride a broadcast, nothing shuffles, no state), so it is streaming-safe
+    by construction — the terrain twin of stream_elevation_join. The
+    cogroup strategy is deliberately not offered for streams (stream-static
+    shuffle joins repartition every micro-batch)."""
+    if not stream.isStreaming:
+        raise ValueError("stream_terrain_join expects a streaming DataFrame")
+    from .operators.terrain import terrain_join
+
+    return terrain_join(engine, stream, strategy="broadcast", **kw)
+
+
 def tile_hit_counts(enriched_stream: DataFrame, window: str = "1 minute") -> DataFrame:
     """Example stateful layer: per-tile hit counts over processing-time
     windows on the enriched stream (cache-stats analog, service.rs:41-63)."""

@@ -23,7 +23,9 @@ def main():
     ap.add_argument("--points-path", default=None, help="pre-materialized points parquet; skips generation")
     ap.add_argument("--replicate", type=int, default=16)
     ap.add_argument(
-        "--mode", default="nearest", choices=["nearest", "floor", "bilinear", "dedup", "pip"]
+        "--mode",
+        default="nearest",
+        choices=["nearest", "floor", "bilinear", "terrain", "dedup", "pip"],
     )
     ap.add_argument("--strategy", default="broadcast", choices=["broadcast", "cogroup"])
     ap.add_argument("--repeats", type=int, default=3)
@@ -133,18 +135,28 @@ def main():
         ).parquet(tmp)
         pts = spark.read.parquet(tmp)
     n = pts.count()
-    run_join(eng, pts, mode=args.mode, strategy=args.strategy)  # warm-up
 
+    if args.mode == "terrain":
+        from htg_spark.bench_queries import run_terrain
+
+        def timed():
+            return run_terrain(eng, pts, strategy=args.strategy)
+    else:
+
+        def timed():
+            return run_join(eng, pts, mode=args.mode, strategy=args.strategy)
+
+    timed()  # warm-up
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        rows, chk, found = run_join(eng, pts, mode=args.mode, strategy=args.strategy)
+        rows, chk, found = timed()
         times.append(time.perf_counter() - t0)
     best = min(times)
     print(
         json.dumps(
             {
-                "job": "elevation_join",
+                "job": "terrain_join" if args.mode == "terrain" else "elevation_join",
                 "mode": args.mode,
                 "strategy": args.strategy,
                 "cores": cores,

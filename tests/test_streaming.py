@@ -301,3 +301,56 @@ def test_stream_cell_heatmap_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="streaming"):
         stream_cell_heatmap(spark.range(3))
+
+
+def test_stream_terrain_join_matches_batch(spark, tmp_path):
+    """File-source stream -> stateless broadcast terrain join -> memory sink
+    equals the batch terrain_join row-for-row (stencil sums AND derived
+    products); rejects batch frames."""
+    from pyspark.sql import functions as F
+
+    from htg_spark.driver_queries import derive_points, get_engine
+    from htg_spark.operators import terrain
+    from htg_spark.streaming import stream_terrain_join
+
+    eng = get_engine(spark)
+    pts = derive_points(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ).toPandas()
+    src = tmp_path / "terr"
+    src.mkdir()
+    half = len(pts) // 2
+    spark.createDataFrame(pts.iloc[:half]).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(pts.iloc[half:]).coalesce(1).write.parquet(str(src / "b2"))
+
+    batch_pts = spark.read.parquet(f"{src}/*")
+    with pytest.raises(ValueError, match="streaming"):
+        stream_terrain_join(eng, batch_pts)
+
+    cols = ["event_id", "tile_lat", "tile_lon", "terrain_ok", "gxs", "gys"]
+
+    def project(df):
+        d = terrain.terrain_cols(F.col("gxs"), F.col("gys"))
+        return df.select(*cols, d["slope"].alias("slope"),
+                         d["aspect_octant"].alias("aspect_octant"))
+
+    expected = sorted(
+        map(tuple, project(terrain.terrain_join(eng, batch_pts)).collect())
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, lat double, lon double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        project(stream_terrain_join(eng, stream))
+        .writeStream.format("memory").queryName("terrain_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM terrain_stream").collect())
+    )
+    assert got == expected
+    assert len(got) == len(pts)
