@@ -28,7 +28,7 @@ from .driver_queries import (
     derive_points,
     get_engine,
 )
-from .operators import terrain
+from .operators import pyramid, terrain
 
 # path endpoint for the profile/LOS queries: inside present tile (36, 138).
 # Paths from the derived-point clusters cross tile boundaries, the missing
@@ -119,6 +119,35 @@ def q_tile_hillshade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_byte").cast("double") / F.col("n_valid").cast("double")).alias(
             "mean_byte"
         ),
+    )
+
+
+def q_tile_pyramid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview-pyramid render (operators/pyramid.tile_pyramid): every
+    catalog tile downsampled to levels 1..3 by nodata-excluded 2^L-block
+    average pooling (round-half-away integer mean), one map-only pass,
+    real gray16be payloads. The pixels are pytest-checked against a scalar
+    reference (tests/test_pyramid.py); the oracle recomputes the exact
+    per-level stats from the gradient closed form so the whole pooling
+    arithmetic is value-checked without shipping payloads."""
+    eng = get_engine(spark)
+    out = pyramid.tile_pyramid(eng.catalog, levels=3)
+    return out.select(
+        "image_id",
+        "tile_lat",
+        "tile_lon",
+        "level",
+        "w",
+        "h",
+        "n_valid",
+        "n_void",
+        "sum_val",
+        "min_val",
+        "max_val",
+        F.when(
+            F.col("n_valid") > 0,
+            F.col("sum_val").cast("double") / F.col("n_valid").cast("double"),
+        ).alias("mean_val"),
     )
 
 
@@ -356,6 +385,60 @@ FROM {_TILES_VALUES} CROSS JOIN agg
 """
 
 
+def _pyramid_stats_sql() -> str:
+    """Per-(tile, level) pooled stats from the gradient closed form. The
+    pooled base is the 1200x1200 core (r, c in [0, 1200)); grid content is
+    tile-independent, so one grouped aggregation per level cross-joined to
+    the tile list mirrors the per-tile render exactly. The pooled value is
+    the round-half-away-from-zero integer mean written with non-negative
+    `//` operands only (DuckDB truncates, NumPy floors — they agree there;
+    see operators/pyramid.py)."""
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 1200) r, range(0, 1200) c
+),
+v AS (
+  SELECT r, c, ((r*1201 + c) % 97 <> 0) AS valid, ((r + c) % 4000) AS z FROM g
+),
+lv AS (
+  SELECT lvl, r // (1 << lvl) AS br, c // (1 << lvl) AS bc,
+    CAST(sum(CASE WHEN valid THEN z ELSE 0 END) AS BIGINT) AS s,
+    CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+  FROM v CROSS JOIN (SELECT unnest([1, 2, 3]) AS lvl) levels
+  GROUP BY lvl, br, bc
+),
+q AS (
+  SELECT lvl, cnt,
+    CASE WHEN cnt > 0 THEN
+      (CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((2 * abs(s) + cnt) // (2 * cnt))
+    END AS q
+  FROM lv
+),
+agg AS (
+  SELECT lvl,
+    CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+    CAST(sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_void,
+    CAST(sum(q) AS BIGINT) AS sum_val,
+    CAST(min(q) AS INTEGER) AS min_val,
+    CAST(max(q) AS INTEGER) AS max_val
+  FROM q GROUP BY lvl
+)
+SELECT
+  'pyr_' || printf('%s%02d%s%03d_L%d',
+      CASE WHEN tiles.tile_lat >= 0 THEN 'N' ELSE 'S' END, abs(tiles.tile_lat),
+      CASE WHEN tiles.tile_lon >= 0 THEN 'E' ELSE 'W' END, abs(tiles.tile_lon),
+      lvl) AS image_id,
+  tiles.tile_lat, tiles.tile_lon,
+  CAST(lvl AS INTEGER) AS level,
+  CAST(1200 // (1 << lvl) AS INTEGER) AS w,
+  CAST(1200 // (1 << lvl) AS INTEGER) AS h,
+  n_valid, n_void, sum_val, min_val, max_val,
+  CASE WHEN n_valid > 0
+       THEN CAST(sum_val AS DOUBLE) / CAST(n_valid AS DOUBLE) END AS mean_val
+FROM {_TILES_VALUES} CROSS JOIN agg
+"""
+
+
 def _path_profile_sql() -> str:
     return (
         _SQL_PTS
@@ -425,6 +508,7 @@ def queries():
         "terrain_horn": q_terrain_horn,
         "terrain_cogroup": q_terrain_cogroup,
         "tile_hillshade_stats": q_tile_hillshade_stats,
+        "tile_pyramid_stats": q_tile_pyramid_stats,
         "path_profile": q_path_profile,
     }
 
@@ -435,5 +519,6 @@ def oracle_sql() -> dict[str, str]:
         "terrain_horn": terr,
         "terrain_cogroup": terr,
         "tile_hillshade_stats": _hillshade_stats_sql(),
+        "tile_pyramid_stats": _pyramid_stats_sql(),
         "path_profile": _path_profile_sql(),
     }
