@@ -169,6 +169,7 @@ def main():
         ("terrain_cogroup", _tq.q_terrain_cogroup),
         ("tile_hillshade_stats", _tq.q_tile_hillshade_stats),
         ("tile_pyramid_stats", _tq.q_tile_pyramid_stats),
+        ("pyramid_hillshade_stats", _tq.q_pyramid_hillshade_stats),
         ("path_profile", _tq.q_path_profile),
         ("pipeline_e2e", pq.q_pipeline_e2e),
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),

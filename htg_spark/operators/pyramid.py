@@ -173,6 +173,119 @@ def tile_pyramid(catalog: DataFrame, levels: int = DEFAULT_LEVELS) -> DataFrame:
     )
 
 
+def pyramid_hillshade(
+    catalog: DataFrame, levels: int = DEFAULT_LEVELS
+) -> DataFrame:
+    """Multi-resolution hillshade: render the Horn hillshade AT every
+    pyramid level — the webmap zoom-stack (one gray8 image row per
+    (tile, level)). Pure composition of bit-exact kernels already proven
+    separately: ``pool_level`` (nodata-excluded integer-mean downsample)
+    -> ``terrain.tile_horn_grids`` (exact int64 stencil over the pooled
+    grid; pooled all-void cells carry VOID_VALUE, so void propagation is
+    the same rule as the base render) -> ``terrain.hillshade_bytes``
+    (documented float order + round-half-away byte quantization).
+
+    Slope/shade are per-POOLED-CELL rise (the same per-cell convention as
+    the base hillshade — no cellsize rescale), so each zoom level shows
+    progressively generalized relief, exactly like GDAL overview shading.
+
+    Still one map-only pass: one decode per tile feeds every level; zero
+    shuffle Exchanges.
+    """
+    import pyarrow as pa
+
+    from . import terrain
+
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("tile_lat", T.IntegerType()),
+            T.StructField("tile_lon", T.IntegerType()),
+            T.StructField("level", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("n_valid", T.LongType()),
+            T.StructField("sum_byte", T.LongType()),
+            T.StructField("min_byte", T.IntegerType()),
+            T.StructField("max_byte", T.IntegerType()),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        def flush(rows):
+            cols = list(zip(*rows))
+            arrays = [
+                pa.array(cols[0], type=pa.string()),
+                pa.array(cols[1], type=pa.int32()),
+                pa.array(cols[2], type=pa.int32()),
+                pa.array(cols[3], type=pa.int32()),
+                pa.array(cols[4], type=pa.int32()),
+                pa.array(cols[5], type=pa.int32()),
+                pa.array(cols[6], type=pa.string()),
+                pa.array(cols[7], type=pa.binary()),
+                pa.array(cols[8], type=pa.int64()),
+                pa.array(cols[9], type=pa.int64()),
+                pa.array(cols[10], type=pa.int32()),
+                pa.array(cols[11], type=pa.int32()),
+            ]
+            return pa.RecordBatch.from_arrays(arrays, names=names)
+
+        for batch in batches:
+            tl_a = batch.column(batch.schema.get_field_index("tile_lat"))
+            tn_a = batch.column(batch.schema.get_field_index("tile_lon"))
+            fn_a = batch.column(batch.schema.get_field_index("filename"))
+            data_a = batch.column(batch.schema.get_field_index("data"))
+            rows, payload = [], 0
+            for i in range(batch.num_rows):
+                grid = hgt.decode_tile(data_a[i].as_py())
+                n = grid.shape[0]
+                core = grid[: n - 1, : n - 1]
+                valid = core != hgt.VOID_VALUE
+                base = np.where(valid, core.astype(np.int64), np.int64(0))
+                stem = fn_a[i].as_py().rsplit(".", 1)[0]
+                tl, tn = int(tl_a[i].as_py()), int(tn_a[i].as_py())
+                for lvl in range(1, levels + 1):
+                    q, _cnt = pool_level(base, valid, lvl)
+                    gxs, gys, ok = terrain.tile_horn_grids(q.astype(np.int16))
+                    img, byte = terrain.hillshade_bytes(gxs, gys, ok)
+                    vmask = byte >= 0
+                    n_valid = int(vmask.sum())
+                    vb = byte[vmask]
+                    m = img.shape[0]
+                    rows.append(
+                        (
+                            f"hillshade_{stem}_L{lvl}",
+                            tl,
+                            tn,
+                            lvl,
+                            m,
+                            m,
+                            "gray8",
+                            img.tobytes(),
+                            n_valid,
+                            int(vb.sum()) if n_valid else 0,
+                            int(vb.min()) if n_valid else None,
+                            int(vb.max()) if n_valid else None,
+                        )
+                    )
+                    payload += m * m
+                if payload >= _FLUSH_BYTES:
+                    yield flush(rows)
+                    rows, payload = [], 0
+            if rows:
+                yield flush(rows)
+
+    return catalog.select("tile_lat", "tile_lon", "filename", "data").mapInArrow(
+        run, schema=out_schema
+    )
+
+
 def pyramid_reference(grid: np.ndarray, level: int):
     """From-scratch scalar reference for tests (independent of the
     vectorized reshape pooling): returns the (m, m) pooled int list-of-

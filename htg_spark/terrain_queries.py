@@ -151,6 +151,34 @@ def q_tile_pyramid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pyramid_hillshade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution hillshade (the webmap zoom stack): Horn shading
+    rendered AT every pyramid level (pyramid.pyramid_hillshade — pooling,
+    stencil, and byte quantization composed in one map-only pass). The
+    oracle recomputes the whole chain in closed form: grouped pooling per
+    level, a 9-neighbor self-join stencil over the pooled cells, then the
+    identical float order + round-half-away quantization — so the
+    COMPOSITION of the kernels is value-checked, not just each alone."""
+    eng = get_engine(spark)
+    out = pyramid.pyramid_hillshade(eng.catalog, levels=3)
+    return out.select(
+        "image_id",
+        "tile_lat",
+        "tile_lon",
+        "level",
+        "w",
+        "h",
+        "n_valid",
+        "sum_byte",
+        "min_byte",
+        "max_byte",
+        F.when(
+            F.col("n_valid") > 0,
+            F.col("sum_byte").cast("double") / F.col("n_valid").cast("double"),
+        ).alias("mean_byte"),
+    )
+
+
 def path_samples(pts: DataFrame) -> DataFrame:
     """9 samples along the segment from each point to the fixed endpoint:
     lat_t = lat + (END - lat) * (step / 8.0). One stateless explode — the
@@ -439,6 +467,89 @@ FROM {_TILES_VALUES} CROSS JOIN agg
 """
 
 
+def _pyramid_hillshade_sql() -> str:
+    """Zoom-stack hillshade stats in closed form. Stage 1 reuses the
+    pyramid pooling CTEs; stage 2 evaluates the Horn stencil over pooled
+    cells with ONE weighted 9-neighbor self-join (weight_x = dc * (2 -
+    |dr|), weight_y = -dr * (2 - |dc|) reproduce the 1-2-1 Horn sums;
+    validity = every neighbor block non-void, interior cells only); stage
+    3 is the identical hillshade float order + round-half-away byte
+    quantization as the base render oracle."""
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 1200) r, range(0, 1200) c
+),
+v AS (
+  SELECT r, c, ((r*1201 + c) % 97 <> 0) AS valid, ((r + c) % 4000) AS z FROM g
+),
+lv AS (
+  SELECT lvl, r // (1 << lvl) AS br, c // (1 << lvl) AS bc,
+    CAST(sum(CASE WHEN valid THEN z ELSE 0 END) AS BIGINT) AS s,
+    CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+  FROM v CROSS JOIN (SELECT unnest([1, 2, 3]) AS lvl) levels
+  GROUP BY lvl, br, bc
+),
+p AS (
+  SELECT lvl, br AS r, bc AS c, cnt,
+    CASE WHEN cnt > 0 THEN
+      (CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((2 * abs(s) + cnt) // (2 * cnt))
+    END AS q
+  FROM lv
+),
+st AS (
+  SELECT a.lvl, a.r, a.c,
+    bool_and(b.cnt > 0) AS ok,
+    CAST(sum(b.q * (b.c - a.c) * (2 - abs(b.r - a.r))) AS BIGINT) AS gxs,
+    CAST(sum(b.q * (a.r - b.r) * (2 - abs(b.c - a.c))) AS BIGINT) AS gys
+  FROM p a JOIN p b
+    ON b.lvl = a.lvl
+   AND b.r BETWEEN a.r - 1 AND a.r + 1
+   AND b.c BETWEEN a.c - 1 AND a.c + 1
+  WHERE a.r >= 1 AND a.r <= (1200 // (1 << a.lvl)) - 2
+    AND a.c >= 1 AND a.c <= (1200 // (1 << a.lvl)) - 2
+  GROUP BY a.lvl, a.r, a.c
+),
+d AS (
+  SELECT lvl, ok,
+    CAST(gxs AS DOUBLE) / 8.0 AS gx, CAST(gys AS DOUBLE) / 8.0 AS gy
+  FROM st
+),
+hz AS (
+  SELECT lvl, ok,
+    GREATEST(0.0, ((0.7071067811865476 - gx * (-0.5)) - gy * 0.5)
+                  / sqrt((1.0 + gx*gx) + gy*gy)) * 255.0 AS x
+  FROM d
+),
+b2 AS (
+  SELECT lvl, ok,
+    CAST(floor(x) AS BIGINT)
+      + (CASE WHEN x - floor(x) >= 0.5 THEN 1 ELSE 0 END) AS byte
+  FROM hz
+),
+agg AS (
+  SELECT lvl,
+    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+    CAST(sum(CASE WHEN ok THEN byte END) AS BIGINT) AS sum_byte,
+    CAST(min(CASE WHEN ok THEN byte END) AS INTEGER) AS min_byte,
+    CAST(max(CASE WHEN ok THEN byte END) AS INTEGER) AS max_byte
+  FROM b2 GROUP BY lvl
+)
+SELECT
+  'hillshade_' || printf('%s%02d%s%03d_L%d',
+      CASE WHEN tiles.tile_lat >= 0 THEN 'N' ELSE 'S' END, abs(tiles.tile_lat),
+      CASE WHEN tiles.tile_lon >= 0 THEN 'E' ELSE 'W' END, abs(tiles.tile_lon),
+      lvl) AS image_id,
+  tiles.tile_lat, tiles.tile_lon,
+  CAST(lvl AS INTEGER) AS level,
+  CAST((1200 // (1 << lvl)) - 2 AS INTEGER) AS w,
+  CAST((1200 // (1 << lvl)) - 2 AS INTEGER) AS h,
+  n_valid, sum_byte, min_byte, max_byte,
+  CASE WHEN n_valid > 0
+       THEN CAST(sum_byte AS DOUBLE) / CAST(n_valid AS DOUBLE) END AS mean_byte
+FROM {_TILES_VALUES} CROSS JOIN agg
+"""
+
+
 def _path_profile_sql() -> str:
     return (
         _SQL_PTS
@@ -509,6 +620,7 @@ def queries():
         "terrain_cogroup": q_terrain_cogroup,
         "tile_hillshade_stats": q_tile_hillshade_stats,
         "tile_pyramid_stats": q_tile_pyramid_stats,
+        "pyramid_hillshade_stats": q_pyramid_hillshade_stats,
         "path_profile": q_path_profile,
     }
 
@@ -520,5 +632,6 @@ def oracle_sql() -> dict[str, str]:
         "terrain_cogroup": terr,
         "tile_hillshade_stats": _hillshade_stats_sql(),
         "tile_pyramid_stats": _pyramid_stats_sql(),
+        "pyramid_hillshade_stats": _pyramid_hillshade_sql(),
         "path_profile": _path_profile_sql(),
     }

@@ -424,6 +424,29 @@ def main():
         )
         sys.exit(1)
 
+    pyr = tq.q_pyramid_hillshade_stats(spark, sf_dir)
+    pyr_plan = plan_of(pyr)
+    sections.append(
+        (
+            "Zoom-stack hillshade render (map-only raster product)",
+            "Expected: catalog scan -> ONE MapInArrow stage (one decode per "
+            "tile feeds pooling, Horn stencil, and byte quantization for "
+            "every pyramid level) -> JVM codegen projection for mean_byte. "
+            "HARD REQUIREMENT: zero Exchanges — tile blobs and rendered "
+            "payloads never shuffle; this is the same shape the whole-tile "
+            "hillshade and overview-pyramid renders share.",
+            pyr_plan,
+        )
+    )
+    n_pyr_ex = len(_re.findall(r"\(\d+\) Exchange\b", pyr_plan))
+    if n_pyr_ex != 0:
+        print(
+            f"FATAL: pyramid-hillshade plan has {n_pyr_ex} shuffle Exchanges "
+            "(expected 0 — map-only render)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — .explain('formatted') audit of the key plan shapes\n")
         for title, expect, plan in sections:

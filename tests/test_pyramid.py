@@ -109,3 +109,73 @@ def test_tile_pyramid_flushes_large_batches(monkeypatch, spark):
         (k, lvl) for k in range(4) for lvl in (1, 2)
     ]
     assert all(len(bytes(r.bytes)) == 2 * (1200 >> r.level) ** 2 for r in out)
+
+
+def test_pyramid_hillshade_end_to_end(spark):
+    """Zoom-stack hillshade: each (tile, level) row's payload equals an
+    independent pool -> Horn stencil -> quantize recomputation of the
+    gradient fixture; stats are exact aggregates of the payload; the plan
+    stays map-only (zero Exchanges)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from htg_spark.driver_queries import get_engine, gradient_void_grid
+    from htg_spark.operators import terrain
+
+    eng = get_engine(spark)
+    out = pyramid.pyramid_hillshade(eng.catalog, levels=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange\b", buf.getvalue())) == 0
+
+    rows = out.collect()
+    assert len(rows) == 9  # 3 tiles x 3 levels
+    g = gradient_void_grid()
+    core = g[:1200, :1200]
+    valid = core != hgt.VOID_VALUE
+    base = np.where(valid, core.astype(np.int64), np.int64(0))
+    for row in rows:
+        m = (1200 >> row.level) - 2
+        assert (row.w, row.h, row.fmt) == (m, m, "gray8")
+        assert (
+            row.image_id
+            == f"hillshade_N{row.tile_lat}E{row.tile_lon}_L{row.level}"
+        )
+        q, _cnt = pyramid.pool_level(base, valid, row.level)
+        gxs, gys, ok = terrain.tile_horn_grids(q.astype(np.int16))
+        img, byte = terrain.hillshade_bytes(gxs, gys, ok)
+        got = np.frombuffer(bytes(row.bytes), dtype=np.uint8).reshape(m, m)
+        assert np.array_equal(got, img)
+        vb = byte[byte >= 0]
+        assert row.n_valid == len(vb)
+        assert row.sum_byte == int(vb.sum())
+        assert row.min_byte == int(vb.min())
+        assert row.max_byte == int(vb.max())
+
+
+def test_pyramid_hillshade_void_pooled_cells(spark):
+    """A fully-void pooled block must render as invalid (ok=False) in the
+    level-1 stencil around it — the VOID_VALUE sentinel survives pooling
+    into the Horn validity rule."""
+    from htg_spark import catalog as cat_mod
+    from htg_spark.operators import terrain
+
+    rng = np.random.default_rng(7)
+    grid = rng.integers(0, 3000, size=(1201, 1201)).astype(np.int16)
+    grid[10:12, 10:12] = hgt.VOID_VALUE  # one all-void level-1 block (5,5)
+    cat = cat_mod.catalog_from_grids(spark, {(42, 7): grid})
+    rows = pyramid.pyramid_hillshade(cat, levels=1).collect()
+    assert len(rows) == 1
+    core = grid[:1200, :1200]
+    valid = core != hgt.VOID_VALUE
+    base = np.where(valid, core.astype(np.int64), np.int64(0))
+    q, cnt = pyramid.pool_level(base, valid, 1)
+    assert q[5, 5] == hgt.VOID_VALUE and cnt[5, 5] == 0
+    _gxs, _gys, ok = terrain.tile_horn_grids(q.astype(np.int16))
+    # the 3x3 stencil neighborhood of the void pooled cell is invalid
+    assert not ok[3:6, 3:6].any()
+    img = np.frombuffer(bytes(rows[0].bytes), dtype=np.uint8).reshape(598, 598)
+    assert (img[3:6, 3:6] == 0).all()
+    assert rows[0].n_valid == int(ok.sum())
