@@ -596,6 +596,25 @@ def q_images_elevation_join(spark, sf_dir):
     ).join(stats.select("image_id", "mean_r", "mean_g", "mean_b"), "image_id")
 
 
+def q_image_chips(spark, sf_dir):
+    """Fixed-size training-patch extraction (multimodal.chip_images):
+    every input_hint image split into non-overlapping 4x4 chips (partial
+    edges dropped), REAL payloads decoded on the Spark side. The oracle
+    recomputes every chip's exact per-channel sums from the pixel closed
+    form ((e*31 + 7k) % 256 at k = (r*w + c)*3 + ch), so the crop bounds,
+    the chip indexing, and the channel split are all value-checked;
+    chip BYTES vs an independent NumPy split are pytest-checked
+    (tests/test_multimodal.py)."""
+    from .operators import multimodal
+
+    imgs = derive_images_table(_events(spark, sf_dir))
+    out = multimodal.chip_images(imgs, chip=4)
+    return out.select(
+        "image_id", "chip_row", "chip_col", "w", "h",
+        "sum_r", "sum_g", "sum_b",
+    )
+
+
 def q_tile_info(spark, sf_dir):
     eng = get_engine(spark)
     info = cat_mod.tile_info(eng.catalog)
@@ -877,6 +896,36 @@ SELECT uo.image_id, uo.phash, uo.lat, uo.lon, uo.tile_lat, uo.tile_lon,
 FROM uo JOIN istats s ON s.image_id = uo.image_id
 """
     )
+    # image_chips: every full 4x4 patch's exact per-channel sums from the
+    # pixel closed form; the crop drops partial edges (r < (h//4)*4,
+    # c < (w//4)*4) exactly like the reshape split. w = 4 + e%13 (width),
+    # h = 4 + e%11 (height); pixel k = (r*w + c)*3 + ch.
+    image_chips_sql = """
+WITH pxk AS (
+  SELECT event_id,
+    unnest(generate_series(0, (4 + event_id % 13) * (4 + event_id % 11) * 3 - 1)) AS k
+  FROM events
+),
+px AS (
+  SELECT event_id,
+    (k // 3) // (4 + event_id % 13) AS r,
+    (k // 3) % (4 + event_id % 13) AS c,
+    k % 3 AS ch,
+    (event_id * 31 + 7 * k) % 256 AS val
+  FROM pxk
+)
+SELECT 'img_' || CAST(event_id AS VARCHAR) AS image_id,
+  CAST(r // 4 AS INTEGER) AS chip_row,
+  CAST(c // 4 AS INTEGER) AS chip_col,
+  CAST(4 AS INTEGER) AS w, CAST(4 AS INTEGER) AS h,
+  CAST(sum(CASE WHEN ch = 0 THEN val END) AS BIGINT) AS sum_r,
+  CAST(sum(CASE WHEN ch = 1 THEN val END) AS BIGINT) AS sum_g,
+  CAST(sum(CASE WHEN ch = 2 THEN val END) AS BIGINT) AS sum_b
+FROM px
+WHERE r < ((4 + event_id % 11) // 4) * 4
+  AND c < ((4 + event_id % 13) // 4) * 4
+GROUP BY event_id, r // 4, c // 4
+"""
     tile_info_sql = """
 WITH g AS (SELECT r.range AS row, c.range AS col FROM range(0, 1201) r, range(0, 1201) c),
 cells_t AS (
@@ -1002,6 +1051,7 @@ FROM r WHERE rank <= 3
         "elevation_cogroup_knn": knn,
         "images_geotag_join": images_geotag,
         "images_elevation_join": images_elev,
+        "image_chips": image_chips_sql,
         "accuracy_stats": accuracy,
         "tile_info": tile_info_sql,
         "tile_inventory": inventory,
@@ -1029,6 +1079,7 @@ def queries():
         "accuracy_stats": q_accuracy_stats,
         "images_geotag_join": q_images_geotag_join,
         "images_elevation_join": q_images_elevation_join,
+        "image_chips": q_image_chips,
         "tile_info": q_tile_info,
         "tile_inventory": q_tile_inventory,
         "bbox_preload": q_bbox_preload,

@@ -192,6 +192,102 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+def chip_images(images: DataFrame, chip: int = 4) -> DataFrame:
+    """Split every image into non-overlapping ``chip x chip`` patches — the
+    standard vision-training patcher (ViT-style fixed-size chips): one
+    output row per full patch, partial edge chips dropped (floor(h/chip) x
+    floor(w/chip) per image, the usual crop-to-multiple convention).
+
+    Output: (image_id, chip_row, chip_col, w, h, fmt='raw', bytes) — the
+    same payload schema as the input table, so chips compose with every
+    other image operator — plus exact per-channel int64 sums so a
+    closed-form SQL oracle can value-check the split arithmetic without
+    shipping payloads.
+
+    The split is one reshape+transpose per uniform-shape subgroup over the
+    stacked block (no per-image Python); output assembly is Arrow-native:
+    ONE BinaryArray over the contiguous chip block with arithmetic offsets
+    (the resize_images pattern). Scale shape: map-only, zero shuffles;
+    output rows = input rows x chips-per-image, bounded per Arrow batch by
+    the <=1 GiB chunking below.
+    """
+    import pyarrow as pa
+
+    if chip < 1:
+        raise ValueError("chip must be >= 1")
+    row_nbytes = chip * chip * 3
+
+    out_schema = (
+        "image_id string, chip_row int, chip_col int, w int, h int, "
+        "fmt string, bytes binary, sum_r bigint, sum_g bigint, sum_b bigint"
+    )
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        schema = pa.schema(
+            [
+                ("image_id", pa.string()),
+                ("chip_row", pa.int32()),
+                ("chip_col", pa.int32()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("fmt", pa.string()),
+                ("bytes", pa.binary()),
+                ("sum_r", pa.int64()),
+                ("sum_g", pa.int64()),
+                ("sum_b", pa.int64()),
+            ]
+        )
+        # binary offsets are int32: emit one RecordBatch per <=1 GiB chunk
+        # of chip payload (see CLAUDE.md / resize_images)
+        chunk_rows = max(1, (1 << 30) // row_nbytes)
+        for rb in batches:
+            pdf = rb.to_pandas()
+            for pos, stack in _decode_stacks(pdf):
+                n, h, w = stack.shape[0], stack.shape[1], stack.shape[2]
+                nr, nc = h // chip, w // chip
+                if nr == 0 or nc == 0:
+                    continue  # image smaller than one chip: nothing to emit
+                crop = stack[:, : nr * chip, : nc * chip, :]
+                # (n, nr, chip, nc, chip, 3) -> (n, nr, nc, chip, chip, 3)
+                chips = crop.reshape(n, nr, chip, nc, chip, 3).transpose(
+                    0, 1, 3, 2, 4, 5
+                )
+                m_total = n * nr * nc
+                block = np.ascontiguousarray(chips.reshape(m_total, chip, chip, 3))
+                sums = block.sum(axis=(1, 2), dtype=np.int64)  # (m_total, 3)
+                ids = np.repeat(pdf["image_id"].to_numpy()[pos], nr * nc)
+                rows_idx = np.tile(np.repeat(np.arange(nr, dtype=np.int32), nc), n)
+                cols_idx = np.tile(np.arange(nc, dtype=np.int32), n * nr)
+                for s in range(0, m_total, chunk_rows):
+                    blk = block[s : s + chunk_rows]
+                    m = blk.shape[0]
+                    offsets = np.arange(m + 1, dtype=np.int32) * row_nbytes
+                    blob_arr = pa.Array.from_buffers(
+                        pa.binary(), m,
+                        [None, pa.py_buffer(offsets),
+                         pa.py_buffer(np.ascontiguousarray(blk))],
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(ids[s : s + m], type=pa.string()),
+                            pa.array(rows_idx[s : s + m]),
+                            pa.array(cols_idx[s : s + m]),
+                            pa.array(np.full(m, chip, dtype=np.int32)),
+                            pa.array(np.full(m, chip, dtype=np.int32)),
+                            pa.array(["raw"] * m, type=pa.string()),
+                            blob_arr,
+                            pa.array(sums[s : s + m, 0]),
+                            pa.array(sums[s : s + m, 1]),
+                            pa.array(sums[s : s + m, 2]),
+                        ],
+                        schema=schema,
+                    )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        run, schema=out_schema
+    )
+
+
 def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
     """Deterministic pixel-derived embedding (downsampled grayscale grid,
     L2-normalized) — the feature-extraction plumbing for the ANN operators;

@@ -525,6 +525,121 @@ def render_hillshade(catalog: DataFrame) -> DataFrame:
     )
 
 
+def terrain_rgb(catalog: DataFrame) -> DataFrame:
+    """Encode every catalog tile as a Terrain-RGB raster — the standard
+    webmap elevation-tile format (Mapbox/MapTiler convention): each sample
+    packs ``v = (elevation + 10000) * 10`` big-endian into (R, G, B), so a
+    client decodes ``elevation = -10000 + (R*65536 + G*256 + B) / 10``.
+    For int16 SRTM samples v is an exact non-negative integer < 2^24 and a
+    multiple of 10, so the round-trip is bit-exact (PSNR = inf).
+
+    Emits one rgb24 image row per tile in input_hint shape (image_id,
+    bytes, w, h, fmt) plus exact per-channel aggregate stats so a
+    closed-form SQL oracle can value-check the full encode arithmetic
+    without shipping 4 MB payloads. VOID samples — and any sample below
+    the -10000 m encode floor, which only VOID is in real SRTM — render
+    (0, 0, 0) and are excluded from the stats (the webmap nodata
+    convention).
+
+    One map-only mapInArrow pass over the tile blobs — zero shuffle
+    Exchanges, the same proven scale shape as ``render_hillshade``.
+    """
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("tile_lat", T.IntegerType()),
+            T.StructField("tile_lon", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("n_valid", T.LongType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("sum_v", T.LongType()),
+            T.StructField("min_v", T.LongType()),
+            T.StructField("max_v", T.LongType()),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        def flush(rows):
+            cols = list(zip(*rows))
+            arrays = [
+                pa.array(cols[0], type=pa.string()),
+                pa.array(cols[1], type=pa.int32()),
+                pa.array(cols[2], type=pa.int32()),
+                pa.array(cols[3], type=pa.int32()),
+                pa.array(cols[4], type=pa.int32()),
+                pa.array(cols[5], type=pa.string()),
+                pa.array(cols[6], type=pa.binary()),
+            ] + [pa.array(cols[j], type=pa.int64()) for j in range(7, 14)]
+            return pa.RecordBatch.from_arrays(arrays, names=names)
+
+        for batch in batches:
+            tl_a = batch.column(batch.schema.get_field_index("tile_lat"))
+            tn_a = batch.column(batch.schema.get_field_index("tile_lon"))
+            fn_a = batch.column(batch.schema.get_field_index("filename"))
+            data_a = batch.column(batch.schema.get_field_index("data"))
+            rows, payload = [], 0
+            for i in range(batch.num_rows):
+                grid = hgt.decode_tile(data_a[i].as_py())
+                n = int(grid.shape[0])
+                # the encode domain is elev >= -10000 (v >= 0); any sample
+                # below the floor (only VOID_VALUE in real SRTM, but be
+                # total over int16) renders nodata like void does
+                valid = grid >= -10000
+                v = np.where(valid, (grid.astype(np.int64) + 10000) * 10, 0)
+                img = np.empty((n, n, 3), dtype=np.uint8)
+                img[..., 0] = v >> 16
+                img[..., 1] = (v >> 8) & 255
+                img[..., 2] = v & 255
+                vv = v[valid]
+                n_valid = int(valid.sum())
+                rows.append(
+                    (
+                        "rgb_" + fn_a[i].as_py().rsplit(".", 1)[0],
+                        int(tl_a[i].as_py()),
+                        int(tn_a[i].as_py()),
+                        n,
+                        n,
+                        "rgb24",
+                        img.tobytes(),
+                        n_valid,
+                        int((vv >> 16).sum()) if n_valid else 0,
+                        int(((vv >> 8) & 255).sum()) if n_valid else 0,
+                        int((vv & 255).sum()) if n_valid else 0,
+                        int(vv.sum()) if n_valid else 0,
+                        int(vv.min()) if n_valid else None,
+                        int(vv.max()) if n_valid else None,
+                    )
+                )
+                payload += 3 * n * n
+                if payload >= _RENDER_FLUSH_BYTES:
+                    yield flush(rows)
+                    rows, payload = [], 0
+            if rows:
+                yield flush(rows)
+
+    return catalog.select("tile_lat", "tile_lon", "filename", "data").mapInArrow(
+        run, schema=out_schema
+    )
+
+
+def terrain_rgb_decode(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Client-side decode of a Terrain-RGB payload back to elevations
+    (int32, -10000 where the sample was encoded as nodata (0,0,0)): the
+    round-trip contract tests assert bit-exactness against the source
+    grid on valid cells."""
+    px = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+    v = (px[..., 0] << 16) | (px[..., 1] << 8) | px[..., 2]
+    return (v // 10 - 10000).astype(np.int32)
+
+
 def horn_reference(grid: np.ndarray, row: int, col: int):
     """From-scratch scalar reference (independent of horn_sums' vectorized
     gather) for tests: returns (gxs, gys, ok)."""

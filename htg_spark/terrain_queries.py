@@ -179,6 +179,38 @@ def q_pyramid_hillshade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_terrain_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain-RGB encode (terrain.terrain_rgb): every catalog tile packed
+    into the standard webmap elevation-tile format, v = (elev+10000)*10
+    split big-endian across (R, G, B). The payload round-trip is
+    pytest-checked bit-exact (tests/test_terrain.py); here the oracle
+    recomputes the per-channel sums, the packed-value extrema, and the
+    decoded mean elevation from the gradient closed form — value-checking
+    the full encode arithmetic without shipping the 4 MB payloads."""
+    eng = get_engine(spark)
+    out = terrain.terrain_rgb(eng.catalog)
+    return out.select(
+        "image_id",
+        "tile_lat",
+        "tile_lon",
+        "w",
+        "h",
+        "n_valid",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "sum_v",
+        "min_v",
+        "max_v",
+        F.when(
+            F.col("n_valid") > 0,
+            F.col("sum_v").cast("double")
+            / (F.lit(10.0) * F.col("n_valid").cast("double"))
+            - F.lit(10000.0),
+        ).alias("mean_elev"),
+    )
+
+
 def path_samples(pts: DataFrame) -> DataFrame:
     """9 samples along the segment from each point to the fixed endpoint:
     lat_t = lat + (END - lat) * (step / 8.0). One stateless explode — the
@@ -550,6 +582,47 @@ FROM {_TILES_VALUES} CROSS JOIN agg
 """
 
 
+def _terrain_rgb_sql() -> str:
+    """Terrain-RGB stats in closed form over the FULL 1201x1201 gradient
+    grid (the encode covers every sample, not just the core or interior):
+    v = (z + 10000) * 10 is non-negative, so channel extraction is plain
+    truncating arithmetic (v // 65536, (v // 256) % 256, v % 256) on both
+    engines; mean_elev uses the documented float op order (sum / (10 * n)
+    - 10000) so the double matches Spark bit-for-bit."""
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 1201) r, range(0, 1201) c
+),
+e AS (
+  SELECT (((r + c) % 4000) + 10000) * 10 AS v
+  FROM g WHERE (r*1201 + c) % 97 <> 0
+),
+agg AS (
+  SELECT
+    count(*) AS n_valid,
+    CAST(sum(v // 65536) AS BIGINT) AS sum_r,
+    CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
+    CAST(sum(v % 256) AS BIGINT) AS sum_b,
+    CAST(sum(v) AS BIGINT) AS sum_v,
+    CAST(min(v) AS BIGINT) AS min_v,
+    CAST(max(v) AS BIGINT) AS max_v
+  FROM e
+)
+SELECT
+  'rgb_' || printf('%s%02d%s%03d',
+      CASE WHEN tiles.tile_lat >= 0 THEN 'N' ELSE 'S' END, abs(tiles.tile_lat),
+      CASE WHEN tiles.tile_lon >= 0 THEN 'E' ELSE 'W' END, abs(tiles.tile_lon)
+  ) AS image_id,
+  tiles.tile_lat, tiles.tile_lon,
+  CAST(1201 AS INTEGER) AS w, CAST(1201 AS INTEGER) AS h,
+  n_valid, sum_r, sum_g, sum_b, sum_v, min_v, max_v,
+  CASE WHEN n_valid > 0
+       THEN CAST(sum_v AS DOUBLE) / (10.0 * CAST(n_valid AS DOUBLE)) - 10000.0
+  END AS mean_elev
+FROM {_TILES_VALUES} CROSS JOIN agg
+"""
+
+
 def _path_profile_sql() -> str:
     return (
         _SQL_PTS
@@ -621,6 +694,7 @@ def queries():
         "tile_hillshade_stats": q_tile_hillshade_stats,
         "tile_pyramid_stats": q_tile_pyramid_stats,
         "pyramid_hillshade_stats": q_pyramid_hillshade_stats,
+        "terrain_rgb_stats": q_terrain_rgb_stats,
         "path_profile": q_path_profile,
     }
 
@@ -633,5 +707,6 @@ def oracle_sql() -> dict[str, str]:
         "tile_hillshade_stats": _hillshade_stats_sql(),
         "tile_pyramid_stats": _pyramid_stats_sql(),
         "pyramid_hillshade_stats": _pyramid_hillshade_sql(),
+        "terrain_rgb_stats": _terrain_rgb_sql(),
         "path_profile": _path_profile_sql(),
     }

@@ -447,6 +447,30 @@ def main():
         )
         sys.exit(1)
 
+    import htg_spark.driver_queries as dqmod
+
+    chips = dqmod.q_image_chips(spark, sf_dir)
+    chips_plan = plan_of(chips)
+    sections.append(
+        (
+            "Training-patch extraction (map-only fan-out over image payloads)",
+            "Expected: events scan -> MapInPandas (deterministic image "
+            "synthesis) -> ONE MapInArrow stage (decode + reshape split + "
+            "Arrow-native chip assembly) -> projection. HARD REQUIREMENT: "
+            "zero Exchanges — payloads never shuffle even though output "
+            "rows fan out ~10x per image.",
+            chips_plan,
+        )
+    )
+    n_chip_ex = len(_re.findall(r"\(\d+\) Exchange\b", chips_plan))
+    if n_chip_ex != 0:
+        print(
+            f"FATAL: image-chips plan has {n_chip_ex} shuffle Exchanges "
+            "(expected 0 — map-only fan-out)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — .explain('formatted') audit of the key plan shapes\n")
         for title, expect, plan in sections:

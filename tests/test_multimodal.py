@@ -87,3 +87,48 @@ def test_resize_chunked_output_batches(spark, images):
     # and end-to-end: output equals itself under a second run (stability)
     again = mm.resize_images(images, 8, 8).orderBy("image_id").toPandas()
     assert (full["bytes"] == again["bytes"]).all()
+
+
+def test_chip_images_bytes_and_sums(spark, images):
+    """Every chip's payload equals the independent NumPy slice of the
+    decoded source image; sums are exact aggregates of the payload;
+    partial edge chips are dropped (floor(h/4) x floor(w/4) per image)."""
+    out = multimodal.chip_images(images, chip=4).toPandas()
+    src = fixtures.make_images_pdf(48)
+    expected_total = 0
+    decoded = {}
+    for _, r in src.iterrows():
+        px = fixtures.decode_image(bytes(r["bytes"]), int(r["w"]), int(r["h"]), r["fmt"])
+        decoded[r["image_id"]] = px
+        expected_total += (px.shape[0] // 4) * (px.shape[1] // 4)
+    assert len(out) == expected_total
+    assert (out["w"] == 4).all() and (out["h"] == 4).all()
+    assert (out["fmt"] == "raw").all()
+    for _, row in out.sample(n=25, random_state=0).iterrows():
+        px = decoded[row["image_id"]]
+        cr, cc = int(row["chip_row"]), int(row["chip_col"])
+        ref = px[cr * 4 : cr * 4 + 4, cc * 4 : cc * 4 + 4, :]
+        got = np.frombuffer(row["bytes"], dtype=np.uint8).reshape(4, 4, 3)
+        assert np.array_equal(got, ref)
+        assert row["sum_r"] == int(ref[:, :, 0].sum(dtype=np.int64))
+        assert row["sum_g"] == int(ref[:, :, 1].sum(dtype=np.int64))
+        assert row["sum_b"] == int(ref[:, :, 2].sum(dtype=np.int64))
+
+
+def test_chip_images_subchip_images_emit_nothing(spark):
+    """Images smaller than one chip in either dimension produce zero rows
+    (crop-to-multiple convention), not an error."""
+    import pandas as pd
+
+    px = np.arange(2 * 9 * 3, dtype=np.uint8).reshape(2, 9, 3)
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["tiny"],
+            "bytes": [px.tobytes()],
+            "w": np.array([9], dtype=np.int32),
+            "h": np.array([2], dtype=np.int32),
+            "fmt": ["raw"],
+        }
+    )
+    out = multimodal.chip_images(spark.createDataFrame(pdf), chip=4).collect()
+    assert out == []

@@ -349,3 +349,64 @@ def test_path_profile_cum_gain(spark):
     ).orderBy("step").collect()
     # deltas: NULL, +20, NULL, NULL, +35 -> cum: NULL, 20, 20, 20, 55
     assert [r.g for r in out] == [None, 20, 20, 20, 55]
+
+
+def test_terrain_rgb_roundtrip_bit_exact(spark):
+    """The Terrain-RGB payload decodes back to the source grid bit-exactly
+    on valid samples (PSNR = inf) with nodata rendered (0,0,0); the
+    aggregate stats equal exact recomputations from the payload; the plan
+    is map-only (zero Exchanges)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from htg_spark import catalog as cat_mod
+    from htg_spark.operators import terrain
+
+    rng = np.random.default_rng(11)
+    grid = rng.integers(-450, 4500, size=(1201, 1201)).astype(np.int16)
+    grid[rng.random((1201, 1201)) < 0.03] = hgt.VOID_VALUE
+    cat = cat_mod.catalog_from_grids(spark, {(-7, -34): grid})
+    out = terrain.terrain_rgb(cat)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange\b", buf.getvalue())) == 0
+
+    rows = out.collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert (row.w, row.h, row.fmt) == (1201, 1201, "rgb24")
+    assert row.image_id == "rgb_S07W034"
+    dec = terrain.terrain_rgb_decode(bytes(row.bytes), row.w, row.h)
+    valid = grid != hgt.VOID_VALUE
+    assert np.array_equal(dec[valid], grid[valid].astype(np.int32))
+    assert (dec[~valid] == -10000).all()  # nodata encodes (0,0,0)
+    v = (grid[valid].astype(np.int64) + 10000) * 10
+    assert row.n_valid == int(valid.sum())
+    assert row.sum_r == int((v >> 16).sum())
+    assert row.sum_g == int(((v >> 8) & 255).sum())
+    assert row.sum_b == int((v & 255).sum())
+    assert row.sum_v == int(v.sum())
+    assert (row.min_v, row.max_v) == (int(v.min()), int(v.max()))
+
+
+def test_terrain_rgb_extremes_fit_24_bits():
+    """The packing is exact over the whole encode domain (elev >= -10000,
+    v in [0, 2^24) for int16): +32767 and the -10000 floor round-trip;
+    anything below the floor (only VOID_VALUE in real SRTM, but the
+    operator is total over int16) is treated as nodata."""
+    grid = np.array([[-10000, 32767], [0, -1]], dtype=np.int16)
+    v = (grid.astype(np.int64) + 10000) * 10
+    assert (v >= 0).all() and (v < (1 << 24)).all()
+    img = np.empty((2, 2, 3), dtype=np.uint8)
+    img[..., 0] = v >> 16
+    img[..., 1] = (v >> 8) & 255
+    img[..., 2] = v & 255
+    from htg_spark.operators import terrain
+
+    dec = terrain.terrain_rgb_decode(img.tobytes(), 2, 2)
+    assert np.array_equal(dec, grid.astype(np.int32))
+    # below the encode floor -> same nodata rule as void
+    below = np.array([[-10001, -32767]], dtype=np.int16)
+    assert not (below >= -10000).any()
