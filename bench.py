@@ -171,6 +171,7 @@ def main():
         ("tile_pyramid_stats", _tq.q_tile_pyramid_stats),
         ("pyramid_hillshade_stats", _tq.q_pyramid_hillshade_stats),
         ("terrain_rgb_stats", _tq.q_terrain_rgb_stats),
+        ("d8_flow_histogram", _tq.q_d8_histogram),
         ("image_chips", _dq.q_image_chips),
         ("path_profile", _tq.q_path_profile),
         ("pipeline_e2e", pq.q_pipeline_e2e),

@@ -630,6 +630,127 @@ def terrain_rgb(catalog: DataFrame) -> DataFrame:
     )
 
 
+# ESRI D8 direction codes (powers of two, clockwise from East); 0 = flat
+# or pit (no strictly-positive drop among the 8 neighbors)
+_D8_DIRS = (
+    (0, 1, 1),     # E
+    (1, 1, 2),     # SE (diagonal)
+    (1, 0, 4),     # S
+    (1, -1, 8),    # SW (diagonal)
+    (0, -1, 16),   # W
+    (-1, -1, 32),  # NW (diagonal)
+    (-1, 0, 64),   # N
+    (-1, 1, 128),  # NE (diagonal)
+)
+
+
+def tile_d8_grids(grid: np.ndarray):
+    """Whole-tile D8 flow direction over the (n-2)x(n-2) interior — the
+    standard hydrology 'steepest descent neighbor' raster (ESRI/GDAL
+    convention: codes 1,2,4,...,128 clockwise from East; 0 = flat/pit).
+
+    The steepest-descent comparison is EXACT integer arithmetic: a
+    straight drop d_s beats a diagonal drop d_d iff d_s > d_d/sqrt(2)
+    iff 2*d_s^2 > d_d^2 (both positive), so the comparable score is
+    2*d^2 for straight neighbors and d^2 for diagonals — a monotone
+    bijection per class with exact cross-class ordering, no floats.
+    Ties break to the FIRST direction in clockwise-from-East order
+    (strict-> update), which is deterministic and engine-portable.
+
+    Returns (codes, ok): int32 (n-2, n-2) direction codes and the same
+    all-9-samples-valid mask as the Horn stencil."""
+    n = grid.shape[0]
+    g = grid.astype(np.int64, copy=False)
+
+    def z(dr: int, dc: int) -> np.ndarray:
+        return g[1 + dr : n - 1 + dr, 1 + dc : n - 1 + dc]
+
+    void = np.zeros((n - 2, n - 2), dtype=bool)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            void |= z(dr, dc) == hgt.VOID_VALUE
+    center = z(0, 0)
+    best = np.zeros_like(center)
+    codes = np.zeros(center.shape, dtype=np.int32)
+    for dr, dc, code in _D8_DIRS:
+        d = center - z(dr, dc)
+        mult = 1 if (dr and dc) else 2
+        score = np.where(d > 0, d * d * mult, np.int64(0))
+        upd = score > best
+        best = np.where(upd, score, best)
+        codes = np.where(upd, np.int32(code), codes)
+    return codes, ~void
+
+
+def d8_histogram(catalog: DataFrame) -> DataFrame:
+    """Per-tile D8 flow-direction histogram: 9 rows per tile (the 8
+    direction codes + 0 for flat/pit), counting interior cells whose full
+    3x3 neighborhood is valid. One map-only mapInArrow pass — the
+    histogram is computed in-map per tile (tiles are distinct rows), so
+    the plan has zero shuffle Exchanges, same as every raster product
+    here."""
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("tile_lat", T.IntegerType()),
+            T.StructField("tile_lon", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("n_cells", T.LongType()),
+        ]
+    )
+    all_codes = np.array([0] + [c for _, _, c in _D8_DIRS], dtype=np.int32)
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            tl_a = batch.column(batch.schema.get_field_index("tile_lat"))
+            tn_a = batch.column(batch.schema.get_field_index("tile_lon"))
+            data_a = batch.column(batch.schema.get_field_index("data"))
+            tls, tns, cds, cnts = [], [], [], []
+            for i in range(batch.num_rows):
+                grid = hgt.decode_tile(data_a[i].as_py())
+                codes, ok = tile_d8_grids(grid)
+                vals = codes[ok]
+                tl, tn = int(tl_a[i].as_py()), int(tn_a[i].as_py())
+                for c in all_codes:
+                    tls.append(tl)
+                    tns.append(tn)
+                    cds.append(int(c))
+                    cnts.append(int((vals == c).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(tls, type=pa.int32()),
+                    pa.array(tns, type=pa.int32()),
+                    pa.array(cds, type=pa.int32()),
+                    pa.array(cnts, type=pa.int64()),
+                ],
+                names=["tile_lat", "tile_lon", "code", "n_cells"],
+            )
+
+    return catalog.select("tile_lat", "tile_lon", "data").mapInArrow(
+        run, schema=out_schema
+    )
+
+
+def d8_reference(grid: np.ndarray, row: int, col: int):
+    """From-scratch scalar reference for tests (independent of the
+    vectorized shifted-view argmax): returns (code, ok) at one interior
+    cell."""
+    ok = all(
+        grid[row + dr, col + dc] != hgt.VOID_VALUE
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    )
+    best, best_code = 0, 0
+    for dr, dc, code in _D8_DIRS:
+        d = int(grid[row, col]) - int(grid[row + dr, col + dc])
+        if d > 0:
+            score = d * d * (1 if (dr and dc) else 2)
+            if score > best:
+                best, best_code = score, code
+    return best_code, ok
+
+
 def terrain_rgb_decode(payload: bytes, w: int, h: int) -> np.ndarray:
     """Client-side decode of a Terrain-RGB payload back to elevations
     (int32, -10000 where the sample was encoded as nodata (0,0,0)): the

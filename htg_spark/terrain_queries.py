@@ -211,6 +211,20 @@ def q_terrain_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_d8_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow-direction histogram per catalog tile (terrain.d8_histogram):
+    the standard hydrology steepest-descent raster, reduced in-map to 9
+    counts per tile (8 ESRI direction codes + 0 for flat/pit), counting
+    interior cells whose full 3x3 neighborhood is valid. The per-cell code
+    raster itself is pytest-checked against a scalar reference on random
+    void-planted grids (tests/test_terrain.py); the oracle recomputes the
+    exact-integer steepest-descent comparison (2*d^2 straight vs d^2
+    diagonal, first-clockwise-from-East tie-break) from the gradient
+    closed form."""
+    eng = get_engine(spark)
+    return terrain.d8_histogram(eng.catalog)
+
+
 def path_samples(pts: DataFrame) -> DataFrame:
     """9 samples along the segment from each point to the fixed endpoint:
     lat_t = lat + (END - lat) * (step / 8.0). One stateless explode — the
@@ -623,6 +637,63 @@ FROM {_TILES_VALUES} CROSS JOIN agg
 """
 
 
+def _d8_histogram_sql() -> str:
+    """D8 flow-direction histogram in closed form. Everything is exact
+    integer arithmetic: per interior cell with an all-valid 3x3
+    neighborhood, the drop to each of the 8 neighbors scores 2*d^2
+    (straight) or d^2 (diagonal) when d > 0 — the monotone no-float
+    encoding of d_straight > d_diag/sqrt(2) — and the code is the FIRST
+    direction in clockwise-from-East order reaching the maximum score
+    (greatest + first-match CASE == the kernel's strict-greater update).
+    Grid content is tile-independent, so one histogram cross-joined to the
+    tile list mirrors the per-tile map-side reduction; every tile emits
+    all 9 code rows, zero counts included."""
+    ok = " AND ".join(_nonvoid(dr, dc) for dr, dc in _OFFS)
+    z0 = _z(0, 0)
+    d_cols = ", ".join(
+        f"({z0}) - ({_z(dr, dc)}) AS d{i}"
+        for i, (dr, dc, _) in enumerate(terrain._D8_DIRS)
+    )
+    s_cols = ", ".join(
+        f"CASE WHEN d{i} > 0 THEN d{i} * d{i} * {1 if (dr and dc) else 2} "
+        f"ELSE 0 END AS s{i}"
+        for i, (dr, dc, _) in enumerate(terrain._D8_DIRS)
+    )
+    best = "greatest(" + ", ".join(f"s{i}" for i in range(8)) + ")"
+    code_case = "CASE WHEN b = 0 THEN 0 " + " ".join(
+        f"WHEN s{i} = b THEN {code}"
+        for i, (_, _, code) in enumerate(terrain._D8_DIRS)
+    ) + " END"
+    all_codes = "[0, " + ", ".join(str(c) for _, _, c in terrain._D8_DIRS) + "]"
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(1, 1200) r, range(1, 1200) c
+),
+okc AS (
+  SELECT r, c FROM g WHERE {ok}
+),
+dd AS (
+  SELECT {d_cols} FROM okc
+),
+sc AS (
+  SELECT {s_cols} FROM dd
+),
+coded AS (
+  SELECT {code_case} AS code FROM (SELECT *, {best} AS b FROM sc)
+),
+hist AS (
+  SELECT code, count(*) AS n FROM coded GROUP BY code
+),
+codes AS (SELECT unnest({all_codes}) AS code)
+SELECT tiles.tile_lat, tiles.tile_lon,
+  CAST(codes.code AS INTEGER) AS code,
+  CAST(coalesce(hist.n, 0) AS BIGINT) AS n_cells
+FROM {_TILES_VALUES}
+CROSS JOIN codes
+LEFT JOIN hist ON hist.code = codes.code
+"""
+
+
 def _path_profile_sql() -> str:
     return (
         _SQL_PTS
@@ -695,6 +766,7 @@ def queries():
         "tile_pyramid_stats": q_tile_pyramid_stats,
         "pyramid_hillshade_stats": q_pyramid_hillshade_stats,
         "terrain_rgb_stats": q_terrain_rgb_stats,
+        "d8_flow_histogram": q_d8_histogram,
         "path_profile": q_path_profile,
     }
 
@@ -708,5 +780,6 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid_stats": _pyramid_stats_sql(),
         "pyramid_hillshade_stats": _pyramid_hillshade_sql(),
         "terrain_rgb_stats": _terrain_rgb_sql(),
+        "d8_flow_histogram": _d8_histogram_sql(),
         "path_profile": _path_profile_sql(),
     }

@@ -221,6 +221,64 @@ def test_tile_horn_grids_matches_pointwise():
     assert np.array_equal(np.where(ok_t, gys_t, 0).ravel(), gys_p)
 
 
+def test_tile_d8_matches_reference():
+    """The vectorized shifted-view D8 raster equals the scalar steepest-
+    descent reference at every interior cell of a random void-planted
+    grid (random int grids contain same-class score ties, so the
+    first-clockwise-from-East tie-break is exercised too)."""
+    rng = np.random.default_rng(11)
+    g = _rand_grid(rng, n=40)
+    codes, ok = terrain.tile_d8_grids(g)
+    for r in range(1, 39):
+        for c in range(1, 39):
+            exp_code, exp_ok = terrain.d8_reference(g, r, c)
+            assert ok[r - 1, c - 1] == exp_ok
+            assert codes[r - 1, c - 1] == exp_code
+
+
+def test_tile_d8_flat_and_tiebreak():
+    """A flat grid is all code 0; an equal straight-drop tie (E vs N)
+    resolves to E — the first direction in clockwise-from-East order."""
+    flat = np.full((5, 5), 100, dtype=np.int16)
+    codes, ok = terrain.tile_d8_grids(flat)
+    assert ok.all() and (codes == 0).all()
+
+    tie = np.full((3, 3), 100, dtype=np.int16)
+    tie[1, 2] = 90  # E drop 10 (score 200)
+    tie[0, 1] = 90  # N drop 10 (score 200)
+    codes, ok = terrain.tile_d8_grids(tie)
+    assert ok[0, 0] and codes[0, 0] == 1  # E, not N (64)
+
+
+def test_d8_histogram_query(spark):
+    """The per-tile map-side reduction: 9 rows per catalog tile whose
+    counts equal the NumPy histogram of the whole-tile D8 raster, in a
+    zero-Exchange plan."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from htg_spark.driver_queries import get_engine, gradient_void_grid
+
+    eng = get_engine(spark)
+    out = terrain.d8_histogram(eng.catalog)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange\b", buf.getvalue())) == 0
+
+    rows = out.collect()
+    assert len(rows) == 27  # 3 tiles x 9 code rows (zero counts included)
+    g = gradient_void_grid()
+    codes, ok = terrain.tile_d8_grids(g)
+    vals = codes[ok]
+    exp = {c: int((vals == c).sum()) for c in (0, 1, 2, 4, 8, 16, 32, 64, 128)}
+    for row in rows:
+        assert row.n_cells == exp[row.code]
+    per_tile = {(r.tile_lat, r.tile_lon) for r in rows}
+    assert per_tile == {(35, 138), (35, 139), (36, 138)}
+
+
 def test_render_hillshade_bytes_and_stats(spark):
     """Rendered image rows: pixel bytes equal an independent per-cell
     scalar recomputation on a sample; stats are exact aggregates of the
