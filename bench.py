@@ -172,6 +172,7 @@ def main():
         ("pyramid_hillshade_stats", _tq.q_pyramid_hillshade_stats),
         ("terrain_rgb_stats", _tq.q_terrain_rgb_stats),
         ("d8_flow_histogram", _tq.q_d8_histogram),
+        ("flow_accumulation", _tq.q_flow_accumulation),
         ("image_chips", _dq.q_image_chips),
         ("path_profile", _tq.q_path_profile),
         ("pipeline_e2e", pq.q_pipeline_e2e),

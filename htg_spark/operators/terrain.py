@@ -751,6 +751,146 @@ def d8_reference(grid: np.ndarray, row: int, col: int):
     return best_code, ok
 
 
+# accumulation >= this many upstream cells marks a "channel" cell in the
+# flow stats (the classic stream-extraction threshold, here a fixed knob)
+CHANNEL_THRESHOLD = 16
+
+
+def tile_flow_accumulation(grid: np.ndarray) -> np.ndarray:
+    """Whole-tile D8 flow accumulation over the interior: for each cell
+    with a fully-valid 3x3 neighborhood ('ok'), the number of ok cells
+    whose D8 flow path drains through it, INCLUDING itself (so every ok
+    cell has accumulation >= 1 — the ESRI convention plus self).
+
+    Semantics at validity boundaries: only ok cells carry flow. Flow into
+    a non-ok cell, a flat/pit (code 0), or off the interior leaves the
+    accounted raster. Non-ok cells get accumulation 0.
+
+    Algorithm (exact, no floats): D8 edges go STRICTLY downhill, so
+    processing source cells in descending-elevation order is a valid
+    topological order — one argsort, then one scatter-add
+    (``np.add.at``) per distinct elevation level pushes each cell's
+    final count to its downstream neighbor. No iteration-to-convergence,
+    no Python-per-cell loop; work is O(N log N) per tile and stays
+    in-map (cross-tile drainage is a deliberate non-goal, matching the
+    per-tile independence of every raster product here)."""
+    codes, ok = tile_d8_grids(grid)
+    m = codes.shape[0]
+    # one vectorized pass builds every downstream index: code -> (dr, dc)
+    # through a 129-slot LUT (codes are powers of two; slot 0 = no edge)
+    lut_dr = np.zeros(129, dtype=np.int64)
+    lut_dc = np.zeros(129, dtype=np.int64)
+    for dr, dc, code in _D8_DIRS:
+        lut_dr[code], lut_dc[code] = dr, dc
+    ti = np.arange(m, dtype=np.int64)[:, None] + lut_dr[codes]
+    tj = np.arange(m, dtype=np.int64)[None, :] + lut_dc[codes]
+    okr = ok.ravel()
+    inb = (
+        okr
+        & (codes.ravel() != 0)
+        & (ti.ravel() >= 0)
+        & (ti.ravel() < m)
+        & (tj.ravel() >= 0)
+        & (tj.ravel() < m)
+    )
+    down_f = np.full(m * m, -1, dtype=np.int64)
+    idx = np.nonzero(inb)[0]
+    tgt = ti.ravel()[idx] * m + tj.ravel()[idx]
+    recv = okr[tgt]  # flow into a non-ok cell leaves the accounted raster
+    down_f[idx[recv]] = tgt[recv]
+
+    acc = np.where(ok, np.int64(1), np.int64(0)).ravel()
+    z = grid[1 : m + 1, 1 : m + 1].astype(np.int64).ravel()
+    src = np.nonzero(down_f >= 0)[0]
+    if src.size:
+        # descending-elevation topological sweep, grouped by level so each
+        # np.add.at batch has no intra-batch dependencies (equal-z cells
+        # can never flow to each other — drops are strictly positive)
+        order = src[np.argsort(-z[src], kind="stable")]
+        zs = z[order]
+        starts = np.flatnonzero(np.r_[True, zs[1:] != zs[:-1]])
+        bounds = np.r_[starts, order.size]
+        for k in range(starts.size):
+            lvl = order[bounds[k] : bounds[k + 1]]
+            np.add.at(acc, down_f[lvl], acc[lvl])
+    return acc.reshape(m, m)
+
+
+def flow_accumulation_reference(grid: np.ndarray) -> np.ndarray:
+    """From-scratch scalar reference for tests (independent of the level
+    sweep): walk every ok cell's flow path, incrementing each ok cell it
+    drains through. Strictly-downhill edges guarantee termination."""
+    codes, ok = tile_d8_grids(grid)
+    m = codes.shape[0]
+    step = {code: (dr, dc) for dr, dc, code in _D8_DIRS}
+    acc = np.zeros((m, m), dtype=np.int64)
+    for i in range(m):
+        for j in range(m):
+            if not ok[i, j]:
+                continue
+            r, c = i, j
+            while True:
+                acc[r, c] += 1
+                if codes[r, c] == 0:
+                    break
+                dr, dc = step[codes[r, c]]
+                r, c = r + dr, c + dc
+                if not (0 <= r < m and 0 <= c < m and ok[r, c]):
+                    break
+    return acc
+
+
+def flow_accumulation_stats(catalog: DataFrame) -> DataFrame:
+    """Per-tile drainage summary of the D8 flow-accumulation raster: ok
+    cell count, total and maximum accumulation, and the number of
+    'channel' cells (accumulation >= CHANNEL_THRESHOLD). One map-only
+    mapInArrow pass — same zero-Exchange shape as every raster product."""
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("tile_lat", T.IntegerType()),
+            T.StructField("tile_lon", T.IntegerType()),
+            T.StructField("n_cells", T.LongType()),
+            T.StructField("sum_acc", T.LongType()),
+            T.StructField("max_acc", T.LongType()),
+            T.StructField("n_channel", T.LongType()),
+        ]
+    )
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            tl_a = batch.column(batch.schema.get_field_index("tile_lat"))
+            tn_a = batch.column(batch.schema.get_field_index("tile_lon"))
+            data_a = batch.column(batch.schema.get_field_index("data"))
+            out = {k: [] for k in out_schema.fieldNames()}
+            for i in range(batch.num_rows):
+                grid = hgt.decode_tile(data_a[i].as_py())
+                acc = tile_flow_accumulation(grid)
+                pos = acc[acc > 0]
+                out["tile_lat"].append(int(tl_a[i].as_py()))
+                out["tile_lon"].append(int(tn_a[i].as_py()))
+                out["n_cells"].append(int(pos.size))
+                out["sum_acc"].append(int(pos.sum()) if pos.size else 0)
+                out["max_acc"].append(int(pos.max()) if pos.size else 0)
+                out["n_channel"].append(int((acc >= CHANNEL_THRESHOLD).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["tile_lat"], type=pa.int32()),
+                    pa.array(out["tile_lon"], type=pa.int32()),
+                    pa.array(out["n_cells"], type=pa.int64()),
+                    pa.array(out["sum_acc"], type=pa.int64()),
+                    pa.array(out["max_acc"], type=pa.int64()),
+                    pa.array(out["n_channel"], type=pa.int64()),
+                ],
+                names=out_schema.fieldNames(),
+            )
+
+    return catalog.select("tile_lat", "tile_lon", "data").mapInArrow(
+        run, schema=out_schema
+    )
+
+
 def terrain_rgb_decode(payload: bytes, w: int, h: int) -> np.ndarray:
     """Client-side decode of a Terrain-RGB payload back to elevations
     (int32, -10000 where the sample was encoded as nodata (0,0,0)): the

@@ -225,6 +225,22 @@ def q_d8_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain.d8_histogram(eng.catalog)
 
 
+def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow-accumulation drainage summary per catalog tile
+    (terrain.flow_accumulation_stats): upstream-cell counts computed by a
+    descending-elevation topological sweep in-map, reduced to exact
+    integer stats (ok cells, total/max accumulation, channel cells at
+    accumulation >= 16). The per-cell raster is pytest-checked against a
+    path-walking scalar reference on random void-planted grids; the
+    oracle recomputes the accumulation in closed form — on the gradient
+    fixture every valid cell's steepest descent is NW (the D8 histogram
+    oracle independently proves exactly that), so accumulation equals the
+    consecutive-ok run length along each cell's upstream diagonal, a
+    gaps-and-islands window query."""
+    eng = get_engine(spark)
+    return terrain.flow_accumulation_stats(eng.catalog)
+
+
 def path_samples(pts: DataFrame) -> DataFrame:
     """9 samples along the segment from each point to the fixed endpoint:
     lat_t = lat + (END - lat) * (step / 8.0). One stateless explode — the
@@ -694,6 +710,50 @@ LEFT JOIN hist ON hist.code = codes.code
 """
 
 
+def _flow_accumulation_sql() -> str:
+    """Flow-accumulation stats in closed form. On the gradient grid
+    z = r + c (no modulo wrap below r + c = 4000) the steepest descent of
+    every valid cell is NW — drop 2 scores 4, beating the straight drops'
+    2*1^2 = 2 with no tie — which the d8_flow_histogram oracle derives
+    independently from the generic scoring rule. So each cell's upstream
+    is exactly its SE neighbor (in-degree <= 1, chains along c - r
+    diagonals) and accumulation = the consecutive-all-9-valid run length
+    from the cell toward increasing r: a gaps-and-islands window pair
+    (island id = r - row_number asc; accumulation = row_number desc
+    within the island). Channel threshold shared with the kernel
+    constant."""
+    ok = " AND ".join(_nonvoid(dr, dc) for dr, dc in _OFFS)
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(1, 1200) r, range(1, 1200) c
+),
+okc AS (
+  SELECT r, c FROM g WHERE {ok}
+),
+runs AS (
+  SELECT r, c,
+    r - row_number() OVER (PARTITION BY c - r ORDER BY r) AS grp
+  FROM okc
+),
+acc AS (
+  SELECT row_number() OVER (PARTITION BY c - r, grp ORDER BY r DESC) AS a
+  FROM runs
+),
+agg AS (
+  SELECT
+    count(*) AS n_cells,
+    CAST(sum(a) AS BIGINT) AS sum_acc,
+    CAST(max(a) AS BIGINT) AS max_acc,
+    CAST(sum(CASE WHEN a >= {terrain.CHANNEL_THRESHOLD} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_channel
+  FROM acc
+)
+SELECT tiles.tile_lat, tiles.tile_lon,
+  n_cells, sum_acc, max_acc, n_channel
+FROM {_TILES_VALUES} CROSS JOIN agg
+"""
+
+
 def _path_profile_sql() -> str:
     return (
         _SQL_PTS
@@ -767,6 +827,7 @@ def queries():
         "pyramid_hillshade_stats": q_pyramid_hillshade_stats,
         "terrain_rgb_stats": q_terrain_rgb_stats,
         "d8_flow_histogram": q_d8_histogram,
+        "flow_accumulation": q_flow_accumulation,
         "path_profile": q_path_profile,
     }
 
@@ -781,5 +842,6 @@ def oracle_sql() -> dict[str, str]:
         "pyramid_hillshade_stats": _pyramid_hillshade_sql(),
         "terrain_rgb_stats": _terrain_rgb_sql(),
         "d8_flow_histogram": _d8_histogram_sql(),
+        "flow_accumulation": _flow_accumulation_sql(),
         "path_profile": _path_profile_sql(),
     }

@@ -279,6 +279,71 @@ def test_d8_histogram_query(spark):
     assert per_tile == {(35, 138), (35, 139), (36, 138)}
 
 
+def test_flow_accumulation_matches_reference():
+    """The descending-elevation level sweep equals the path-walking
+    scalar reference on random void-planted grids (in-degree > 1 cells,
+    broken chains at validity boundaries, flats/pits all occur)."""
+    for seed in (7, 21):
+        rng = np.random.default_rng(seed)
+        g = _rand_grid(rng, n=36)
+        got = terrain.tile_flow_accumulation(g)
+        exp = terrain.flow_accumulation_reference(g)
+        assert np.array_equal(got, exp)
+        assert got.max() > 1  # the fixture actually chains flow
+
+
+def test_flow_accumulation_semantics():
+    """Hand-checkable cases: a flat grid accumulates 1 everywhere (every
+    ok cell is its own pit); a single descending diagonal accumulates a
+    run; flow into a non-ok cell leaves the accounted raster."""
+    flat = np.full((6, 6), 50, dtype=np.int16)
+    acc = terrain.tile_flow_accumulation(flat)
+    assert (acc == 1).all()
+
+    # z = r + c slope: every interior cell flows NW; accumulation along
+    # the main diagonal of the 4x4 interior is 1..4 toward the NW corner
+    r, c = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
+    grid = (r + c).astype(np.int16)
+    acc = terrain.tile_flow_accumulation(grid)
+    assert [acc[k, k] for k in range(4)] == [4, 3, 2, 1]
+
+    # planting a void at the grid center invalidates every interior cell
+    # whose 3x3 touches it — interior (1..3, 1..3) all lose ok — so the
+    # NW corner keeps only itself on its chain
+    grid2 = grid.copy()
+    grid2[3, 3] = hgt.VOID_VALUE
+    acc2 = terrain.tile_flow_accumulation(grid2)
+    assert acc2[1, 1] == 0 and acc2[2, 2] == 0
+    assert acc2[0, 0] == 1  # upstream (1,1) is not ok -> chain breaks
+
+
+def test_flow_accumulation_stats_query(spark):
+    """Per-tile drainage stats equal the NumPy aggregates of the
+    whole-tile accumulation raster, in a zero-Exchange plan."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from htg_spark.driver_queries import get_engine, gradient_void_grid
+
+    eng = get_engine(spark)
+    out = terrain.flow_accumulation_stats(eng.catalog)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange\b", buf.getvalue())) == 0
+
+    rows = out.collect()
+    assert len(rows) == 3
+    acc = terrain.tile_flow_accumulation(gradient_void_grid())
+    pos = acc[acc > 0]
+    for row in rows:
+        assert row.n_cells == int(pos.size)
+        assert row.sum_acc == int(pos.sum())
+        assert row.max_acc == int(pos.max())
+        assert row.n_channel == int((acc >= terrain.CHANNEL_THRESHOLD).sum())
+
+
 def test_render_hillshade_bytes_and_stats(spark):
     """Rendered image rows: pixel bytes equal an independent per-cell
     scalar recomputation on a sample; stats are exact aggregates of the
