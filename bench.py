@@ -179,6 +179,16 @@ def main():
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),
         ("image_resize", lambda s, d: multimodal.resize_images(imgs, 8, 8)),
         ("image_embedding", lambda s, d: multimodal.image_embedding(imgs, dim=16)),
+        ("image_augment", lambda s, d: multimodal.augment_images(
+            imgs.withColumn(
+                "aug_delta",
+                ((F.split(F.col("image_id"), "_").getItem(1).cast("long") % 96) - 48
+                 ).cast("int"),
+            ).withColumn(
+                "aug_flip",
+                (F.split(F.col("image_id"), "_").getItem(1).cast("long") % 2) == 0,
+            )
+        )),
     )
     try:
         for name, fn in pipeline_entries:

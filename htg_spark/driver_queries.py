@@ -615,6 +615,30 @@ def q_image_chips(spark, sf_dir):
     )
 
 
+def q_image_augment(spark, sf_dir):
+    """Deterministic augmentation stage (multimodal.augment_images):
+    saturating brightness shift + horizontal flip with per-image
+    parameters derived in closed form from the id (delta = e%96 - 48,
+    flip = e even), REAL payloads decoded/re-encoded on the Spark side.
+    The oracle recomputes the exact per-channel sums of the augmented
+    pixels (LEAST/GREATEST saturation over the pixel closed form); flip
+    permutes pixels within rows so sums are flip-invariant — the flipped
+    BYTES are pytest-checked against a direct NumPy reverse
+    (tests/test_multimodal.py)."""
+    from .operators import multimodal
+
+    imgs = derive_images_table(_events(spark, sf_dir))
+    e = F.split(F.col("image_id"), "_").getItem(1).cast("long")
+    out = multimodal.augment_images(
+        imgs.withColumn("aug_delta", ((e % 96) - 48).cast("int")).withColumn(
+            "aug_flip", (e % 2) == 0
+        )
+    )
+    return out.select(
+        "image_id", "w", "h", "aug_delta", "aug_flip", "sum_r", "sum_g", "sum_b"
+    )
+
+
 def q_tile_info(spark, sf_dir):
     eng = get_engine(spark)
     info = cat_mod.tile_info(eng.catalog)
@@ -926,6 +950,31 @@ WHERE r < ((4 + event_id % 11) // 4) * 4
   AND c < ((4 + event_id % 13) // 4) * 4
 GROUP BY event_id, r // 4, c // 4
 """
+    # image_augment: per-channel sums of the saturated brightness shift
+    # over the pixel closed form; the horizontal flip permutes pixels
+    # within (row, channel) so the sums are flip-invariant by construction
+    image_augment_sql = """
+WITH pxk AS (
+  SELECT event_id,
+    unnest(generate_series(0, (4 + event_id % 13) * (4 + event_id % 11) * 3 - 1)) AS k
+  FROM events
+),
+ax AS (
+  SELECT event_id, k % 3 AS ch,
+    LEAST(255, GREATEST(0,
+      (event_id * 31 + 7 * k) % 256 + ((event_id % 96) - 48))) AS val
+  FROM pxk
+)
+SELECT 'img_' || CAST(event_id AS VARCHAR) AS image_id,
+  CAST(4 + event_id % 13 AS INTEGER) AS w,
+  CAST(4 + event_id % 11 AS INTEGER) AS h,
+  CAST((event_id % 96) - 48 AS INTEGER) AS aug_delta,
+  (event_id % 2 = 0) AS aug_flip,
+  CAST(sum(CASE WHEN ch = 0 THEN val END) AS BIGINT) AS sum_r,
+  CAST(sum(CASE WHEN ch = 1 THEN val END) AS BIGINT) AS sum_g,
+  CAST(sum(CASE WHEN ch = 2 THEN val END) AS BIGINT) AS sum_b
+FROM ax GROUP BY event_id
+"""
     tile_info_sql = """
 WITH g AS (SELECT r.range AS row, c.range AS col FROM range(0, 1201) r, range(0, 1201) c),
 cells_t AS (
@@ -1052,6 +1101,7 @@ FROM r WHERE rank <= 3
         "images_geotag_join": images_geotag,
         "images_elevation_join": images_elev,
         "image_chips": image_chips_sql,
+        "image_augment": image_augment_sql,
         "accuracy_stats": accuracy,
         "tile_info": tile_info_sql,
         "tile_inventory": inventory,
@@ -1080,6 +1130,7 @@ def queries():
         "images_geotag_join": q_images_geotag_join,
         "images_elevation_join": q_images_elevation_join,
         "image_chips": q_image_chips,
+        "image_augment": q_image_augment,
         "tile_info": q_tile_info,
         "tile_inventory": q_tile_inventory,
         "bbox_preload": q_bbox_preload,

@@ -288,6 +288,95 @@ def chip_images(images: DataFrame, chip: int = 4) -> DataFrame:
     )
 
 
+def augment_images(images: DataFrame) -> DataFrame:
+    """Deterministic training-time augmentation: per-row saturating
+    brightness shift + optional horizontal flip — the reproducible
+    (seeded-elsewhere) augmentation stage of a vision data pipeline.
+
+    Input carries the parameters as columns so the op stays generic:
+    (image_id, bytes, w, h, fmt, aug_delta int, aug_flip boolean);
+    pixels' = clip(p + aug_delta, 0, 255), columns reversed when
+    aug_flip. Output keeps the payload schema (fmt='raw', same dims) and
+    adds exact per-channel int64 sums of the AUGMENTED pixels so a
+    closed-form SQL oracle can value-check the saturation arithmetic
+    without shipping payloads (a horizontal flip permutes pixels within
+    rows, so channel sums are flip-invariant — the flip itself is
+    pytest-checked byte-for-byte).
+
+    Same scale shape as resize/chips: decode + augment vectorized per
+    uniform-shape subgroup, Arrow-native output assembly (ONE BinaryArray
+    per <=1 GiB chunk), map-only, zero shuffles."""
+    import pyarrow as pa
+
+    out_schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "aug_delta int, aug_flip boolean, sum_r bigint, sum_g bigint, "
+        "sum_b bigint"
+    )
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        schema = pa.schema(
+            [
+                ("image_id", pa.string()),
+                ("bytes", pa.binary()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("fmt", pa.string()),
+                ("aug_delta", pa.int32()),
+                ("aug_flip", pa.bool_()),
+                ("sum_r", pa.int64()),
+                ("sum_g", pa.int64()),
+                ("sum_b", pa.int64()),
+            ]
+        )
+        for rb in batches:
+            pdf = rb.to_pandas()
+            deltas = pdf["aug_delta"].to_numpy(dtype=np.int64)
+            flips = pdf["aug_flip"].to_numpy(dtype=bool)
+            ids_all = pdf["image_id"].to_numpy()
+            # one output batch per uniform-shape subgroup: fixed row_nbytes
+            # gives arithmetic int32 offsets over the contiguous augmented
+            # block (the resize_images pattern), chunked <=1 GiB
+            for pos, stack in _decode_stacks(pdf):
+                d = deltas[pos][:, None, None, None]
+                aug = np.clip(stack.astype(np.int64) + d, 0, 255).astype(np.uint8)
+                f = flips[pos]
+                aug[f] = aug[f][:, :, ::-1, :]
+                sums = aug.sum(axis=(1, 2), dtype=np.int64)
+                h, w = stack.shape[1], stack.shape[2]
+                row_nbytes = h * w * 3
+                chunk_rows = max(1, (1 << 30) // row_nbytes)
+                for s in range(0, len(pos), chunk_rows):
+                    blk = aug[s : s + chunk_rows]
+                    m = blk.shape[0]
+                    offsets = np.arange(m + 1, dtype=np.int32) * row_nbytes
+                    blob_arr = pa.Array.from_buffers(
+                        pa.binary(), m,
+                        [None, pa.py_buffer(offsets),
+                         pa.py_buffer(np.ascontiguousarray(blk))],
+                    )
+                    sl = pos[s : s + m]
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(ids_all[sl], type=pa.string()),
+                            blob_arr,
+                            pa.array(np.full(m, w, dtype=np.int32)),
+                            pa.array(np.full(m, h, dtype=np.int32)),
+                            pa.array(["raw"] * m, type=pa.string()),
+                            pa.array(deltas[sl].astype(np.int32)),
+                            pa.array(flips[sl]),
+                            pa.array(sums[s : s + m, 0]),
+                            pa.array(sums[s : s + m, 1]),
+                            pa.array(sums[s : s + m, 2]),
+                        ],
+                        schema=schema,
+                    )
+
+    return images.select(
+        "image_id", "bytes", "w", "h", "fmt", "aug_delta", "aug_flip"
+    ).mapInArrow(run, schema=out_schema)
+
+
 def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
     """Deterministic pixel-derived embedding (downsampled grayscale grid,
     L2-normalized) — the feature-extraction plumbing for the ANN operators;

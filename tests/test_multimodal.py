@@ -132,3 +132,43 @@ def test_chip_images_subchip_images_emit_nothing(spark):
     )
     out = multimodal.chip_images(spark.createDataFrame(pdf), chip=4).collect()
     assert out == []
+
+
+def test_augment_images_bytes_and_sums(spark, images):
+    """Augmented payloads equal the independent NumPy recompute —
+    saturating brightness shift then horizontal flip — and the emitted
+    channel sums are exact aggregates of the emitted payload. Saturation
+    actually clips on both rails (deltas reach +-40 over 0..255 pixels)."""
+    from pyspark.sql import functions as F
+
+    withp = images.withColumn(
+        "aug_delta", ((F.crc32(F.col("image_id")) % 81) - 40).cast("int")
+    ).withColumn("aug_flip", (F.crc32(F.col("image_id")) % 2) == 0)
+    params = {
+        r["image_id"]: (int(r["aug_delta"]), bool(r["aug_flip"]))
+        for r in withp.select("image_id", "aug_delta", "aug_flip").collect()
+    }
+    out = multimodal.augment_images(withp).toPandas()
+    assert len(out) == 48
+    assert (out["fmt"] == "raw").all()
+
+    src = fixtures.make_images_pdf(48)
+    clipped_lo = clipped_hi = 0
+    for _, row in out.iterrows():
+        r = src[src.image_id == row["image_id"]].iloc[0]
+        px = fixtures.decode_image(bytes(r["bytes"]), int(r["w"]), int(r["h"]), r["fmt"])
+        delta, flip = params[row["image_id"]]
+        assert (int(row["aug_delta"]), bool(row["aug_flip"])) == (delta, flip)
+        ref = np.clip(px.astype(np.int64) + delta, 0, 255).astype(np.uint8)
+        clipped_lo += int((px.astype(np.int64) + delta < 0).sum())
+        clipped_hi += int((px.astype(np.int64) + delta > 255).sum())
+        if flip:
+            ref = ref[:, ::-1, :]
+        got = np.frombuffer(row["bytes"], dtype=np.uint8).reshape(
+            int(row["h"]), int(row["w"]), 3
+        )
+        assert np.array_equal(got, ref)
+        assert row["sum_r"] == int(ref[:, :, 0].sum(dtype=np.int64))
+        assert row["sum_g"] == int(ref[:, :, 1].sum(dtype=np.int64))
+        assert row["sum_b"] == int(ref[:, :, 2].sum(dtype=np.int64))
+    assert clipped_lo > 0 and clipped_hi > 0
