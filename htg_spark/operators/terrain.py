@@ -891,6 +891,199 @@ def flow_accumulation_stats(catalog: DataFrame) -> DataFrame:
     )
 
 
+# default contour levels for the per-tile stats (SRTM elevations). The
+# gradient fixture z = (r+c) % 4000 never wraps on a 1201-grid (max r+c =
+# 2400), so the first five levels are crossed by real isolines while 3000
+# deliberately exceeds the fixture's range and exercises the
+# uniformly-below (0-segment) branch end-to-end.
+CONTOUR_LEVELS = (250, 750, 1250, 1750, 2250, 3000)
+
+# marching-squares segment count per 4-bit corner case
+# (idx = NW*8 + NE*4 + SE*2 + SW, corner above iff z >= level):
+# empty/full -> 0, the two saddle cases (0101, 1010) -> 2, else 1
+_MS_SEGMENTS = np.array(
+    [0, 1, 1, 1, 1, 2, 1, 1, 1, 1, 2, 1, 1, 1, 1, 0], dtype=np.int64
+)
+_MS_SADDLES = (5, 10)
+
+
+def tile_contour_grids(grid: np.ndarray, level: int):
+    """Marching-squares contour cells at one level over the (n-1)x(n-1)
+    cell lattice: returns (idx, valid) where idx is the 4-bit corner case
+    (NW*8 + NE*4 + SE*2 + SW, corner 'above' iff z >= level) and valid
+    means all 4 corner samples are non-void. Segment counts follow the
+    standard case table (_MS_SEGMENTS; both saddle cases emit 2)."""
+    nw = grid[:-1, :-1]
+    ne = grid[:-1, 1:]
+    se = grid[1:, 1:]
+    sw = grid[1:, :-1]
+    valid = (
+        (nw != hgt.VOID_VALUE)
+        & (ne != hgt.VOID_VALUE)
+        & (se != hgt.VOID_VALUE)
+        & (sw != hgt.VOID_VALUE)
+    )
+    idx = (
+        (nw >= level).astype(np.int64) * 8
+        + (ne >= level).astype(np.int64) * 4
+        + (se >= level).astype(np.int64) * 2
+        + (sw >= level).astype(np.int64)
+    )
+    return idx, valid
+
+
+def contour_reference(grid: np.ndarray, level: int, row: int, col: int):
+    """From-scratch scalar reference for tests: (n_segments, valid) of the
+    cell whose NW corner is (row, col)."""
+    corners = [
+        grid[row, col], grid[row, col + 1],
+        grid[row + 1, col + 1], grid[row + 1, col],
+    ]
+    valid = all(int(c) != hgt.VOID_VALUE for c in corners)
+    bits = [1 if int(c) >= level else 0 for c in corners]
+    idx = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
+    if idx in (0, 15):
+        seg = 0
+    elif idx in _MS_SADDLES:
+        seg = 2
+    else:
+        seg = 1
+    return seg, valid
+
+
+def contour_stats(catalog: DataFrame, levels=CONTOUR_LEVELS) -> DataFrame:
+    """Per-(tile, level) marching-squares contour summary: valid cell
+    count, total contour segment count, and saddle-cell count over the
+    full (n-1)x(n-1) cell lattice. One decode per tile serves every level
+    in a single map-only mapInArrow pass — zero shuffle Exchanges, the
+    standard raster-product shape here."""
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("tile_lat", T.IntegerType()),
+            T.StructField("tile_lon", T.IntegerType()),
+            T.StructField("level", T.IntegerType()),
+            T.StructField("n_cells", T.LongType()),
+            T.StructField("n_segments", T.LongType()),
+            T.StructField("n_saddles", T.LongType()),
+        ]
+    )
+    lvls = tuple(int(v) for v in levels)
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            tl_a = batch.column(batch.schema.get_field_index("tile_lat"))
+            tn_a = batch.column(batch.schema.get_field_index("tile_lon"))
+            data_a = batch.column(batch.schema.get_field_index("data"))
+            out = {k: [] for k in out_schema.fieldNames()}
+            for i in range(batch.num_rows):
+                grid = hgt.decode_tile(data_a[i].as_py())
+                tl, tn = int(tl_a[i].as_py()), int(tn_a[i].as_py())
+                for lv in lvls:
+                    idx, valid = tile_contour_grids(grid, lv)
+                    vi = idx[valid]
+                    out["tile_lat"].append(tl)
+                    out["tile_lon"].append(tn)
+                    out["level"].append(lv)
+                    out["n_cells"].append(int(valid.sum()))
+                    out["n_segments"].append(int(_MS_SEGMENTS[vi].sum()))
+                    out["n_saddles"].append(
+                        int(np.isin(vi, _MS_SADDLES).sum())
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["tile_lat"], type=pa.int32()),
+                    pa.array(out["tile_lon"], type=pa.int32()),
+                    pa.array(out["level"], type=pa.int32()),
+                    pa.array(out["n_cells"], type=pa.int64()),
+                    pa.array(out["n_segments"], type=pa.int64()),
+                    pa.array(out["n_saddles"], type=pa.int64()),
+                ],
+                names=out_schema.fieldNames(),
+            )
+
+    return catalog.select("tile_lat", "tile_lon", "data").mapInArrow(
+        run, schema=out_schema
+    )
+
+
+# quantile probes as integer ratios so the selected index is exact integer
+# arithmetic on both engines: index = ((n_valid - 1) * num) // den
+QUANTILE_RATIOS = ((25, 100), (50, 100), (75, 100), (90, 100), (99, 100))
+
+
+def tile_quantiles(grid: np.ndarray):
+    """Exact order statistics of a tile's valid samples: (n_valid, min,
+    max, [q25, q50, q75, q90, q99]) where each quantile is the element at
+    sorted index ((n-1) * num) // den — a pure-integer definition with no
+    interpolation, so NumPy / Spark / DuckDB can never disagree on
+    rounding. One np.partition per probe set (no full sort)."""
+    vals = grid[grid != hgt.VOID_VALUE].astype(np.int64).ravel()
+    n = vals.size
+    if n == 0:
+        return 0, None, None, [None] * len(QUANTILE_RATIOS)
+    idxs = [((n - 1) * num) // den for num, den in QUANTILE_RATIOS]
+    part = np.partition(vals, idxs)
+    return (
+        n,
+        int(vals.min()),
+        int(vals.max()),
+        [int(part[i]) for i in idxs],
+    )
+
+
+def elevation_quantiles(catalog: DataFrame) -> DataFrame:
+    """Per-tile exact elevation quantiles (tile_quantiles) — the
+    order-statistics extension of the tile min/max stats: one map-only
+    mapInArrow pass, zero shuffle Exchanges."""
+    import pyarrow as pa
+
+    names = ["q25", "q50", "q75", "q90", "q99"]
+    out_schema = T.StructType(
+        [
+            T.StructField("tile_lat", T.IntegerType()),
+            T.StructField("tile_lon", T.IntegerType()),
+            T.StructField("n_valid", T.LongType()),
+            T.StructField("min_elev", T.IntegerType()),
+            T.StructField("max_elev", T.IntegerType()),
+        ]
+        + [T.StructField(nm, T.IntegerType()) for nm in names]
+    )
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            tl_a = batch.column(batch.schema.get_field_index("tile_lat"))
+            tn_a = batch.column(batch.schema.get_field_index("tile_lon"))
+            data_a = batch.column(batch.schema.get_field_index("data"))
+            out = {k: [] for k in out_schema.fieldNames()}
+            for i in range(batch.num_rows):
+                grid = hgt.decode_tile(data_a[i].as_py())
+                n, mn, mx, qs = tile_quantiles(grid)
+                out["tile_lat"].append(int(tl_a[i].as_py()))
+                out["tile_lon"].append(int(tn_a[i].as_py()))
+                out["n_valid"].append(n)
+                out["min_elev"].append(mn)
+                out["max_elev"].append(mx)
+                for nm, q in zip(names, qs):
+                    out[nm].append(q)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["tile_lat"], type=pa.int32()),
+                    pa.array(out["tile_lon"], type=pa.int32()),
+                    pa.array(out["n_valid"], type=pa.int64()),
+                    pa.array(out["min_elev"], type=pa.int32()),
+                    pa.array(out["max_elev"], type=pa.int32()),
+                ]
+                + [pa.array(out[nm], type=pa.int32()) for nm in names],
+                names=out_schema.fieldNames(),
+            )
+
+    return catalog.select("tile_lat", "tile_lon", "data").mapInArrow(
+        run, schema=out_schema
+    )
+
+
 def terrain_rgb_decode(payload: bytes, w: int, h: int) -> np.ndarray:
     """Client-side decode of a Terrain-RGB payload back to elevations
     (int32, -10000 where the sample was encoded as nodata (0,0,0)): the

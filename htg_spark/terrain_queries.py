@@ -241,6 +241,28 @@ def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain.flow_accumulation_stats(eng.catalog)
 
 
+def q_contour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour summary per (tile, level)
+    (terrain.contour_stats): valid cells, total contour segments, saddle
+    cells over the full cell lattice at 6 fixed elevation levels, one
+    decode per tile serving every level in a map-only pass. The oracle
+    recomputes the 4-bit corner case and the standard segment table
+    generically (not fixture-specific) from the gradient closed form; the
+    per-cell case raster is pytest-checked against a scalar reference on
+    random void-planted grids, where saddle cases actually occur."""
+    eng = get_engine(spark)
+    return terrain.contour_stats(eng.catalog)
+
+
+def q_elevation_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-tile elevation quantiles (terrain.elevation_quantiles):
+    order statistics at pure-integer indices ((n-1)*num)//den — no
+    interpolation, so NumPy's np.partition, the oracle's window
+    row_number selection, and any engine's sort agree exactly."""
+    eng = get_engine(spark)
+    return terrain.elevation_quantiles(eng.catalog)
+
+
 def path_samples(pts: DataFrame) -> DataFrame:
     """9 samples along the segment from each point to the fixed endpoint:
     lat_t = lat + (END - lat) * (step / 8.0). One stateless explode — the
@@ -754,6 +776,88 @@ FROM {_TILES_VALUES} CROSS JOIN agg
 """
 
 
+def _contour_stats_sql() -> str:
+    """Contour stats in closed form, mirroring the marching-squares case
+    logic generically: corner 'above' iff z >= level, idx = NW*8 + NE*4 +
+    SE*2 + SW, segments = 0 for empty/full, 2 for the saddles (5, 10),
+    else 1; a cell is valid iff all 4 corners are non-void. Grid content
+    is tile-independent, so one grouped aggregate per level cross-joined
+    to the tile list mirrors the per-tile reduction."""
+    corners = [(0, 0, 8), (0, 1, 4), (1, 1, 2), (1, 0, 1)]
+    valid = " AND ".join(_nonvoid(dr, dc) for dr, dc, _ in corners)
+    idx = " + ".join(
+        f"CASE WHEN ({_z(dr, dc)}) >= level THEN {w} ELSE 0 END"
+        for dr, dc, w in corners
+    )
+    lvls = "[" + ", ".join(str(v) for v in terrain.CONTOUR_LEVELS) + "]"
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 1200) r, range(0, 1200) c
+),
+lv AS (SELECT unnest({lvls}) AS level),
+cells AS (
+  SELECT level, ({valid}) AS valid, ({idx}) AS idx
+  FROM g CROSS JOIN lv
+),
+agg AS (
+  SELECT level,
+    CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_cells,
+    CAST(sum(CASE WHEN valid THEN
+      CASE WHEN idx IN (0, 15) THEN 0
+           WHEN idx IN (5, 10) THEN 2 ELSE 1 END
+      ELSE 0 END) AS BIGINT) AS n_segments,
+    CAST(sum(CASE WHEN valid AND idx IN (5, 10) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_saddles
+  FROM cells GROUP BY level
+)
+SELECT tiles.tile_lat, tiles.tile_lon,
+  CAST(level AS INTEGER) AS level,
+  n_cells, n_segments, n_saddles
+FROM {_TILES_VALUES} CROSS JOIN agg
+"""
+
+
+def _elevation_quantiles_sql() -> str:
+    """Quantile oracle: sort the valid closed-form samples once, pick the
+    element at integer index ((n-1)*num)//den per probe — the identical
+    no-interpolation definition as the kernel. Grid content is
+    tile-independent, so one ordered selection cross-joined to the tile
+    list mirrors the per-tile reduction."""
+    sel = ", ".join(
+        f"max(CASE WHEN i = ((n - 1) * {num}) // {den} THEN z END) AS q{num}"
+        for num, den in terrain.QUANTILE_RATIOS
+    )
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 1201) r, range(0, 1201) c
+),
+v AS (
+  SELECT CAST((r + c) % 4000 AS BIGINT) AS z
+  FROM g WHERE (r * 1201 + c) % 97 <> 0
+),
+o AS (
+  SELECT z, row_number() OVER (ORDER BY z) - 1 AS i, count(*) OVER () AS n
+  FROM v
+),
+agg AS (
+  SELECT
+    CAST(max(n) AS BIGINT) AS n_valid,
+    CAST(min(z) AS INTEGER) AS min_elev,
+    CAST(max(z) AS INTEGER) AS max_elev,
+    {sel}
+  FROM o
+)
+SELECT tiles.tile_lat, tiles.tile_lon,
+  n_valid, min_elev, max_elev,
+  CAST(q25 AS INTEGER) AS q25,
+  CAST(q50 AS INTEGER) AS q50,
+  CAST(q75 AS INTEGER) AS q75,
+  CAST(q90 AS INTEGER) AS q90,
+  CAST(q99 AS INTEGER) AS q99
+FROM {_TILES_VALUES} CROSS JOIN agg
+"""
+
+
 def _path_profile_sql() -> str:
     return (
         _SQL_PTS
@@ -828,6 +932,8 @@ def queries():
         "terrain_rgb_stats": q_terrain_rgb_stats,
         "d8_flow_histogram": q_d8_histogram,
         "flow_accumulation": q_flow_accumulation,
+        "contour_stats": q_contour_stats,
+        "elevation_quantiles": q_elevation_quantiles,
         "path_profile": q_path_profile,
     }
 
@@ -843,5 +949,7 @@ def oracle_sql() -> dict[str, str]:
         "terrain_rgb_stats": _terrain_rgb_sql(),
         "d8_flow_histogram": _d8_histogram_sql(),
         "flow_accumulation": _flow_accumulation_sql(),
+        "contour_stats": _contour_stats_sql(),
+        "elevation_quantiles": _elevation_quantiles_sql(),
         "path_profile": _path_profile_sql(),
     }

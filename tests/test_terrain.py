@@ -344,6 +344,111 @@ def test_flow_accumulation_stats_query(spark):
         assert row.n_channel == int((acc >= terrain.CHANNEL_THRESHOLD).sum())
 
 
+def test_contour_grids_matches_reference():
+    """The vectorized marching-squares case raster equals the scalar
+    reference at every cell of random void-planted grids, and random int
+    grids actually contain saddle cells at mid-range levels."""
+    saw_saddle = False
+    for seed in (13, 29):
+        rng = np.random.default_rng(seed)
+        g = _rand_grid(rng, n=32)
+        for level in (500, 2000, 3500):
+            idx, valid = terrain.tile_contour_grids(g, level)
+            segs = terrain._MS_SEGMENTS[idx]
+            saw_saddle |= bool(np.isin(idx[valid], terrain._MS_SADDLES).any())
+            for r in range(0, 31, 3):
+                for c in range(0, 31, 3):
+                    exp_seg, exp_valid = terrain.contour_reference(g, level, r, c)
+                    assert valid[r, c] == exp_valid
+                    if exp_valid:
+                        assert segs[r, c] == exp_seg
+    assert saw_saddle
+
+
+def test_contour_case_table():
+    """The 16-entry segment table against hand-built 2x2 corner grids:
+    empty/full emit 0, the two diagonal saddles emit 2, the rest 1."""
+    for idx in range(16):
+        bits = [(idx >> 3) & 1, (idx >> 2) & 1, (idx >> 1) & 1, idx & 1]
+        g = np.array(
+            [[bits[0], bits[1]], [bits[3], bits[2]]], dtype=np.int16
+        ) * 100  # above iff z >= 50
+        got_idx, valid = terrain.tile_contour_grids(g, 50)
+        assert valid[0, 0] and got_idx[0, 0] == idx
+        exp = 0 if idx in (0, 15) else (2 if idx in (5, 10) else 1)
+        assert terrain._MS_SEGMENTS[idx] == exp
+
+
+def test_contour_stats_query(spark):
+    """Per-(tile, level) stats equal the NumPy aggregates of the
+    whole-tile case raster, in a zero-Exchange plan."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from htg_spark.driver_queries import get_engine, gradient_void_grid
+
+    eng = get_engine(spark)
+    out = terrain.contour_stats(eng.catalog)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange\b", buf.getvalue())) == 0
+
+    rows = out.collect()
+    assert len(rows) == 3 * len(terrain.CONTOUR_LEVELS)
+    g = gradient_void_grid()
+    for row in rows:
+        idx, valid = terrain.tile_contour_grids(g, row.level)
+        vi = idx[valid]
+        assert row.n_cells == int(valid.sum())
+        assert row.n_segments == int(terrain._MS_SEGMENTS[vi].sum())
+        assert row.n_saddles == int(np.isin(vi, terrain._MS_SADDLES).sum())
+        if row.level <= 2400:  # fixture z = r+c spans 0..2400, no wrap
+            assert row.n_segments > 0
+        else:  # the deliberate above-max level: uniformly-below branch
+            assert row.n_segments == 0 and row.n_cells > 0
+
+
+def test_tile_quantiles_matches_sort():
+    """np.partition selection equals full-sort indexing on random
+    void-planted grids, and the all-void grid yields the empty row."""
+    rng = np.random.default_rng(17)
+    g = _rand_grid(rng, n=50)
+    n, mn, mx, qs = terrain.tile_quantiles(g)
+    vals = np.sort(g[g != hgt.VOID_VALUE].astype(np.int64).ravel())
+    assert n == vals.size and mn == int(vals[0]) and mx == int(vals[-1])
+    for (num, den), q in zip(terrain.QUANTILE_RATIOS, qs):
+        assert q == int(vals[((n - 1) * num) // den])
+
+    allvoid = np.full((4, 4), hgt.VOID_VALUE, dtype=np.int16)
+    assert terrain.tile_quantiles(allvoid) == (0, None, None, [None] * 5)
+
+
+def test_elevation_quantiles_query(spark):
+    """Per-tile quantile rows equal the NumPy kernel on the fixture grid,
+    in a zero-Exchange plan."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from htg_spark.driver_queries import get_engine, gradient_void_grid
+
+    eng = get_engine(spark)
+    out = terrain.elevation_quantiles(eng.catalog)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange\b", buf.getvalue())) == 0
+
+    rows = out.collect()
+    assert len(rows) == 3
+    n, mn, mx, qs = terrain.tile_quantiles(gradient_void_grid())
+    for row in rows:
+        assert (row.n_valid, row.min_elev, row.max_elev) == (n, mn, mx)
+        assert [row.q25, row.q50, row.q75, row.q90, row.q99] == qs
+
+
 def test_render_hillshade_bytes_and_stats(spark):
     """Rendered image rows: pixel bytes equal an independent per-cell
     scalar recomputation on a sample; stats are exact aggregates of the
