@@ -615,6 +615,117 @@ def q_image_chips(spark, sf_dir):
     )
 
 
+def derive_audio_table(events: DataFrame) -> DataFrame:
+    """Deterministic audio-clip table (the audio leg of the input_hint
+    shape): every non-binary consequence is a closed form DuckDB can
+    mirror, while the payloads are REAL encoded clips the Spark side must
+    decode:
+
+    - sr = 8000 * (1 + e%3), n_samples = 256 + e%200
+    - sample k: ((e*17 + 5k) % 65536) - 32768 — full int16 range
+    - fmt = pcm16 when e even else pcm16z (zlib)
+    """
+    import zlib
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            e = pdf["event_id"].to_numpy(dtype=np.int64)
+            sr = (8000 * (1 + e % 3)).astype(np.int32)
+            ns = (256 + e % 200).astype(np.int32)
+            payloads, fmts = [], []
+            for i in range(len(e)):
+                k = np.arange(int(ns[i]), dtype=np.int64)
+                s = (((int(e[i]) * 17 + 5 * k) % 65536) - 32768).astype("<i2")
+                raw = s.tobytes()
+                if int(e[i]) % 2 == 0:
+                    payloads.append(raw)
+                    fmts.append("pcm16")
+                else:
+                    payloads.append(zlib.compress(raw, level=1))
+                    fmts.append("pcm16z")
+            yield pd.DataFrame(
+                {
+                    "audio_id": [f"aud_{int(x)}" for x in e],
+                    "bytes": payloads,
+                    "sr": sr,
+                    "n_samples": ns,
+                    "fmt": fmts,
+                }
+            )
+
+    return events.select("event_id").mapInPandas(
+        gen,
+        schema="audio_id string, bytes binary, sr int, n_samples int, fmt string",
+    )
+
+
+def derive_video_table(events: DataFrame) -> DataFrame:
+    """Deterministic video-clip table ('rawv' = n_frames raw RGB frames
+    concatenated): w = 4 + e%5, h = 4 + e%4, n_frames = 6 + e%10, frame f
+    pixel k: (e*31 + 11f + 7k) % 256."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            e = pdf["event_id"].to_numpy(dtype=np.int64)
+            w = (4 + e % 5).astype(np.int32)
+            h = (4 + e % 4).astype(np.int32)
+            nf = (6 + e % 10).astype(np.int32)
+            payloads = []
+            for i in range(len(e)):
+                fn = int(h[i]) * int(w[i]) * 3
+                f = np.arange(int(nf[i]), dtype=np.int64)[:, None]
+                k = np.arange(fn, dtype=np.int64)[None, :]
+                px = ((int(e[i]) * 31 + 11 * f + 7 * k) % 256).astype(np.uint8)
+                payloads.append(px.tobytes())
+            yield pd.DataFrame(
+                {
+                    "video_id": [f"vid_{int(x)}" for x in e],
+                    "bytes": payloads,
+                    "w": w,
+                    "h": h,
+                    "n_frames": nf,
+                    "fmt": ["rawv"] * len(e),
+                }
+            )
+
+    return events.select("event_id").mapInPandas(
+        gen,
+        schema=(
+            "video_id string, bytes binary, w int, h int, n_frames int, "
+            "fmt string"
+        ),
+    )
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio feature extraction end-to-end (multimodal.audio_features):
+    REAL pcm16/pcm16z payloads decoded vectorized; every feature exact
+    integer except rms, which is one documented divide + sqrt. The oracle
+    recomputes all of them from the sample closed form."""
+    from .operators import multimodal
+
+    aud = derive_audio_table(_events(spark, sf_dir))
+    return multimodal.audio_features(aud)
+
+
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling end-to-end (multimodal.video_frame_sample):
+    every 3rd frame of each REAL 'rawv' clip emitted as an image row with
+    exact per-channel sums; the oracle recomputes the sampled frame set
+    and sums from the pixel closed form. Frame BYTES vs independent NumPy
+    slices are pytest-checked (tests/test_multimodal.py)."""
+    from .operators import multimodal
+
+    vid = derive_video_table(_events(spark, sf_dir))
+    out = multimodal.video_frame_sample(vid, every_n=3)
+    return out.select(
+        "image_id", "frame_idx", "w", "h", "sum_r", "sum_g", "sum_b"
+    )
+
+
 def q_image_augment(spark, sf_dir):
     """Deterministic augmentation stage (multimodal.augment_images):
     saturating brightness shift + horizontal flip with per-image
@@ -950,6 +1061,66 @@ WHERE r < ((4 + event_id % 11) // 4) * 4
   AND c < ((4 + event_id % 13) // 4) * 4
 GROUP BY event_id, r // 4, c // 4
 """
+    # audio_features: every feature from the sample closed form
+    # ((e*17 + 5k) % 65536) - 32768; integer except rms = sqrt(sum_sq / n)
+    # in the kernel's documented op order
+    audio_features_sql = """
+WITH sk AS (
+  SELECT event_id,
+    unnest(generate_series(0, 256 + event_id % 200 - 1)) AS k
+  FROM events
+),
+s AS (
+  SELECT event_id, k,
+    ((event_id * 17 + 5 * k) % 65536) - 32768 AS v
+  FROM sk
+),
+agg AS (
+  SELECT event_id,
+    count(*) AS n,
+    CAST(max(abs(v)) AS BIGINT) AS peak,
+    CAST(sum(v * v) AS BIGINT) AS sum_sq,
+    CAST(sum(CASE WHEN k >= 1
+      AND (((event_id * 17 + 5 * (k - 1)) % 65536) - 32768) * v < 0
+      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM s GROUP BY event_id
+)
+SELECT 'aud_' || CAST(event_id AS VARCHAR) AS audio_id,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(n * 1000000 // (8000 * (1 + event_id % 3)) AS BIGINT) AS duration_us,
+  peak, sum_sq, zero_crossings,
+  sqrt(CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE)) AS rms
+FROM agg
+"""
+    # video_frames: sampled-frame channel sums from the pixel closed form
+    # (e*31 + 11f + 7k) % 256, every 3rd frame
+    video_frames_sql = """
+WITH fs AS (
+  SELECT event_id,
+    unnest(generate_series(0, 6 + event_id % 10 - 1)) AS f
+  FROM events
+),
+sel AS (SELECT event_id, f FROM fs WHERE f % 3 = 0),
+pk AS (
+  SELECT event_id, f,
+    unnest(generate_series(0, (4 + event_id % 5) * (4 + event_id % 4) * 3 - 1)) AS k
+  FROM sel
+),
+px AS (
+  SELECT event_id, f, k % 3 AS ch,
+    (event_id * 31 + 11 * f + 7 * k) % 256 AS val
+  FROM pk
+)
+SELECT 'vid_' || CAST(event_id AS VARCHAR) || '_f' || CAST(f AS VARCHAR)
+    AS image_id,
+  CAST(f AS INTEGER) AS frame_idx,
+  CAST(4 + event_id % 5 AS INTEGER) AS w,
+  CAST(4 + event_id % 4 AS INTEGER) AS h,
+  CAST(sum(CASE WHEN ch = 0 THEN val END) AS BIGINT) AS sum_r,
+  CAST(sum(CASE WHEN ch = 1 THEN val END) AS BIGINT) AS sum_g,
+  CAST(sum(CASE WHEN ch = 2 THEN val END) AS BIGINT) AS sum_b
+FROM px GROUP BY event_id, f
+"""
     # image_augment: per-channel sums of the saturated brightness shift
     # over the pixel closed form; the horizontal flip permutes pixels
     # within (row, channel) so the sums are flip-invariant by construction
@@ -1102,6 +1273,8 @@ FROM r WHERE rank <= 3
         "images_elevation_join": images_elev,
         "image_chips": image_chips_sql,
         "image_augment": image_augment_sql,
+        "audio_features": audio_features_sql,
+        "video_frames": video_frames_sql,
         "accuracy_stats": accuracy,
         "tile_info": tile_info_sql,
         "tile_inventory": inventory,
@@ -1131,6 +1304,8 @@ def queries():
         "images_elevation_join": q_images_elevation_join,
         "image_chips": q_image_chips,
         "image_augment": q_image_augment,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "tile_info": q_tile_info,
         "tile_inventory": q_tile_inventory,
         "bbox_preload": q_bbox_preload,

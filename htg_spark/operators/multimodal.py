@@ -1,14 +1,17 @@
-"""Multimodal column operators: images (and stubs for audio/video) as
-opaque binary columns with typed metadata.
+"""Multimodal column operators: images, audio, and video as opaque binary
+columns with typed metadata.
 
 Real, tested plumbing: schemas, Arrow batch shapes, partition behavior,
-vectorized decode of the sandbox-supported codecs (raw / P6 PPM /
-zlib-compressed raw — all losslessly decodable with stdlib+NumPy). External
-codecs (JPEG/PNG via Pillow, audio/video via ffmpeg) are NOT available in
-this container: those decode branches raise NotImplementedError behind a
-clearly-marked stub, as mandated — swap `_decode_external` for a real
-decoder on a cluster with the libs installed and everything downstream
-(schema, batching, feature math) is already exercised by tests.
+vectorized decode of the sandbox-supported codecs (images: raw / P6 PPM /
+zlib-compressed raw; audio: pcm16 / pcm16z; video: rawv concatenated
+frames — all losslessly decodable with stdlib+NumPy). External codecs
+(JPEG/PNG via Pillow, wav/mp3 via libsndfile, mp4 via ffmpeg) are NOT
+available in this container: those decode branches raise
+NotImplementedError behind clearly-marked stubs, as mandated — swap
+`_decode_external` / `_decode_audio_external` / `_decode_video_external`
+for real decoders on a cluster with the libs installed and everything
+downstream (schema, batching, feature math, frame fan-out) is already
+exercised by tests.
 """
 
 from __future__ import annotations
@@ -426,11 +429,225 @@ def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
     )
 
 
-def audio_features(audio: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """STUB: audio decode/feature-extraction requires libsndfile/ffmpeg."""
-    raise NotImplementedError("audio decoding libraries are not present in the sandbox")
+SANDBOX_AUDIO_CODECS = ("pcm16", "pcm16z")
+SANDBOX_VIDEO_CODECS = ("rawv",)
 
 
-def video_frame_sample(video: DataFrame, every_n: int = 30):  # pragma: no cover - stub
-    """STUB: video frame sampling requires ffmpeg/cv2."""
-    raise NotImplementedError("video decoding libraries are not present in the sandbox")
+def _decode_audio_external(data: bytes, fmt: str) -> np.ndarray:
+    """STUB: wav/mp3/flac decode needs libsndfile/ffmpeg, absent here."""
+    raise NotImplementedError(
+        f"codec {fmt!r} requires an external audio library not present in "
+        "the sandbox; install soundfile/ffmpeg and replace "
+        "_decode_audio_external"
+    )
+
+
+def decode_audio(data: bytes, n_samples: int, fmt: str) -> np.ndarray:
+    """Mono int16 samples. Sandbox codecs: 'pcm16' = little-endian int16,
+    'pcm16z' = zlib-compressed pcm16. Anything else is the external stub."""
+    import zlib
+
+    if fmt not in SANDBOX_AUDIO_CODECS:
+        return _decode_audio_external(data, fmt)
+    raw = zlib.decompress(data) if fmt == "pcm16z" else data
+    if len(raw) != n_samples * 2:
+        raise ValueError(f"payload size {len(raw)} != {n_samples}*2")
+    return np.frombuffer(raw, dtype="<i2")
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Per-clip audio features over an opaque binary column with typed
+    metadata (audio_id, bytes, sr, n_samples, fmt) — the audio leg of the
+    multimodal pipeline, real Spark plumbing with only the external-codec
+    decode stubbed:
+
+    - n_samples, peak = max(|s|), sum_sq = sum(s^2) — exact int64
+      (|s| <= 2^15 so sum_sq overflows only past 2^33 samples/clip)
+    - duration_us = n_samples * 1_000_000 // sr — exact integer
+    - zero_crossings = #{k >= 1 : s[k-1] * s[k] < 0} — exact integer
+    - rms = sqrt(sum_sq / n) in exactly that op order (one correctly-
+      rounded divide + sqrt), so every engine agrees bit-for-bit
+
+    Map-only mapInPandas; decode batches per (n_samples, fmt) subgroup
+    with one frombuffer over the concatenated buffers (pcm16z pays one
+    zlib call per row — the codec, not the plumbing)."""
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            n = len(pdf)
+            out_n = np.empty(n, dtype=np.int64)
+            out_dur = np.empty(n, dtype=np.int64)
+            out_peak = np.empty(n, dtype=np.int64)
+            out_ssq = np.empty(n, dtype=np.int64)
+            out_zc = np.empty(n, dtype=np.int64)
+            out_rms = np.empty(n, dtype=np.float64)
+            groups = pdf.groupby(["n_samples", "fmt"], sort=False).indices
+            if sum(len(p) for p in groups.values()) != n:
+                bad = pdf[pdf[["n_samples", "fmt"]].isna().any(axis=1)][
+                    "audio_id"
+                ].tolist()
+                raise ValueError(f"audio rows with null n_samples/fmt: {bad[:5]}")
+            for (ns, fmt), pos in groups.items():
+                ns = int(ns)
+                blobs = pdf["bytes"].to_numpy()[pos]
+                if fmt not in SANDBOX_AUDIO_CODECS:
+                    _decode_audio_external(bytes(blobs[0]), str(fmt))
+                bufs = (
+                    [zlib.decompress(bytes(b)) for b in blobs]
+                    if fmt == "pcm16z"
+                    else [bytes(b) for b in blobs]
+                )
+                for b in bufs:
+                    if len(b) != ns * 2:
+                        raise ValueError(f"payload size {len(b)} != {ns}*2")
+                stack = (
+                    np.frombuffer(b"".join(bufs), dtype="<i2")
+                    .reshape(len(pos), ns)
+                    .astype(np.int64)
+                )
+                srs = pdf["sr"].to_numpy(dtype=np.int64)[pos]
+                ssq = (stack * stack).sum(axis=1)
+                out_n[pos] = ns
+                out_dur[pos] = ns * 1_000_000 // srs
+                out_peak[pos] = np.abs(stack).max(axis=1) if ns else 0
+                out_ssq[pos] = ssq
+                out_zc[pos] = (
+                    (stack[:, :-1] * stack[:, 1:] < 0).sum(axis=1) if ns > 1 else 0
+                )
+                out_rms[pos] = np.sqrt(ssq.astype(np.float64) / float(ns))
+            yield pd.DataFrame(
+                {
+                    "audio_id": pdf["audio_id"],
+                    "n_samples": out_n,
+                    "duration_us": out_dur,
+                    "peak": out_peak,
+                    "sum_sq": out_ssq,
+                    "zero_crossings": out_zc,
+                    "rms": out_rms,
+                }
+            )
+
+    return audio.select("audio_id", "bytes", "sr", "n_samples", "fmt").mapInPandas(
+        run,
+        schema=(
+            "audio_id string, n_samples bigint, duration_us bigint, "
+            "peak bigint, sum_sq bigint, zero_crossings bigint, rms double"
+        ),
+    )
+
+
+def _decode_video_external(data: bytes, fmt: str) -> np.ndarray:
+    """STUB: mp4/webm decode needs ffmpeg/cv2, absent in this sandbox."""
+    raise NotImplementedError(
+        f"codec {fmt!r} requires an external video library not present in "
+        "the sandbox; install ffmpeg and replace _decode_video_external"
+    )
+
+
+def video_frame_sample(video: DataFrame, every_n: int = 30) -> DataFrame:
+    """Sample every ``every_n``-th frame of each clip as an input_hint-
+    shaped IMAGE row — the video leg of the multimodal pipeline, composing
+    directly with every image operator downstream (stats, resize, chips,
+    augment, embedding).
+
+    Input: (video_id, bytes, w, h, n_frames, fmt). Sandbox codec 'rawv' =
+    n_frames raw RGB frames concatenated; anything else hits the clearly-
+    marked external stub. Output: (image_id = video_id || '_f' || idx,
+    frame_idx, bytes, w, h, fmt='raw') plus exact per-channel int64 sums
+    so a closed-form SQL oracle can value-check the frame slicing.
+
+    Decode + slice vectorized per uniform-(w, h, n_frames) subgroup (one
+    frombuffer over the concatenated clips, one strided frame gather);
+    Arrow-native output assembly with arithmetic offsets, <=1 GiB chunks;
+    map-only, zero shuffles — frame fan-out never crosses an Exchange."""
+    import pyarrow as pa
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    out_schema = (
+        "image_id string, frame_idx int, bytes binary, w int, h int, "
+        "fmt string, sum_r bigint, sum_g bigint, sum_b bigint"
+    )
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        schema = pa.schema(
+            [
+                ("image_id", pa.string()),
+                ("frame_idx", pa.int32()),
+                ("bytes", pa.binary()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("fmt", pa.string()),
+                ("sum_r", pa.int64()),
+                ("sum_g", pa.int64()),
+                ("sum_b", pa.int64()),
+            ]
+        )
+        for rb in batches:
+            pdf = rb.to_pandas().reset_index(drop=True)
+            groups = pdf.groupby(["w", "h", "n_frames", "fmt"], sort=False).indices
+            if sum(len(p) for p in groups.values()) != len(pdf):
+                bad = pdf[pdf[["w", "h", "n_frames", "fmt"]].isna().any(axis=1)][
+                    "video_id"
+                ].tolist()
+                raise ValueError(f"video rows with null metadata: {bad[:5]}")
+            for (w, h, nf, fmt), pos in groups.items():
+                w, h, nf = int(w), int(h), int(nf)
+                blobs = pdf["bytes"].to_numpy()[pos]
+                if fmt not in SANDBOX_VIDEO_CODECS:
+                    _decode_video_external(bytes(blobs[0]), str(fmt))
+                frame_nbytes = h * w * 3
+                bufs = [bytes(b) for b in blobs]
+                for b in bufs:
+                    if len(b) != nf * frame_nbytes:
+                        raise ValueError(
+                            f"payload size {len(b)} != {nf}*{frame_nbytes}"
+                        )
+                clips = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(
+                    len(pos), nf, h, w, 3
+                )
+                sel = np.arange(0, nf, every_n, dtype=np.int64)
+                frames = clips[:, sel]  # (n, k, h, w, 3)
+                k = sel.size
+                m_total = len(pos) * k
+                block = np.ascontiguousarray(
+                    frames.reshape(m_total, h, w, 3)
+                )
+                sums = block.sum(axis=(1, 2), dtype=np.int64)
+                vids = pdf["video_id"].to_numpy()[pos]
+                idxs = np.tile(sel.astype(np.int32), len(pos))
+                ids = np.char.add(
+                    np.char.add(np.repeat(vids, k).astype(str), "_f"),
+                    idxs.astype(str),
+                )
+                chunk_rows = max(1, (1 << 30) // frame_nbytes)
+                for s in range(0, m_total, chunk_rows):
+                    blk = block[s : s + chunk_rows]
+                    m = blk.shape[0]
+                    offsets = np.arange(m + 1, dtype=np.int32) * frame_nbytes
+                    blob_arr = pa.Array.from_buffers(
+                        pa.binary(), m,
+                        [None, pa.py_buffer(offsets),
+                         pa.py_buffer(np.ascontiguousarray(blk))],
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(ids[s : s + m], type=pa.string()),
+                            pa.array(idxs[s : s + m]),
+                            blob_arr,
+                            pa.array(np.full(m, w, dtype=np.int32)),
+                            pa.array(np.full(m, h, dtype=np.int32)),
+                            pa.array(["raw"] * m, type=pa.string()),
+                            pa.array(sums[s : s + m, 0]),
+                            pa.array(sums[s : s + m, 1]),
+                            pa.array(sums[s : s + m, 2]),
+                        ],
+                        schema=schema,
+                    )
+
+    return video.select(
+        "video_id", "bytes", "w", "h", "n_frames", "fmt"
+    ).mapInArrow(run, schema=out_schema)

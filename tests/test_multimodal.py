@@ -45,11 +45,97 @@ def test_external_codec_stub_raises():
         multimodal.decode_pixels(b"\xff\xd8\xff", 4, 4, "jpeg")
 
 
-def test_audio_video_stubs():
-    with pytest.raises(NotImplementedError):
-        multimodal.audio_features(None)
-    with pytest.raises(NotImplementedError):
-        multimodal.video_frame_sample(None)
+def test_audio_video_external_codec_stubs():
+    """The external-codec decode branches stay clearly-marked stubs; the
+    Spark-side plumbing around them is real (tested below)."""
+    with pytest.raises(NotImplementedError, match="external audio library"):
+        multimodal.decode_audio(b"RIFF", 4, "wav")
+    with pytest.raises(NotImplementedError, match="external video library"):
+        multimodal._decode_video_external(b"\x00", "mp4")
+
+
+def test_audio_features_match_numpy(spark):
+    """Features over real pcm16/pcm16z payloads equal a direct NumPy
+    recompute per clip, including the zlib codec and exact zero-crossing
+    and rms semantics."""
+    import zlib
+
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(24):
+        ns = int(rng.integers(8, 300))
+        s = rng.integers(-32768, 32768, size=ns).astype("<i2")
+        raw = s.tobytes()
+        fmt = "pcm16" if i % 2 == 0 else "pcm16z"
+        rows.append(
+            {
+                "audio_id": f"a{i}",
+                "bytes": raw if fmt == "pcm16" else zlib.compress(raw),
+                "sr": int(8000 * (1 + i % 3)),
+                "n_samples": ns,
+                "fmt": fmt,
+                "_raw": s,
+            }
+        )
+    pdf = pd.DataFrame([{k: v for k, v in r.items() if k != "_raw"} for r in rows])
+    out = multimodal.audio_features(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 24
+    by_id = {r["audio_id"]: r for r in rows}
+    for _, o in out.iterrows():
+        s = by_id[o["audio_id"]]["_raw"].astype(np.int64)
+        sr = by_id[o["audio_id"]]["sr"]
+        assert o["n_samples"] == s.size
+        assert o["duration_us"] == s.size * 1_000_000 // sr
+        assert o["peak"] == int(np.abs(s).max())
+        assert o["sum_sq"] == int((s * s).sum())
+        assert o["zero_crossings"] == int((s[:-1] * s[1:] < 0).sum())
+        assert o["rms"] == np.sqrt(float(int((s * s).sum())) / float(s.size))
+
+
+def test_video_frame_sample_bytes_and_composition(spark):
+    """Sampled frames equal independent NumPy slices of the clip, and the
+    emitted rows compose with the image operators (image_stats runs on
+    them directly)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(9):
+        w, h, nf = int(4 + i % 3), int(4 + i % 2), int(5 + i % 7)
+        clip = rng.integers(0, 256, size=(nf, h, w, 3)).astype(np.uint8)
+        rows.append(
+            {
+                "video_id": f"v{i}",
+                "bytes": clip.tobytes(),
+                "w": w,
+                "h": h,
+                "n_frames": nf,
+                "fmt": "rawv",
+                "_clip": clip,
+            }
+        )
+    pdf = pd.DataFrame([{k: v for k, v in r.items() if k != "_clip"} for r in rows])
+    vid = spark.createDataFrame(pdf)
+    out = multimodal.video_frame_sample(vid, every_n=2).toPandas()
+    exp_rows = sum(len(range(0, r["n_frames"], 2)) for r in rows)
+    assert len(out) == exp_rows
+    by_id = {r["video_id"]: r["_clip"] for r in rows}
+    for _, o in out.iterrows():
+        vid_id, fidx = o["image_id"].rsplit("_f", 1)
+        ref = by_id[vid_id][int(fidx)]
+        assert o["frame_idx"] == int(fidx)
+        got = np.frombuffer(o["bytes"], dtype=np.uint8).reshape(
+            int(o["h"]), int(o["w"]), 3
+        )
+        assert np.array_equal(got, ref)
+        assert o["sum_r"] == int(ref[:, :, 0].sum(dtype=np.int64))
+    # composition: the frame rows are a valid image table
+    stats = multimodal.image_stats(
+        multimodal.video_frame_sample(vid, every_n=2)
+    ).toPandas()
+    assert len(stats) == exp_rows
 
 
 def test_null_metadata_rows_refused(spark, images):
