@@ -173,7 +173,11 @@ def main():
         ("terrain_rgb_stats", _tq.q_terrain_rgb_stats),
         ("d8_flow_histogram", _tq.q_d8_histogram),
         ("flow_accumulation", _tq.q_flow_accumulation),
+        ("contour_stats", _tq.q_contour_stats),
+        ("elevation_quantiles", _tq.q_elevation_quantiles),
         ("image_chips", _dq.q_image_chips),
+        ("audio_features", _dq.q_audio_features),
+        ("video_frames", _dq.q_video_frames),
         ("path_profile", _tq.q_path_profile),
         ("pipeline_e2e", pq.q_pipeline_e2e),
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),

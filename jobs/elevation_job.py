@@ -25,7 +25,7 @@ def main():
     ap.add_argument(
         "--mode",
         default="nearest",
-        choices=["nearest", "floor", "bilinear", "terrain", "dedup", "pip"],
+        choices=["nearest", "floor", "bilinear", "terrain", "dedup", "pip", "raster"],
     )
     ap.add_argument("--strategy", default="broadcast", choices=["broadcast", "cogroup"])
     ap.add_argument("--repeats", type=int, default=3)
@@ -103,6 +103,77 @@ def main():
                     "job": "point_in_polygon",
                     "mode": "pip",
                     "strategy": "broadcast-fold",
+                    "cores": cores,
+                    "rows": n,
+                    "times_sec": [round(t, 3) for t in times],
+                    "best_sec": round(best, 3),
+                    "rows_per_sec": round(n / best),
+                    "checksum": chk,
+                    "found": rows,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.mode == "raster":
+        # whole-raster product scaling: D8 flow accumulation over a
+        # directory of replicated HGT tiles (gen'd by run_scaling.py).
+        # Lean shape on purpose: binaryFile scan -> JVM filename parse ->
+        # ONE mapInArrow kernel pass — no dedupe window / sort (the
+        # catalog_from_dir conveniences would shuffle every blob), so the
+        # whole job is map-only and scales with tile count.
+        from pyspark.sql import functions as F
+
+        from htg_spark.operators import terrain as terr
+
+        raw = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.hgt")
+            .load(args.points_path)
+            .select("path", "content")
+        )
+        name = F.element_at(F.split(F.col("path"), "/"), -1)
+        tile_lat = (
+            F.when(F.substring(name, 1, 1) == "N", 1).otherwise(-1)
+            * F.substring(name, 2, 2).cast("int")
+        ).cast("int")
+        tile_lon = (
+            F.when(F.substring(name, 4, 1) == "E", 1).otherwise(-1)
+            * F.substring(name, 5, 3).cast("int")
+        ).cast("int")
+        cat = raw.select(
+            tile_lat.alias("tile_lat"),
+            tile_lon.alias("tile_lon"),
+            F.col("content").alias("data"),
+        )
+
+        def run_raster():
+            out = terr.flow_accumulation_stats(cat)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    F.xxhash64(
+                        "tile_lat", "tile_lon", "n_cells",
+                        "sum_acc", "max_acc", "n_channel",
+                    )
+                ).alias("chk"),
+            ).collect()[0]
+            return int(row["n"]), int(row["chk"])
+
+        n, _ = run_raster()  # warm-up
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            rows, chk = run_raster()
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        print(
+            json.dumps(
+                {
+                    "job": "flow_accumulation",
+                    "mode": "raster",
+                    "strategy": "map-only",
                     "cores": cores,
                     "rows": n,
                     "times_sec": [round(t, 3) for t in times],

@@ -78,6 +78,23 @@ def gen_points_parquet(sf_dir: str, replicate: int, out_dir: str, files: int = 6
     return n_total
 
 
+def gen_tile_dir(out_dir: str, replicate: int) -> int:
+    """Materialize `replicate` distinct-key HGT tiles (all carrying the
+    deterministic gradient+void grid) so both pinned raster runs scan the
+    identical directory. Keys stay inside SRTM coverage."""
+    sys.path.insert(0, REPO)
+    from htg_spark import hgt
+    from htg_spark.driver_queries import gradient_void_grid
+
+    payload = hgt.encode_tile(gradient_void_grid())
+    os.makedirs(out_dir, exist_ok=True)
+    for k in range(replicate):
+        name = hgt.coords_to_filename(k % 50, k // 50)
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(payload)
+    return replicate
+
+
 SPARK_SBIN = "/opt/spark/sbin"
 MASTER_URL = "spark://127.0.0.1:7077"
 
@@ -212,6 +229,10 @@ def main():
         # replicate x 600k points here would be pure wasted minutes/GB at
         # the large replicates the CPU-bound workloads need
         print(f"{args.mode} mode: skipping points generation", flush=True)
+    elif args.mode == "raster":
+        shutil.rmtree(args.points_path, ignore_errors=True)
+        n = gen_tile_dir(args.points_path, args.replicate)
+        print(f"generated {n} hgt tiles at {args.points_path}", flush=True)
     else:
         shutil.rmtree(args.points_path, ignore_errors=True)
         n = gen_points_parquet(args.sf_dir, args.replicate, args.points_path)
