@@ -429,6 +429,68 @@ def image_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
     )
 
 
+AHASH_GRID = 8  # 8x8 sample lattice -> 64 cells, 63 packed bits
+
+
+def ahash_reference(px: np.ndarray) -> int:
+    """Scalar reference for one (h, w, 3) uint8 image — the bit-parity
+    contract image_ahash must match (and the oracle SQL recomputes):
+
+    - sample an 8x8 lattice by NEAREST index: row (i*h)//8, col (j*w)//8
+      (exact integer math — no resampling filter to disagree over)
+    - gray = r+g+b per sample (0..765, exact int)
+    - bit(i, j) = 1 iff gray*64 >= total (total = sum of all 64 sampled
+      grays — the mean threshold cleared of division)
+    - pack cells idx = i*8+j for idx < 63 at bit position idx; cell 63 is
+      dropped so the signature stays non-negative in a signed 64-bit long
+      and bit_count(xor(..)) agrees across engines (same 63-bit contract
+      as the phash column)."""
+    h, w = px.shape[0], px.shape[1]
+    g = AHASH_GRID
+    rs = (np.arange(g, dtype=np.int64) * h) // g
+    cs = (np.arange(g, dtype=np.int64) * w) // g
+    gray = px[rs][:, cs].sum(axis=-1, dtype=np.int64)  # (8, 8)
+    total = int(gray.sum())
+    bits = (gray.reshape(-1) * g * g >= total).astype(np.int64)[:63]
+    return int((bits << np.arange(63, dtype=np.int64)).sum())
+
+
+def image_ahash(images: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual signature per image, computed from
+    the REAL pixel bytes — the content-derived twin of the carried phash
+    column, feeding the same Manku block-banding near-dup engine.
+
+    Semantics: `ahash_reference` (nearest-sampled 8x8 lattice, r+g+b
+    gray, division-free mean threshold gray*64 >= total, 63 packed bits).
+    Every step is exact integer arithmetic, so the DuckDB oracle rebuilds
+    the signature bit-for-bit from the fixture's pixel closed form.
+
+    Scale shape: decode + hash vectorized per uniform-(w, h, fmt)
+    subgroup (one frombuffer + one fancy-index gather per subgroup);
+    map-only mapInPandas, zero shuffles, output is 16 bytes/row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = AHASH_GRID
+        weights = np.zeros(g * g, dtype=np.int64)
+        weights[:63] = np.int64(1) << np.arange(63, dtype=np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            out = np.empty(n, dtype=np.int64)
+            for pos, stack in _decode_stacks(pdf):
+                h, w = stack.shape[1], stack.shape[2]
+                rs = (np.arange(g, dtype=np.int64) * h) // g
+                cs = (np.arange(g, dtype=np.int64) * w) // g
+                gray = stack[:, rs][:, :, cs].sum(axis=-1, dtype=np.int64)
+                total = gray.sum(axis=(1, 2))  # (m,)
+                bits = gray.reshape(len(pos), g * g) * (g * g) >= total[:, None]
+                out[pos] = (bits * weights).sum(axis=1)
+            yield pd.DataFrame({"image_id": pdf["image_id"], "ahash": out})
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, schema="image_id string, ahash bigint"
+    )
+
+
 SANDBOX_AUDIO_CODECS = ("pcm16", "pcm16z")
 SANDBOX_VIDEO_CODECS = ("rawv",)
 

@@ -605,6 +605,85 @@ def q_phash_near_dup(spark, sf_dir):
     )
 
 
+def frame_ahash_corpus(spark, sf_dir) -> DataFrame:
+    """The video-frame near-dup corpus: every sampled frame of the
+    event_id % 16 == 0 clips (REAL rawv payloads through
+    video_frame_sample) plus, for each frame, a brightness-augmented copy
+    (augment_images, delta = 1 + e % 4, no flip) — the re-encoded /
+    re-graded twin a frame-level dedup stage must catch. Away from the
+    255 rail a uniform shift adds 3*delta to every sampled gray AND
+    64*3*delta to the mean total, so the aHash is exactly invariant;
+    only rail-saturated samples can flip bits, which keeps genuine pairs
+    within a small hamming distance without any synthetic xor planting."""
+    from . import driver_queries as dq
+    from .operators import multimodal as mm
+
+    ev = dq._events(spark, sf_dir).where(F.col("event_id") % 16 == 0)
+    frames = mm.video_frame_sample(dq.derive_video_table(ev), every_n=3).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+    e = F.element_at(F.split("image_id", "_"), 2).cast("long")
+    aug = mm.augment_images(
+        frames.select(
+            F.concat("image_id", F.lit("_a")).alias("image_id"),
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            (F.lit(1) + e % 4).cast("int").alias("aug_delta"),
+            F.lit(False).alias("aug_flip"),
+        )
+    ).select("image_id", "bytes", "w", "h", "fmt")
+    return frames.unionByName(aug)
+
+
+def q_frame_near_dup(spark, sf_dir):
+    """Video-frame near-duplicate pairs by CONTENT-derived perceptual
+    hash — the full composed multimodal chain: rawv clip -> frame sample
+    -> brightness augment -> aHash from the decoded pixels
+    (multimodal.image_ahash) -> EXACT-hash collapse -> the same Manku
+    block-banding engine as SimHash/phash at hamming <= 3. Unlike
+    phash_near_dup (which bands a CARRIED signature column), every
+    signature here is recomputed from real payload bytes, so the oracle
+    cross-checks the whole decode -> sample -> saturate -> hash
+    arithmetic bit-for-bit.
+
+    The exact collapse is load-bearing, not cosmetic: aHash is shift-
+    invariant by design, so any corpus with re-graded copies forms LARGE
+    hash-equal clusters (the fixture measures 4,500 signatures -> 107
+    distinct hashes, clusters up to 94). Banding raw signatures would
+    emit every intra-cluster pair — quadratic in cluster size (147,766
+    pairs here) and a skewed-key self-join at scale. Collapsing to one
+    representative per hash first (one groupBy over 16-byte rows) makes
+    the banding input the DISTINCT-signature count and carries cluster
+    sizes along as n_a/n_b. Scale shape: map-only hashing, one exact
+    groupBy, one explode into C(4,1) band keys + a single self-equi-join
+    over representatives; the oracle is the honest quadratic over the
+    closed-form-rebuilt signatures."""
+    from .operators import multimodal as mm
+
+    sigs = mm.image_ahash(frame_ahash_corpus(spark, sf_dir))
+    # referenced by the banding self-join AND both n_a/n_b joins below —
+    # no cross-branch subtree reuse in Spark SQL, so materialize once
+    reps = (
+        sigs.groupBy("ahash")
+        .agg(F.min("image_id").alias("image_id"), F.count("*").alias("n_members"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = dedup.simhash_near_dup_pairs(
+        reps.select("image_id", F.col("ahash").alias("simhash")),
+        id_col="image_id",
+        max_hamming=3,
+        sig_bits=63,
+        interleave=True,
+    )
+    a = reps.select(F.col("image_id").alias("id_a"), F.col("n_members").alias("n_a"))
+    b = reps.select(F.col("image_id").alias("id_b"), F.col("n_members").alias("n_b"))
+    return pairs.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b").select(
+        "id_a", "id_b", "hamming", "n_a", "n_b"
+    )
+
+
 def q_event_asof_join(spark, sf_dir):
     """As-of join (the time-series join Spark lacks as a primitive): each
     click event picks up the latest prior-or-equal purchase by the same
@@ -976,6 +1055,66 @@ FROM corpus a JOIN corpus b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
     )
+    # video-frame near-dup: the oracle rebuilds every aHash from the rawv
+    # pixel closed form (e*31 + 11f + 7k) % 256 — nearest-sampled 8x8
+    # lattice, r+g+b gray with least(255, v + delta) saturation for the
+    # augmented variant, division-free mean threshold gray*64 >= total,
+    # 63 packed bits — collapses exact-equal hashes to min-id
+    # representatives with member counts, then does the honest quadratic
+    # over the ~10^2 representatives. It shares NO candidate logic with
+    # the banding engine and NO decode logic with image_ahash.
+    frame_near_dup_sql = """
+WITH ev AS (
+  SELECT event_id AS e, 4 + event_id % 5 AS w, 4 + event_id % 4 AS h,
+         6 + event_id % 10 AS nf
+  FROM events WHERE event_id % 16 = 0
+),
+fs AS (
+  SELECT e, w, h, unnest(generate_series(0, nf - 1)) AS f FROM ev
+),
+sel AS (SELECT e, w, h, f FROM fs WHERE f % 3 = 0),
+var AS (
+  SELECT e, w, h, f,
+    'vid_' || CAST(e AS VARCHAR) || '_f' || CAST(f AS VARCHAR) AS image_id,
+    0 AS delta FROM sel
+  UNION ALL
+  SELECT e, w, h, f,
+    'vid_' || CAST(e AS VARCHAR) || '_f' || CAST(f AS VARCHAR) || '_a'
+      AS image_id,
+    1 + CAST(e % 4 AS INT) AS delta FROM sel
+),
+cells AS (
+  SELECT v.*, gi.range AS i, gj.range AS j,
+    (((gi.range * v.h) // 8) * v.w + ((gj.range * v.w) // 8)) * 3 AS k0
+  FROM var v, range(0, 8) gi, range(0, 8) gj
+),
+gray AS (
+  SELECT image_id, i * 8 + j AS idx,
+      least(255, (e*31 + 11*f + 7*k0) % 256 + delta)
+    + least(255, (e*31 + 11*f + 7*(k0+1)) % 256 + delta)
+    + least(255, (e*31 + 11*f + 7*(k0+2)) % 256 + delta) AS gr
+  FROM cells
+),
+tot AS (SELECT image_id, sum(gr) AS total FROM gray GROUP BY image_id),
+hs AS (
+  SELECT g.image_id,
+    CAST(sum(CASE WHEN g.idx < 63 AND g.gr * 64 >= t.total
+        THEN (1::BIGINT << CAST(g.idx AS INT)) ELSE 0::BIGINT END)
+      AS BIGINT) AS ahash
+  FROM gray g JOIN tot t USING (image_id)
+  GROUP BY g.image_id
+),
+reps AS (
+  SELECT min(image_id) AS image_id, ahash,
+    CAST(count(*) AS BIGINT) AS n_members
+  FROM hs GROUP BY ahash
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming,
+  a.n_members AS n_a, b.n_members AS n_b
+FROM reps a JOIN reps b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
     # DuckDB ASOF LEFT JOIN shares asof_join's exact contract: backward
     # inclusive (p.us >= m.us), per-key, NULL payload when no marker
     # qualifies; the pe pre-reduce (max/arg_max per (user, us)) mirrors the
@@ -1506,6 +1645,7 @@ FROM rc
         "user_sessions": user_sessions_sql,
         "event_asof_join": event_asof_join_sql,
         "phash_near_dup": phash_near_dup_sql,
+        "frame_near_dup": frame_near_dup_sql,
         "text_quality": text_quality_sql,
         "lang_id": lang_id_sql,
         "doc_fingerprint": fingerprint_sql,
@@ -1539,6 +1679,7 @@ def queries():
         "user_sessions": q_user_sessions,
         "event_asof_join": q_event_asof_join,
         "phash_near_dup": q_phash_near_dup,
+        "frame_near_dup": q_frame_near_dup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,

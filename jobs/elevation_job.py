@@ -127,6 +127,15 @@ def main():
 
         from htg_spark.operators import terrain as terr
 
+        # Partition granularity is the whole game for raster products: the
+        # defaults (maxPartitionBytes=128m + openCostInBytes=4m) pack ~40
+        # of these 2.9 MB tiles per partition, capping a 32-core run at a
+        # handful of tasks (measured eff 0.46). Each tile is minutes of
+        # kernel work per MB of input, so bin ONE file per partition —
+        # openCostInBytes above the tile size guarantees it without
+        # shuffling blobs through a repartition.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(8 << 20))
         raw = (
             spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.hgt")

@@ -157,6 +157,27 @@ def main():
         print("FATAL: near-dup plan contains a cartesian product", file=sys.stderr)
         sys.exit(1)
 
+    fnd = pq.q_frame_near_dup(spark, sf_dir)
+    fnd_plan = plan_of(fnd)
+    sections.append(
+        (
+            "Video-frame near-dup (aHash exact-collapse + banding)",
+            "Expected: the decode->hash->groupBy(ahash) corpus is "
+            "materialized ONCE behind a lazy localCheckpoint (reps), so the "
+            "final plan reads ExistingRDD — zero direct events scans across "
+            "the banding self-join and both broadcast n_a/n_b joins. HARD "
+            "REQUIREMENT: no CartesianProduct / BroadcastNestedLoopJoin; "
+            "n_a/n_b joins are BroadcastHashJoin.",
+            fnd_plan,
+        )
+    )
+    if "CartesianProduct" in fnd_plan or "BroadcastNestedLoopJoin" in fnd_plan:
+        print("FATAL: frame near-dup plan contains a cartesian product", file=sys.stderr)
+        sys.exit(1)
+    if fnd_plan.count("Scan parquet") > 0:
+        print("FATAL: frame near-dup final plan rescans the corpus", file=sys.stderr)
+        sys.exit(1)
+
     # composed training-data pipeline: the corpus must be scanned once per
     # stage TIER, with cross-branch-referenced tiers materialized behind
     # lazy localCheckpoints (Spark has no cross-branch subtree reuse)

@@ -258,3 +258,58 @@ def test_augment_images_bytes_and_sums(spark, images):
         assert row["sum_g"] == int(ref[:, :, 1].sum(dtype=np.int64))
         assert row["sum_b"] == int(ref[:, :, 2].sum(dtype=np.int64))
     assert clipped_lo > 0 and clipped_hi > 0
+
+
+def test_image_ahash_matches_reference(spark, images):
+    """Spark aHash equals the scalar ahash_reference over every fixture
+    image (mixed raw/ppm/rawz codecs, non-8-multiple dims), signatures
+    stay non-negative (63-bit contract), and the lattice actually
+    discriminates (more than one distinct signature)."""
+    out = multimodal.image_ahash(images).toPandas()
+    assert len(out) == 48
+    src = fixtures.make_images_pdf(48)
+    for _, row in out.iterrows():
+        r = src[src.image_id == row["image_id"]].iloc[0]
+        px = fixtures.decode_image(bytes(r["bytes"]), int(r["w"]), int(r["h"]), r["fmt"])
+        assert int(row["ahash"]) == multimodal.ahash_reference(px)
+        assert int(row["ahash"]) >= 0
+    assert out["ahash"].nunique() > 1
+
+
+def test_ahash_brightness_invariance_and_rail_flip(spark):
+    """The property frame_near_dup relies on: away from the 255 rail a
+    uniform +delta shifts every sampled gray AND the mean total equally,
+    so the aHash is bit-identical; pixels pushed INTO the rail saturate
+    asymmetrically and flip a bounded number of bits."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 200, size=(9, 13, 3), dtype=np.uint8)  # < 255-40
+    shifted = (base.astype(np.int64) + 40).astype(np.uint8)
+    assert multimodal.ahash_reference(base) == multimodal.ahash_reference(shifted)
+
+    railed = base.copy()
+    railed[0, 0] = 255  # sampled cell (0,0) pinned at the rail
+    shifted_r = np.clip(railed.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    a, b = (
+        multimodal.ahash_reference(railed),
+        multimodal.ahash_reference(shifted_r),
+    )
+    d = bin(a ^ b).count("1")
+    assert 0 < d <= 3  # rail saturation flips a few bits, not the hash
+
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["base", "shifted"],
+            "bytes": [base.tobytes(), shifted.tobytes()],
+            "w": np.int32(13),
+            "h": np.int32(9),
+            "fmt": "raw",
+        }
+    )
+    out = (
+        multimodal.image_ahash(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("image_id")["ahash"]
+    )
+    assert out["base"] == out["shifted"] == multimodal.ahash_reference(base)
