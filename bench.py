@@ -174,6 +174,7 @@ def main():
         ("terrain_rgb_stats", _tq.q_terrain_rgb_stats),
         ("d8_flow_histogram", _tq.q_d8_histogram),
         ("flow_accumulation", _tq.q_flow_accumulation),
+        ("mosaic_hillshade", _tq.q_mosaic_hillshade),
         ("contour_stats", _tq.q_contour_stats),
         ("elevation_quantiles", _tq.q_elevation_quantiles),
         ("image_chips", _dq.q_image_chips),

@@ -46,9 +46,9 @@ its nearest sample (tile.rs round-half-away rule) is interior
 (1 <= r,c <= n-2 — no edge clamping: a clamped stencil would silently
 halve the step size) AND none of the 9 samples is VOID. Otherwise
 ``terrain_ok`` is false and gxs/gys (hence every derived column) are NULL.
-Cross-tile stencils (stitching the neighbor tile's edge row in) are a
-deliberate non-goal here, matching how the reference treats tiles as
-independent (tile.rs:299-318).
+Per-POINT stencils treat tiles as independent, matching the reference
+(tile.rs:299-318); the boundary-correct whole-raster path is the halo
+exchange at the bottom of this module (``mosaic_horn_stats``).
 
 Scale shape: identical to the broadcast elevation join — tile blobs ride
 a broadcast, the stage is map-only (ZERO shuffle Exchanges, gated in
@@ -62,6 +62,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1106,3 +1107,167 @@ def horn_reference(grid: np.ndarray, row: int, col: int):
     gxs = (z[0][2] + 2 * z[1][2] + z[2][2]) - (z[0][0] + 2 * z[1][0] + z[2][0])
     gys = (z[0][0] + 2 * z[0][1] + z[0][2]) - (z[2][0] + 2 * z[2][1] + z[2][2])
     return gxs, gys, True
+
+
+# ---------------------------------------------------------------------------
+# Cross-tile halo exchange: boundary-correct mosaic stencils
+# ---------------------------------------------------------------------------
+#
+# Every per-tile stencil above deliberately skips the outermost ring
+# (reference parity: tile.rs treats tiles as independent). At mosaic scale
+# that discards ~0.33% of every tile — and 100% of one-cell-wide features
+# crossing tile seams. SRTM neighbors share their boundary row/col (our
+# row 0 IS the north tile's row 1200), so the stencil at our edge needs
+# exactly ONE ring from each neighbor: padded row -1 = north tile's row
+# 1199, padded row 1201 = south tile's row 1, padded col -1 = west tile's
+# col 1199, padded col 1201 = east tile's col 1, and the 4 corner pixels
+# from the diagonal tiles.
+#
+# Scale shape: halos are exchanged as 2,402-byte strips (0.08% of the
+# 2.9 MB blob), extracted in one map-only pass, shuffled by RECEIVER key,
+# and joined back broadcast (default; strips are ~20 KB/tile) or shuffled
+# (the >broadcast-threshold path). The tile blobs themselves NEVER cross
+# an Exchange on the broadcast path — two map passes over the catalog
+# beat one full-data shuffle by orders of magnitude at raster scale.
+
+HALO_SIDES = ("N", "S", "W", "E", "NW", "NE", "SW", "SE")
+
+
+def halo_strips(catalog: DataFrame) -> DataFrame:
+    """Extract the 8 outbound halo strips of every tile, keyed by the
+    RECEIVING tile: (tile_lat, tile_lon, side, strip). `side` names the
+    receiver's padded edge the strip fills. Strips are little-endian
+    int16 ('<i2'); receivers for tiles absent from the catalog are
+    dropped by the downstream join. Map-only, ~9.6 KB out per tile."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "tile_lat": [],
+                "tile_lon": [],
+                "side": [],
+                "strip": [],
+            }
+            for _, r in pdf.iterrows():
+                g = hgt.decode_tile(bytes(r["data"])).astype("<i2")
+                lat, lon = int(r["tile_lat"]), int(r["tile_lon"])
+                # (receiver_dlat, receiver_dlon, side_filled, source slice)
+                out = (
+                    (-1, 0, "N", g[1199, :]),   # south tile's padded row -1
+                    (+1, 0, "S", g[1, :]),      # north tile's padded row 1201
+                    (0, +1, "W", g[:, 1199]),   # east tile's padded col -1
+                    (0, -1, "E", g[:, 1]),      # west tile's padded col 1201
+                    (-1, +1, "NW", g[1199:1200, 1199]),
+                    (-1, -1, "NE", g[1199:1200, 1]),
+                    (+1, +1, "SW", g[1:2, 1199]),
+                    (+1, -1, "SE", g[1:2, 1]),
+                )
+                for dlat, dlon, side, src in out:
+                    rows["tile_lat"].append(lat + dlat)
+                    rows["tile_lon"].append(lon + dlon)
+                    rows["side"].append(side)
+                    rows["strip"].append(np.ascontiguousarray(src).tobytes())
+            yield pd.DataFrame(rows)
+
+    return catalog.select("tile_lat", "tile_lon", "data").mapInPandas(
+        run, schema="tile_lat int, tile_lon int, side string, strip binary"
+    )
+
+
+def pad_with_halos(grid: np.ndarray, halos: dict[str, bytes]) -> np.ndarray:
+    """Assemble the (n+2)x(n+2) padded grid: center = tile, received
+    strips fill the outer ring, everything else stays VOID (so edges
+    without a neighbor are invalid under the stencil's void rule —
+    exactly the per-tile behavior)."""
+    n = grid.shape[0]
+    p = np.full((n + 2, n + 2), hgt.VOID_VALUE, dtype=np.int64)
+    p[1 : n + 1, 1 : n + 1] = grid.astype(np.int64, copy=False)
+
+    def strip(side: str, count: int) -> np.ndarray:
+        return np.frombuffer(halos[side], dtype="<i2").astype(np.int64)[:count]
+
+    if "N" in halos:
+        p[0, 1 : n + 1] = strip("N", n)
+    if "S" in halos:
+        p[n + 1, 1 : n + 1] = strip("S", n)
+    if "W" in halos:
+        p[1 : n + 1, 0] = strip("W", n)
+    if "E" in halos:
+        p[1 : n + 1, n + 1] = strip("E", n)
+    for side, (rr, cc) in (
+        ("NW", (0, 0)),
+        ("NE", (0, n + 1)),
+        ("SW", (n + 1, 0)),
+        ("SE", (n + 1, n + 1)),
+    ):
+        if side in halos:
+            p[rr, cc] = strip(side, 1)[0]
+    return p
+
+
+def mosaic_horn_stats(catalog: DataFrame, strategy: str = "broadcast") -> DataFrame:
+    """Boundary-correct Horn hillshade stats over the FULL 1201^2 tile —
+    the halo-exchange mosaic stencil. Edge cells whose 9-sample stencil
+    reaches into a PRESENT neighbor become valid (n_edge_valid counts
+    them); edges without a neighbor stay invalid, bit-compatible with the
+    per-tile render elsewhere. Math is byte-identical to
+    render_hillshade: tile_horn_grids on the padded grid + the exact
+    hillshade_bytes quantization.
+
+    strategy='broadcast' (default): the aggregated strip map broadcasts
+    and the blob side stays map-only — zero blob Exchanges (PLANS.md
+    gate). strategy='shuffle': both sides hash-partition on the tile key
+    — the path when the strip map outgrows the broadcast threshold
+    (strips are ~20 KB/tile, so that takes ~10^7 tiles)."""
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    strips = (
+        halo_strips(catalog)
+        .groupBy("tile_lat", "tile_lon")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("side", "strip"))
+            ).alias("halos")
+        )
+    )
+    if strategy == "broadcast":
+        strips = F.broadcast(strips)
+    joined = catalog.select("tile_lat", "tile_lon", "data").join(
+        strips, ["tile_lat", "tile_lon"], "left"
+    )
+
+    out_schema = (
+        "tile_lat int, tile_lon int, n_valid bigint, n_edge_valid bigint, "
+        "sum_gxs bigint, sum_gys bigint, sum_byte bigint, min_byte int, "
+        "max_byte int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "tile_lat", "tile_lon", "n_valid", "n_edge_valid",
+                    "sum_gxs", "sum_gys", "sum_byte", "min_byte", "max_byte",
+                )
+            }
+            for _, r in pdf.iterrows():
+                grid = hgt.decode_tile(bytes(r["data"]))
+                halos = r["halos"] if r["halos"] is not None else {}
+                padded = pad_with_halos(grid, dict(halos))
+                gxs, gys, ok = tile_horn_grids(padded)
+                _, byte = hillshade_bytes(gxs, gys, ok)
+                edge = np.zeros_like(ok)
+                edge[0, :] = edge[-1, :] = True
+                edge[:, 0] = edge[:, -1] = True
+                out["tile_lat"].append(int(r["tile_lat"]))
+                out["tile_lon"].append(int(r["tile_lon"]))
+                out["n_valid"].append(int(ok.sum()))
+                out["n_edge_valid"].append(int((ok & edge).sum()))
+                out["sum_gxs"].append(int(gxs[ok].sum()))
+                out["sum_gys"].append(int(gys[ok].sum()))
+                out["sum_byte"].append(int(byte[ok].sum()))
+                out["min_byte"].append(int(byte[ok].min()) if ok.any() else -1)
+                out["max_byte"].append(int(byte[ok].max()) if ok.any() else -1)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(run, schema=out_schema)

@@ -263,6 +263,21 @@ def q_elevation_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain.elevation_quantiles(eng.catalog)
 
 
+def q_mosaic_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-correct mosaic hillshade via cross-tile halo exchange
+    (terrain.mosaic_horn_stats): 2,402-byte edge strips — 0.08% of each
+    blob — are extracted map-only, shuffled by RECEIVER tile key, and
+    broadcast-joined back, so edge cells whose stencil reaches a PRESENT
+    neighbor become valid while blobs never cross an Exchange. The
+    fixture's L-shaped 3-tile mosaic exercises every asymmetry: each tile
+    has a different subset of the 8 neighbors, and no tile has a diagonal
+    neighbor, so all four corner cells stay invalid everywhere. The
+    oracle rebuilds the padded grid from the gradient closed form with
+    per-tile neighbor-presence flags derived from the same tile list."""
+    eng = get_engine(spark)
+    return terrain.mosaic_horn_stats(eng.catalog)
+
+
 def path_samples(pts: DataFrame) -> DataFrame:
     """9 samples along the segment from each point to the fixed endpoint:
     lat_t = lat + (END - lat) * (step / 8.0). One stateless explode — the
@@ -858,6 +873,116 @@ FROM {_TILES_VALUES} CROSS JOIN agg
 """
 
 
+def _mosaic_hillshade_sql() -> str:
+    """Halo-exchange oracle: evaluate the Horn stencil over the FULL
+    1201^2 grid with padded indices -1..1201. SRTM neighbors share their
+    boundary row/col and every fixture tile carries the same closed-form
+    content, so a padded index maps back into the SAME formula via
+    m(x) = x+1200 (x<0) / x-1200 (x>1200); whether the sample EXISTS
+    depends on the per-tile neighbor-presence flags, derived here from
+    the tile list itself (no fixture-specific hardcoding). ok = all 9
+    samples present AND non-void — absent-neighbor edges stay invalid,
+    exactly the kernel's VOID-padding rule."""
+
+    def m(expr: str) -> str:
+        return (
+            f"(CASE WHEN {expr} < 0 THEN {expr} + 1200 "
+            f"WHEN {expr} > 1200 THEN {expr} - 1200 ELSE {expr} END)"
+        )
+
+    def pidx(base: str, d: int) -> str:
+        return base if d == 0 else f"({base}{d:+d})"
+
+    def zp(dr: int, dc: int) -> str:
+        return f"(({m(pidx('r', dr))} + {m(pidx('c', dc))}) % 4000)"
+
+    def okp(dr: int, dc: int) -> str:
+        pr, pc = pidx("r", dr), pidx("c", dc)
+        avail = (
+            f"(CASE WHEN {pr} < 0 AND {pc} < 0 THEN has_nw "
+            f"WHEN {pr} < 0 AND {pc} > 1200 THEN has_ne "
+            f"WHEN {pr} > 1200 AND {pc} < 0 THEN has_sw "
+            f"WHEN {pr} > 1200 AND {pc} > 1200 THEN has_se "
+            f"WHEN {pr} < 0 THEN has_n WHEN {pr} > 1200 THEN has_s "
+            f"WHEN {pc} < 0 THEN has_w WHEN {pc} > 1200 THEN has_e "
+            f"ELSE TRUE END)"
+        )
+        nonvoid = f"(({m(pr)}*1201 + {m(pc)}) % 97 <> 0)"
+        return f"({avail} AND {nonvoid})"
+
+    ok = " AND ".join(okp(dr, dc) for dr, dc in _OFFS)
+    east = " + ".join(
+        (f"2 * {zp(dr, 1)}" if dr == 0 else zp(dr, 1)) for dr in (-1, 0, 1)
+    )
+    west = " + ".join(
+        (f"2 * {zp(dr, -1)}" if dr == 0 else zp(dr, -1)) for dr in (-1, 0, 1)
+    )
+    north = " + ".join(
+        (f"2 * {zp(-1, dc)}" if dc == 0 else zp(-1, dc)) for dc in (-1, 0, 1)
+    )
+    south = " + ".join(
+        (f"2 * {zp(1, dc)}" if dc == 0 else zp(1, dc)) for dc in (-1, 0, 1)
+    )
+    flag = (
+        "EXISTS(SELECT 1 FROM tl x WHERE x.tile_lat = t.tile_lat + {dlat} "
+        "AND x.tile_lon = t.tile_lon + {dlon})"
+    )
+    flags = ", ".join(
+        flag.format(dlat=dlat, dlon=dlon) + f" AS has_{name}"
+        for name, (dlat, dlon) in (
+            ("n", (1, 0)),
+            ("s", (-1, 0)),
+            ("e", (0, 1)),
+            ("w", (0, -1)),
+            ("nw", (1, -1)),
+            ("ne", (1, 1)),
+            ("sw", (-1, -1)),
+            ("se", (-1, 1)),
+        )
+    )
+    return f"""
+WITH tl AS (SELECT tile_lat, tile_lon FROM {_TILES_VALUES}),
+fl AS (SELECT t.tile_lat, t.tile_lon, {flags} FROM tl t),
+g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 1201) r, range(0, 1201) c
+),
+st AS (
+  SELECT fl.tile_lat, fl.tile_lon, r, c, ({ok}) AS ok,
+    ({east}) - ({west}) AS gxs,
+    ({north}) - ({south}) AS gys
+  FROM g CROSS JOIN fl
+),
+d AS (
+  SELECT tile_lat, tile_lon, r, c, ok, gxs, gys,
+    CAST(gxs AS DOUBLE) / 8.0 AS gx, CAST(gys AS DOUBLE) / 8.0 AS gy
+  FROM st
+),
+hz AS (
+  SELECT tile_lat, tile_lon, r, c, ok, gxs, gys,
+    GREATEST(0.0, ((0.7071067811865476 - gx * (-0.5)) - gy * 0.5)
+                  / sqrt((1.0 + gx*gx) + gy*gy)) * 255.0 AS x
+  FROM d
+),
+b AS (
+  SELECT tile_lat, tile_lon, ok, gxs, gys,
+    (r = 0 OR r = 1200 OR c = 0 OR c = 1200) AS edge,
+    CAST(floor(x) AS BIGINT)
+      + (CASE WHEN x - floor(x) >= 0.5 THEN 1 ELSE 0 END) AS byte
+  FROM hz
+)
+SELECT tile_lat, tile_lon,
+  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+  CAST(sum(CASE WHEN ok AND edge THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_edge_valid,
+  CAST(sum(CASE WHEN ok THEN gxs END) AS BIGINT) AS sum_gxs,
+  CAST(sum(CASE WHEN ok THEN gys END) AS BIGINT) AS sum_gys,
+  CAST(sum(CASE WHEN ok THEN byte END) AS BIGINT) AS sum_byte,
+  CAST(min(CASE WHEN ok THEN byte END) AS INTEGER) AS min_byte,
+  CAST(max(CASE WHEN ok THEN byte END) AS INTEGER) AS max_byte
+FROM b GROUP BY tile_lat, tile_lon
+"""
+
+
 def _path_profile_sql() -> str:
     return (
         _SQL_PTS
@@ -934,6 +1059,7 @@ def queries():
         "flow_accumulation": q_flow_accumulation,
         "contour_stats": q_contour_stats,
         "elevation_quantiles": q_elevation_quantiles,
+        "mosaic_hillshade": q_mosaic_hillshade,
         "path_profile": q_path_profile,
     }
 
@@ -951,5 +1077,6 @@ def oracle_sql() -> dict[str, str]:
         "flow_accumulation": _flow_accumulation_sql(),
         "contour_stats": _contour_stats_sql(),
         "elevation_quantiles": _elevation_quantiles_sql(),
+        "mosaic_hillshade": _mosaic_hillshade_sql(),
         "path_profile": _path_profile_sql(),
     }

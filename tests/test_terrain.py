@@ -638,3 +638,101 @@ def test_terrain_rgb_extremes_fit_24_bits():
     # below the encode floor -> same nodata rule as void
     below = np.array([[-10001, -32767]], dtype=np.int16)
     assert not (below >= -10000).any()
+
+
+def test_mosaic_horn_distinct_content_2x2(spark):
+    """Halo exchange with FOUR DISTINCT random grids in a 2x2 mosaic —
+    distinct content is what catches strip direction/orientation mix-ups
+    (the shared-content driver fixture cannot: swapping N/S strips
+    between identical tiles is invisible). The expected padded grid per
+    tile is assembled INDEPENDENTLY by literal slicing of the neighbor
+    arrays (SRTM shared-boundary convention), then pushed through the
+    same stencil+quantization math; the shuffle strategy must return
+    identical rows; the broadcast plan must shuffle only strips."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from htg_spark import catalog as cat_mod
+
+    rng = np.random.default_rng(42)
+    grids = {}
+    for la in (10, 11):
+        for lo in (20, 21):
+            g = rng.integers(0, 4000, size=(1201, 1201)).astype(np.int16)
+            g[rng.random((1201, 1201)) < 0.01] = hgt.VOID_VALUE
+            grids[(la, lo)] = g
+    cat = cat_mod.catalog_from_grids(spark, grids).repartition(4)
+
+    out = terrain.mosaic_horn_stats(cat)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    # exactly one hash-partitioned shuffle: the strip groupBy — blobs never
+    # shuffle (the only other Exchanges are this test's own repartition(4)
+    # round-robins, one per catalog branch)
+    assert plan.count("Arguments: hashpartitioning(tile_lat") == 1
+    assert plan.count("hashpartitioning") == 1
+
+    rows = {(r.tile_lat, r.tile_lon): r for r in out.collect()}
+    assert len(rows) == 4
+
+    def nb(la, lo):
+        return grids.get((la, lo))
+
+    for (la, lo), g in grids.items():
+        p = np.full((1203, 1203), hgt.VOID_VALUE, dtype=np.int64)
+        p[1:1202, 1:1202] = g.astype(np.int64)
+        n_, s_, w_, e_ = nb(la + 1, lo), nb(la - 1, lo), nb(la, lo - 1), nb(la, lo + 1)
+        if n_ is not None:
+            p[0, 1:1202] = n_[1199, :]  # north tile's row 1199 sits above our row 0
+        if s_ is not None:
+            p[1202, 1:1202] = s_[1, :]
+        if w_ is not None:
+            p[1:1202, 0] = w_[:, 1199]
+        if e_ is not None:
+            p[1:1202, 1202] = e_[:, 1]
+        for side, (dr, dc, sr, sc) in {
+            "nw": (1, -1, 1199, 1199), "ne": (1, 1, 1199, 1),
+            "sw": (-1, -1, 1, 1199), "se": (-1, 1, 1, 1),
+        }.items():
+            d = nb(la + dr, lo + dc)
+            if d is not None:
+                rr = 0 if side.startswith("n") else 1202
+                cc = 0 if side.endswith("w") else 1202
+                p[rr, cc] = int(d[sr, sc])
+        gxs, gys, ok = terrain.tile_horn_grids(p)
+        _, byte = terrain.hillshade_bytes(gxs, gys, ok)
+        edge = np.zeros_like(ok)
+        edge[0, :] = edge[-1, :] = True
+        edge[:, 0] = edge[:, -1] = True
+        r = rows[(la, lo)]
+        assert r.n_valid == int(ok.sum())
+        assert r.n_edge_valid == int((ok & edge).sum())
+        assert r.n_edge_valid > 0  # the halo actually bought edge cells
+        assert r.sum_gxs == int(gxs[ok].sum())
+        assert r.sum_gys == int(gys[ok].sum())
+        assert r.sum_byte == int(byte[ok].sum())
+        assert r.min_byte == int(byte[ok].min())
+        assert r.max_byte == int(byte[ok].max())
+        # corners valid only where the diagonal neighbor exists: interior
+        # corner of each tile has all three relevant neighbors
+        interior_corner = {
+            (10, 20): (0, 1200), (10, 21): (0, 0),
+            (11, 20): (1200, 1200), (11, 21): (1200, 0),
+        }[(la, lo)]
+        # recompute validity straight off the padded grid
+        pr, pc = interior_corner[0] + 1, interior_corner[1] + 1
+        block = p[pr - 1 : pr + 2, pc - 1 : pc + 2]
+        assert bool(ok[interior_corner]) == bool((block != hgt.VOID_VALUE).all())
+
+    shuf = {
+        (r.tile_lat, r.tile_lon): r
+        for r in terrain.mosaic_horn_stats(cat, strategy="shuffle").collect()
+    }
+    assert shuf == rows
+
+    with pytest.raises(ValueError):
+        terrain.mosaic_horn_stats(cat, strategy="nope")
