@@ -384,3 +384,56 @@ def point_in_polygon_join(
         .where(F.col("_crossings") % 2 == 1)
         .select(*out_cols)
     )
+
+
+def polygon_metrics(polygons: DataFrame, ring_col: str = "ring") -> DataFrame:
+    """Shoelace area, centroid, and perimeter per polygon — the vector-
+    geometry measures every GIS ships — as ONE JVM ``F.aggregate`` fold
+    over the closed edge ring: zero Python workers, zero shuffles,
+    map-only whatever the polygon count.
+
+    Bit-parity float order (shared verbatim with the SQL oracle; DuckDB
+    ``list_reduce`` folds left-to-right seeded with the first element,
+    which equals this fold's 0.0 seed since 0.0 + x == x):
+
+        cross_i = (x1*y2) - (x2*y1)
+        area2   = sum cross_i            (signed; > 0 for CCW rings)
+        sx_i    = (x1 + x2) * cross_i    ; sy_i = (y1 + y2) * cross_i
+        len_i   = sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))
+        area    = abs(area2) / 2.0
+        cx      = sx / (area2 * 3.0)     ; cy = sy / (area2 * 3.0)
+
+    All four folds ride one accumulator struct, so the ring is traversed
+    once. cx/cy are NULL for degenerate (zero-area) rings rather than an
+    IEEE infinity."""
+    p = with_edges(polygons, ring_col)
+
+    def step(acc: Column, e: Column) -> Column:
+        cross = (e["x1"] * e["y2"]) - (e["x2"] * e["y1"])
+        dx = e["x2"] - e["x1"]
+        dy = e["y2"] - e["y1"]
+        return F.struct(
+            (acc["a2"] + cross).alias("a2"),
+            (acc["sx"] + (e["x1"] + e["x2"]) * cross).alias("sx"),
+            (acc["sy"] + (e["y1"] + e["y2"]) * cross).alias("sy"),
+            (acc["pl"] + F.sqrt(dx * dx + dy * dy)).alias("pl"),
+        )
+
+    zero = F.lit(0.0)
+    acc = F.aggregate(
+        F.col("edges"),
+        F.struct(
+            zero.alias("a2"), zero.alias("sx"), zero.alias("sy"), zero.alias("pl")
+        ),
+        step,
+    )
+    a2 = acc["a2"]
+    return p.select(
+        F.col("poly_id"),
+        F.size(F.col(ring_col)).alias("n_vertices"),
+        a2.alias("area2"),
+        (F.abs(a2) / F.lit(2.0)).alias("area"),
+        F.when(a2 != 0.0, acc["sx"] / (a2 * F.lit(3.0))).alias("cx"),
+        F.when(a2 != 0.0, acc["sy"] / (a2 * F.lit(3.0))).alias("cy"),
+        acc["pl"].alias("perimeter"),
+    )

@@ -476,9 +476,67 @@ HAVING COUNT(*) % 2 = 1
 """
 
 
+def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area / centroid / perimeter for every star polygon
+    (poly_op.polygon_metrics): one JVM fold over the closed edge ring,
+    map-only, zero Exchanges. The oracle rebuilds each per-edge term from
+    the star closed form and folds it left-to-right with list_reduce —
+    the documented bit-parity order — so every float output (signed
+    area2, area, centroid, perimeter) hash-matches bitwise. The fixture
+    centroids land back on (cx, cy) and area2 > 0 proves the ring
+    convention is CCW."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return poly_op.polygon_metrics(derive_polygons(nation))
+
+
+def _metrics_oracle_sql() -> str:
+    """Per-edge terms inlined from STAR_OFFSETS (single source of truth)
+    into ordered DuckDB lists, folded with list_reduce (left-to-right,
+    seeded with the first element == Spark's 0.0-seeded F.aggregate)."""
+    n = len(STAR_OFFSETS)
+    cl, sxl, syl, pll = [], [], [], []
+    for i in range(n):
+        dx1, dy1 = STAR_OFFSETS[i]
+        dx2, dy2 = STAR_OFFSETS[(i + 1) % n]
+        x1 = f"(cx + {dx1!r} * r)"
+        y1 = f"(cy + {dy1!r} * r)"
+        x2 = f"(cx + {dx2!r} * r)"
+        y2 = f"(cy + {dy2!r} * r)"
+        cross = f"(({x1} * {y2}) - ({x2} * {y1}))"
+        cl.append(cross)
+        sxl.append(f"(({x1} + {x2}) * {cross})")
+        syl.append(f"(({y1} + {y2}) * {cross})")
+        pll.append(
+            f"sqrt(({x2} - {x1}) * ({x2} - {x1})"
+            f" + ({y2} - {y1}) * ({y2} - {y1}))"
+        )
+
+    def lst(items):
+        return "[" + ", ".join(items) + "]"
+
+    return f"""
+WITH {_SQL_POLYS.strip()},
+folds AS (
+  SELECT poly_id,
+    list_reduce({lst(cl)}, (a, b) -> a + b) AS area2,
+    list_reduce({lst(sxl)}, (a, b) -> a + b) AS sx,
+    list_reduce({lst(syl)}, (a, b) -> a + b) AS sy,
+    list_reduce({lst(pll)}, (a, b) -> a + b) AS perimeter
+  FROM polys
+)
+SELECT poly_id, CAST({n} AS INTEGER) AS n_vertices,
+  area2, abs(area2) / 2.0 AS area,
+  CASE WHEN area2 <> 0.0 THEN sx / (area2 * 3.0) END AS cx,
+  CASE WHEN area2 <> 0.0 THEN sy / (area2 * 3.0) END AS cy,
+  perimeter
+FROM folds
+"""
+
+
 def queries():
     return {
         "point_in_polygon": q_point_in_polygon,
+        "polygon_metrics": q_polygon_metrics,
         "polygon_zonal_stats": q_polygon_zonal_stats,
         "images_in_polygon": q_images_in_polygon,
         "geojson_containment": q_geojson_containment,
@@ -488,6 +546,7 @@ def queries():
 def oracle_sql():
     return {
         "point_in_polygon": _pip_oracle_sql(),
+        "polygon_metrics": _metrics_oracle_sql(),
         "polygon_zonal_stats": _zonal_oracle_sql(),
         "images_in_polygon": _images_pip_oracle_sql(),
         "geojson_containment": _geojson_oracle_sql(),

@@ -8,6 +8,8 @@ set difference, never a shared blind spot with the Spark side.
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -371,3 +373,60 @@ def test_geojson_point_in_polygon_even_odd(spark):
         for r in geojson_point_in_polygon(pts, features).collect()
     )
     assert got == [(0, 0), (2, 1), (3, 1), (5, 3)]
+
+
+def test_polygon_metrics_exact_and_plan(spark):
+    """Shoelace fold vs an independent pure-Python left-to-right
+    recompute (same documented op order) on polygons the closed forms
+    never touch: a unit square (area 1, centroid at its center), a CW
+    triangle (negative area2), and a concave ring. Plan must stay
+    map-only (zero Exchanges)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from htg_spark.operators.polygon import polygon_metrics
+
+    rings = {
+        1: [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)],  # CCW square
+        2: [(0.0, 0.0), (0.0, 2.0), (3.0, 0.0)],  # CW triangle
+        3: [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 1.0), (0.0, 4.0)],  # concave
+    }
+    df = spark.createDataFrame(
+        [(k, [{"x": x, "y": y} for x, y in v]) for k, v in rings.items()],
+        "poly_id long, ring array<struct<x double, y double>>",
+    )
+    out = polygon_metrics(df)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange\b", buf.getvalue())) == 0
+
+    got = {r.poly_id: r for r in out.collect()}
+    for k, ring in rings.items():
+        a2 = sx = sy = pl = 0.0
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            cross = (x1 * y2) - (x2 * y1)
+            a2 = a2 + cross
+            sx = sx + (x1 + x2) * cross
+            sy = sy + (y1 + y2) * cross
+            pl = pl + math.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+        r = got[k]
+        assert r.n_vertices == n
+        assert r.area2 == a2 and r.area == abs(a2) / 2.0
+        assert r.cx == sx / (a2 * 3.0) and r.cy == sy / (a2 * 3.0)
+        assert r.perimeter == pl
+    assert got[1].area == 1.0 and got[1].cx == 0.5 and got[1].cy == 0.5
+    assert got[2].area2 < 0 and got[2].area == 3.0  # CW ring, signed negative
+    assert got[1].perimeter == 4.0
+
+    degen = spark.createDataFrame(
+        [(9, [{"x": 1.0, "y": 1.0}, {"x": 2.0, "y": 2.0}, {"x": 3.0, "y": 3.0}])],
+        "poly_id long, ring array<struct<x double, y double>>",
+    )
+    d = polygon_metrics(degen).collect()[0]
+    assert d.area == 0.0 and d.cx is None and d.cy is None  # no IEEE inf leak
