@@ -163,6 +163,7 @@ def main():
         ("cell_heatmap", _dq.q_cell_heatmap),
         ("knn_poi_join", _dq.q_knn_poi_join),
         ("point_in_polygon", _polyq.q_point_in_polygon),
+        ("polygon_metrics", _polyq.q_polygon_metrics),
         ("polygon_zonal_stats", _polyq.q_polygon_zonal_stats),
         ("images_in_polygon", _polyq.q_images_in_polygon),
         ("geojson_containment", _polyq.q_geojson_containment),
