@@ -160,6 +160,7 @@ def main():
         ("event_asof_join", pq.q_event_asof_join),
         ("phash_near_dup", pq.q_phash_near_dup),
         ("frame_near_dup", pq.q_frame_near_dup),
+        ("audio_near_dup", pq.q_audio_near_dup),
         ("cell_heatmap", _dq.q_cell_heatmap),
         ("knn_poi_join", _dq.q_knn_poi_join),
         ("point_in_polygon", _polyq.q_point_in_polygon),

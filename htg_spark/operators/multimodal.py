@@ -713,3 +713,152 @@ def video_frame_sample(video: DataFrame, every_n: int = 30) -> DataFrame:
     return video.select(
         "video_id", "bytes", "w", "h", "n_frames", "fmt"
     ).mapInArrow(run, schema=out_schema)
+
+
+FP_WINDOWS = 64  # energy windows per clip -> 63 delta-sign bits
+
+
+def audio_fingerprint_reference(s: np.ndarray) -> int:
+    """Scalar reference for one int16 sample array — the bit-parity
+    contract audio_fingerprint must match (and the oracle SQL rebuilds):
+
+    - sample k belongs to window j = (k * 64) // n  (exact integer map;
+      window sizes differ by at most one — both engines share the formula)
+    - E_j = sum of s^2 over window j (exact int64)
+    - bit_j = 1 iff E_{j+1} > E_j, packed at position j for j < 63
+
+    Sign-of-energy-delta is the classic acoustic-fingerprint shape
+    (Haitsma-Kalker): invariant under any monotone per-sample gain, so
+    re-leveled copies of a clip land within a small hamming distance."""
+    n = int(s.size)
+    if n < FP_WINDOWS:
+        raise ValueError(f"clip too short for fingerprint: {n} < {FP_WINDOWS}")
+    k = np.arange(n, dtype=np.int64)
+    w = (k * FP_WINDOWS) // n
+    e = np.zeros(FP_WINDOWS, dtype=np.int64)
+    np.add.at(e, w, s.astype(np.int64) ** 2)
+    bits = (e[1:] > e[:-1]).astype(np.int64)
+    return int((bits << np.arange(63, dtype=np.int64)).sum())
+
+
+def audio_fingerprint(audio: DataFrame) -> DataFrame:
+    """63-bit energy-delta fingerprint per clip, computed from the REAL
+    payload bytes (pcm16/pcm16z) — the audio twin of image_ahash, feeding
+    the same Manku banding near-dup engine. Semantics:
+    ``audio_fingerprint_reference`` (all-integer, so the DuckDB oracle
+    rebuilds every signature bit-for-bit from the sample closed form).
+
+    Scale shape: decode + window-scatter vectorized per (n_samples, fmt)
+    subgroup (one frombuffer + one bincount-style scatter over the
+    stacked block); map-only mapInPandas, zero shuffles, 16 bytes/row
+    out."""
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.int64(1) << np.arange(63, dtype=np.int64)
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            n_rows = len(pdf)
+            out = np.empty(n_rows, dtype=np.int64)
+            groups = pdf.groupby(["n_samples", "fmt"], sort=False).indices
+            if sum(len(p) for p in groups.values()) != n_rows:
+                bad = pdf[pdf[["n_samples", "fmt"]].isna().any(axis=1)][
+                    "audio_id"
+                ].tolist()
+                raise ValueError(f"audio rows with null n_samples/fmt: {bad[:5]}")
+            for (ns, fmt), pos in groups.items():
+                ns = int(ns)
+                if ns < FP_WINDOWS:
+                    raise ValueError(
+                        f"clip too short for fingerprint: {ns} < {FP_WINDOWS}"
+                    )
+                blobs = pdf["bytes"].to_numpy()[pos]
+                if fmt not in SANDBOX_AUDIO_CODECS:
+                    _decode_audio_external(bytes(blobs[0]), str(fmt))
+                bufs = (
+                    [zlib.decompress(bytes(b)) for b in blobs]
+                    if fmt == "pcm16z"
+                    else [bytes(b) for b in blobs]
+                )
+                for b in bufs:
+                    if len(b) != ns * 2:
+                        raise ValueError(f"payload size {len(b)} != {ns}*2")
+                stack = (
+                    np.frombuffer(b"".join(bufs), dtype="<i2")
+                    .reshape(len(pos), ns)
+                    .astype(np.int64)
+                )
+                w = (np.arange(ns, dtype=np.int64) * FP_WINDOWS) // ns
+                # one scatter-add per subgroup: segment boundaries are the
+                # same for every clip of this length
+                starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+                bounds = np.r_[starts, ns]
+                sq = stack * stack
+                e = np.empty((len(pos), FP_WINDOWS), dtype=np.int64)
+                for j in range(FP_WINDOWS):
+                    e[:, j] = sq[:, bounds[j] : bounds[j + 1]].sum(axis=1)
+                bits = e[:, 1:] > e[:, :-1]
+                out[pos] = (bits * weights).sum(axis=1)
+            yield pd.DataFrame({"audio_id": pdf["audio_id"], "fp": out})
+
+    return audio.select("audio_id", "bytes", "n_samples", "fmt").mapInPandas(
+        run, schema="audio_id string, fp bigint"
+    )
+
+
+def audio_gain(audio: DataFrame, num: int, den: int) -> DataFrame:
+    """Integer re-leveling: every sample becomes (s * num) // den (floor
+    division, matching DuckDB's `//` and NumPy's `//` exactly) — the
+    deterministic 'volume-changed copy' of the audio augment stage.
+    Requires num < den so int16 can never clip; output payloads are
+    re-encoded with the SAME codec column (pcm16 stays raw, pcm16z stays
+    zlib), so the result is a first-class audio row for every downstream
+    operator. Map-only, vectorized per (n_samples, fmt) subgroup."""
+    import zlib
+
+    if not (0 < num < den):
+        raise ValueError("audio_gain requires 0 < num < den (no clipping)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            payloads = [b"" for _ in range(len(pdf))]
+            groups = pdf.groupby(["n_samples", "fmt"], sort=False).indices
+            if sum(len(p) for p in groups.values()) != len(pdf):
+                bad = pdf[pdf[["n_samples", "fmt"]].isna().any(axis=1)][
+                    "audio_id"
+                ].tolist()
+                raise ValueError(f"audio rows with null n_samples/fmt: {bad[:5]}")
+            for (ns, fmt), pos in groups.items():
+                ns = int(ns)
+                blobs = pdf["bytes"].to_numpy()[pos]
+                if fmt not in SANDBOX_AUDIO_CODECS:
+                    _decode_audio_external(bytes(blobs[0]), str(fmt))
+                bufs = (
+                    [zlib.decompress(bytes(b)) for b in blobs]
+                    if fmt == "pcm16z"
+                    else [bytes(b) for b in blobs]
+                )
+                for b in bufs:
+                    if len(b) != ns * 2:
+                        raise ValueError(f"payload size {len(b)} != {ns}*2")
+                stack = (
+                    np.frombuffer(b"".join(bufs), dtype="<i2")
+                    .reshape(len(pos), ns)
+                    .astype(np.int64)
+                )
+                scaled = ((stack * num) // den).astype("<i2")
+                for i, p in enumerate(pos):
+                    raw = scaled[i].tobytes()
+                    payloads[p] = (
+                        zlib.compress(raw, level=1) if fmt == "pcm16z" else raw
+                    )
+            out = pdf.copy()
+            out["bytes"] = payloads
+            yield out
+
+    cols = ["audio_id", "bytes", "sr", "n_samples", "fmt"]
+    return audio.select(*cols).mapInPandas(
+        run,
+        schema="audio_id string, bytes binary, sr int, n_samples int, fmt string",
+    )

@@ -684,6 +684,64 @@ def q_frame_near_dup(spark, sf_dir):
     )
 
 
+def audio_fp_corpus(spark, sf_dir) -> DataFrame:
+    """The audio near-dup corpus: every event_id % 8 == 0 clip (REAL
+    pcm16/pcm16z payloads) plus a gain-scaled copy (audio_gain 3/4 —
+    floor((s*3)/4) per sample, re-encoded with the SAME codec) — the
+    re-leveled/re-encoded twin an audio dedup stage must catch. The
+    energy-delta fingerprint compares CONSECUTIVE window energies, and a
+    uniform gain scales all energies by ~9/16 with only floor noise, so
+    almost every delta sign survives and genuine pairs land within a
+    small hamming distance — no synthetic xor planting."""
+    from . import driver_queries as dq
+    from .operators import multimodal as mm
+
+    ev = dq._events(spark, sf_dir).where(F.col("event_id") % 8 == 0)
+    aud = dq.derive_audio_table(ev)
+    gained = mm.audio_gain(aud, 3, 4).select(
+        F.concat("audio_id", F.lit("_g")).alias("audio_id"),
+        "bytes",
+        "sr",
+        "n_samples",
+        "fmt",
+    )
+    return aud.unionByName(gained)
+
+
+def q_audio_near_dup(spark, sf_dir):
+    """Audio near-duplicate pairs by CONTENT-derived acoustic fingerprint
+    — completing the dedup triangle (text SimHash, image/video aHash,
+    audio energy-delta): pcm16/pcm16z decode -> 63-bit Haitsma-Kalker-
+    style sign-of-energy-delta fingerprint (multimodal.audio_fingerprint,
+    all-integer) -> EXACT-hash collapse -> the same Manku banding engine
+    at hamming <= 3 over representatives, cluster sizes as n_a/n_b. Same
+    exact-collapse rationale as frame_near_dup: fingerprints are
+    gain-invariant by design, so re-leveled corpora form hash-equal
+    clusters that would make raw banding quadratic. Oracle rebuilds every
+    fingerprint from the sample closed form and does the honest quadratic
+    over representatives."""
+    from .operators import multimodal as mm
+
+    sigs = mm.audio_fingerprint(audio_fp_corpus(spark, sf_dir))
+    reps = (
+        sigs.groupBy("fp")
+        .agg(F.min("audio_id").alias("audio_id"), F.count("*").alias("n_members"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = dedup.simhash_near_dup_pairs(
+        reps.select("audio_id", F.col("fp").alias("simhash")),
+        id_col="audio_id",
+        max_hamming=3,
+        sig_bits=63,
+        interleave=True,
+    )
+    a = reps.select(F.col("audio_id").alias("id_a"), F.col("n_members").alias("n_a"))
+    b = reps.select(F.col("audio_id").alias("id_b"), F.col("n_members").alias("n_b"))
+    return pairs.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b").select(
+        "id_a", "id_b", "hamming", "n_a", "n_b"
+    )
+
+
 def q_event_asof_join(spark, sf_dir):
     """As-of join (the time-series join Spark lacks as a primitive): each
     click event picks up the latest prior-or-equal purchase by the same
@@ -1114,6 +1172,57 @@ SELECT a.image_id AS id_a, b.image_id AS id_b,
   a.n_members AS n_a, b.n_members AS n_b
 FROM reps a JOIN reps b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+    # audio near-dup: every fingerprint rebuilt from the sample closed
+    # form ((e*17 + 5k) % 65536) - 32768 — window j = (k*64)//n, exact
+    # int energies, sign-of-delta bits — for the original AND the
+    # gain-scaled variant floor((s*3)/4.0) (double division by a power
+    # of two is exact, so floor == NumPy's // — DuckDB's integer // would
+    # TRUNCATE negatives instead). Exact-equal fingerprints collapse to
+    # min-id representatives; the honest quadratic runs over those.
+    audio_near_dup_sql = """
+WITH ev AS (
+  SELECT event_id AS e, 256 + event_id % 200 AS n
+  FROM events WHERE event_id % 8 = 0
+),
+sk AS (
+  SELECT e, n, unnest(generate_series(0, n - 1)) AS k FROM ev
+),
+s AS (
+  SELECT e, n, k, (k * 64) // n AS w,
+    ((e * 17 + 5 * k) % 65536) - 32768 AS v
+  FROM sk
+),
+var AS (
+  SELECT 'aud_' || CAST(e AS VARCHAR) AS audio_id, e, n, w,
+    CAST(sum(v * v) AS BIGINT) AS ew
+  FROM s GROUP BY e, n, w
+  UNION ALL
+  SELECT 'aud_' || CAST(e AS VARCHAR) || '_g' AS audio_id, e, n, w,
+    CAST(sum(CAST(floor((v * 3) / 4.0) AS BIGINT)
+           * CAST(floor((v * 3) / 4.0) AS BIGINT)) AS BIGINT) AS ew
+  FROM s GROUP BY e, n, w
+),
+fp AS (
+  SELECT a.audio_id,
+    CAST(sum(CASE WHEN b.ew > a.ew
+        THEN (1::BIGINT << CAST(a.w AS INT)) ELSE 0::BIGINT END)
+      AS BIGINT) AS fp
+  FROM var a JOIN var b
+    ON b.audio_id = a.audio_id AND b.w = a.w + 1
+  WHERE a.w < 63
+  GROUP BY a.audio_id
+),
+reps AS (
+  SELECT min(audio_id) AS audio_id, fp,
+    CAST(count(*) AS BIGINT) AS n_members
+  FROM fp GROUP BY fp
+)
+SELECT a.audio_id AS id_a, b.audio_id AS id_b,
+  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming,
+  a.n_members AS n_a, b.n_members AS n_b
+FROM reps a JOIN reps b ON a.audio_id < b.audio_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
 """
     # DuckDB ASOF LEFT JOIN shares asof_join's exact contract: backward
     # inclusive (p.us >= m.us), per-key, NULL payload when no marker
@@ -1646,6 +1755,7 @@ FROM rc
         "event_asof_join": event_asof_join_sql,
         "phash_near_dup": phash_near_dup_sql,
         "frame_near_dup": frame_near_dup_sql,
+        "audio_near_dup": audio_near_dup_sql,
         "text_quality": text_quality_sql,
         "lang_id": lang_id_sql,
         "doc_fingerprint": fingerprint_sql,
@@ -1680,6 +1790,7 @@ def queries():
         "event_asof_join": q_event_asof_join,
         "phash_near_dup": q_phash_near_dup,
         "frame_near_dup": q_frame_near_dup,
+        "audio_near_dup": q_audio_near_dup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,

@@ -313,3 +313,58 @@ def test_ahash_brightness_invariance_and_rail_flip(spark):
         .set_index("image_id")["ahash"]
     )
     assert out["base"] == out["shifted"] == multimodal.ahash_reference(base)
+
+
+def test_audio_fingerprint_matches_reference(spark):
+    """Spark fingerprints equal the scalar reference over REAL
+    pcm16/pcm16z payloads (both codecs, varied lengths); signatures are
+    non-negative 63-bit and discriminate between clips."""
+    from htg_spark.driver_queries import derive_audio_table
+
+    ev = spark.range(0, 64).selectExpr("id * 3 as event_id")
+    aud = derive_audio_table(ev)
+    src = {r["audio_id"]: r for r in aud.collect()}
+    out = multimodal.audio_fingerprint(aud).toPandas()
+    assert len(out) == 64
+    for _, row in out.iterrows():
+        r = src[row["audio_id"]]
+        s = multimodal.decode_audio(bytes(r["bytes"]), int(r["n_samples"]), r["fmt"])
+        assert int(row["fp"]) == multimodal.audio_fingerprint_reference(s)
+        assert 0 <= int(row["fp"]) < (1 << 63)
+    assert out["fp"].nunique() > 1
+
+
+def test_audio_fingerprint_too_short_raises():
+    with pytest.raises(ValueError):
+        multimodal.audio_fingerprint_reference(np.zeros(63, dtype=np.int16))
+
+
+def test_audio_gain_exact_and_invariant(spark):
+    """Gain payloads equal the independent floor((s*3)//4) recompute with
+    the codec preserved (pcm16 stays raw, pcm16z stays zlib-decodable),
+    and the energy-delta fingerprint is invariant under the re-level —
+    the property audio_near_dup relies on."""
+    from htg_spark.driver_queries import derive_audio_table
+
+    ev = spark.range(0, 32).selectExpr("id * 5 as event_id")
+    aud = derive_audio_table(ev)
+    src = {r["audio_id"]: r for r in aud.collect()}
+    out = multimodal.audio_gain(aud, 3, 4).collect()
+    assert len(out) == 32
+    for r in out:
+        o = src[r["audio_id"]]
+        assert r["fmt"] == o["fmt"] and r["n_samples"] == o["n_samples"]
+        s = multimodal.decode_audio(
+            bytes(o["bytes"]), int(o["n_samples"]), o["fmt"]
+        ).astype(np.int64)
+        got = multimodal.decode_audio(
+            bytes(r["bytes"]), int(r["n_samples"]), r["fmt"]
+        )
+        exp = ((s * 3) // 4).astype(np.int16)
+        assert np.array_equal(got, exp)
+        assert multimodal.audio_fingerprint_reference(
+            got
+        ) == multimodal.audio_fingerprint_reference(s.astype(np.int16))
+
+    with pytest.raises(ValueError):
+        multimodal.audio_gain(aud, 5, 4)
