@@ -157,6 +157,7 @@ def main():
         ("line_dedup", pq.q_line_dedup),
         ("props_stats", pq.q_props_stats),
         ("user_sessions", pq.q_user_sessions),
+        ("funnel_stages", pq.q_funnel_stages),
         ("event_asof_join", pq.q_event_asof_join),
         ("phash_near_dup", pq.q_phash_near_dup),
         ("frame_near_dup", pq.q_frame_near_dup),

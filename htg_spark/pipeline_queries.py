@@ -684,6 +684,73 @@ def q_frame_near_dup(spark, sf_dir):
     )
 
 
+def q_funnel_stages(spark, sf_dir):
+    """Ordered-funnel analysis (view -> click -> purchase) per user — the
+    classic product-analytics sequential-match query Spark has no
+    primitive for. Contract: stage n+1 counts only at-or-after the
+    user's EARLIEST stage-n completion in (ts, event_id) order (the
+    deterministic total order; timestamps are exact NTZ epoch micros,
+    DST-proof, matching DuckDB epoch_us bit-for-bit).
+
+    Plan shape: the sequential dependency is two chained running-min
+    windows over the SAME (user_id, ts, event_id) sort + one groupBy on
+    user_id — Catalyst reuses the partitioning and sort across all
+    three, so the whole funnel costs exactly ONE Exchange and ONE Sort
+    at any scale. No self-joins, no per-stage passes."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts").cast("timestamp_ntz"),
+    )
+    rows = e.select("user_id", "event_id", "event_type", us.alias("us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = rows.select(
+        "user_id", "event_id", "us", "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w).alias("v1"),
+    )
+    staged = staged.select(
+        "user_id", "event_id", "us", "event_type", "v1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & F.col("v1").isNotNull(),
+                F.col("us"),
+            )
+        ).over(w).alias("c1"),
+    )
+    agg = staged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("v1").alias("first_view_us"),
+        F.min("c1").alias("first_click_us"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & F.col("c1").isNotNull(),
+                F.col("us"),
+            )
+        ).alias("first_purchase_us"),
+    )
+    stage = (
+        F.when(F.col("first_purchase_us").isNotNull(), 3)
+        .when(F.col("first_click_us").isNotNull(), 2)
+        .when(F.col("first_view_us").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "first_view_us",
+        "first_click_us",
+        "first_purchase_us",
+        stage.cast("int").alias("stage"),
+    )
+
+
 def audio_fp_corpus(spark, sf_dir) -> DataFrame:
     """The audio near-dup corpus: every event_id % 8 == 0 clip (REAL
     pcm16/pcm16z payloads) plus a gain-scaled copy (audio_gain 3/4 —
@@ -1172,6 +1239,40 @@ SELECT a.image_id AS id_a, b.image_id AS id_b,
   a.n_members AS n_a, b.n_members AS n_b
 FROM reps a JOIN reps b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+    # ordered funnel: the identical chained running-min windows over the
+    # same (user_id, us, event_id) total order; epoch_us matches the NTZ
+    # micros exactly (same precedent as user_sessions/event_asof_join)
+    funnel_stages_sql = """
+WITH r AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+    OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS UNBOUNDED PRECEDING) AS v1
+  FROM r
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND v1 IS NOT NULL THEN us END)
+    OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS UNBOUNDED PRECEDING) AS c1
+  FROM s1
+),
+a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(min(v1) AS BIGINT) AS first_view_us,
+    CAST(min(c1) AS BIGINT) AS first_click_us,
+    CAST(min(CASE WHEN event_type = 'purchase' AND c1 IS NOT NULL
+             THEN us END) AS BIGINT) AS first_purchase_us
+  FROM s2 GROUP BY user_id
+)
+SELECT user_id, n_events, first_view_us, first_click_us, first_purchase_us,
+  CAST(CASE WHEN first_purchase_us IS NOT NULL THEN 3
+            WHEN first_click_us IS NOT NULL THEN 2
+            WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END
+       AS INTEGER) AS stage
+FROM a
 """
     # audio near-dup: every fingerprint rebuilt from the sample closed
     # form ((e*17 + 5k) % 65536) - 32768 — window j = (k*64)//n, exact
@@ -1756,6 +1857,7 @@ FROM rc
         "phash_near_dup": phash_near_dup_sql,
         "frame_near_dup": frame_near_dup_sql,
         "audio_near_dup": audio_near_dup_sql,
+        "funnel_stages": funnel_stages_sql,
         "text_quality": text_quality_sql,
         "lang_id": lang_id_sql,
         "doc_fingerprint": fingerprint_sql,
@@ -1791,6 +1893,7 @@ def queries():
         "phash_near_dup": q_phash_near_dup,
         "frame_near_dup": q_frame_near_dup,
         "audio_near_dup": q_audio_near_dup,
+        "funnel_stages": q_funnel_stages,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,

@@ -956,3 +956,62 @@ def test_ivf_topk(emb):
     dots = vecs.astype(np.float64) @ c.T
     expect = dots.argmax(axis=1)
     assert list(assigned.sort_index()) == list(expect)
+
+
+def test_funnel_stages_semantics(spark, tmp_path):
+    """Hand-built event logs cover every funnel branch: full completion,
+    out-of-order stages (purchase before click must NOT count), click
+    before any view rejected, view-only, nothing, and a same-timestamp
+    tie resolved by the documented (ts, event_id) total order."""
+    import datetime as dt
+
+    from htg_spark.pipeline_queries import q_funnel_stages
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # u1: view(1) -> click(2) -> purchase(3): stage 3
+        ("u1", 1, ts(1), "view"), ("u1", 2, ts(2), "click"),
+        ("u1", 3, ts(3), "purchase"),
+        # u2: purchase BEFORE click: view(1), purchase(2), click(3) -> stage 2
+        ("u2", 4, ts(1), "view"), ("u2", 5, ts(2), "purchase"),
+        ("u2", 6, ts(3), "click"),
+        # u3: click before any view -> that click ignored; later view only
+        ("u3", 7, ts(1), "click"), ("u3", 8, ts(2), "view"),
+        # u4: nothing relevant
+        ("u4", 9, ts(1), "error"),
+        # u5: tie — click shares ts with the view; view has the SMALLER
+        # event_id so it precedes in the total order and the click counts
+        ("u5", 10, ts(5), "view"), ("u5", 11, ts(5), "click"),
+        # u6: tie the other way — click's event_id sorts BEFORE the view,
+        # so the click does not qualify
+        ("u6", 13, ts(5), "view"), ("u6", 12, ts(5), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, event_type string"
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+
+    out = {r.user_id: r for r in q_funnel_stages(spark, str(tmp_path)).collect()}
+    assert out["u1"].stage == 3 and out["u1"].first_purchase_us is not None
+    assert out["u2"].stage == 2 and out["u2"].first_purchase_us is None
+    assert out["u3"].stage == 1 and out["u3"].first_click_us is None
+    assert out["u4"].stage == 0 and out["u4"].first_view_us is None
+    assert out["u5"].stage == 2
+    assert out["u6"].stage == 1
+
+    # plan: ONE Exchange, ONE Sort serve both windows and the groupBy
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q_funnel_stages(spark, str(tmp_path)).explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1
