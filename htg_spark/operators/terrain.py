@@ -659,9 +659,16 @@ def tile_d8_grids(grid: np.ndarray):
     (strict-> update), which is deterministic and engine-portable.
 
     Returns (codes, ok): int32 (n-2, n-2) direction codes and the same
-    all-9-samples-valid mask as the Horn stencil."""
+    all-9-samples-valid mask as the Horn stencil.
+
+    Dtype note (bandwidth, not semantics — BENCH_SCALING session 19
+    measured this kernel memory-bound at 32 threads): elevations and
+    drops stay int32 (a drop spans at most [-65535, 65535]); only the
+    squared scores widen to int64 (2 * 65535^2 overflows int32). Halves
+    the per-direction array traffic vs the original all-int64 form; the
+    comparison arithmetic is bit-identical."""
     n = grid.shape[0]
-    g = grid.astype(np.int64, copy=False)
+    g = grid.astype(np.int32, copy=False)
 
     def z(dr: int, dc: int) -> np.ndarray:
         return g[1 + dr : n - 1 + dr, 1 + dc : n - 1 + dc]
@@ -671,10 +678,10 @@ def tile_d8_grids(grid: np.ndarray):
         for dc in (-1, 0, 1):
             void |= z(dr, dc) == hgt.VOID_VALUE
     center = z(0, 0)
-    best = np.zeros_like(center)
+    best = np.zeros(center.shape, dtype=np.int64)
     codes = np.zeros(center.shape, dtype=np.int32)
     for dr, dc, code in _D8_DIRS:
-        d = center - z(dr, dc)
+        d = (center - z(dr, dc)).astype(np.int64)
         mult = 1 if (dr and dc) else 2
         score = np.where(d > 0, d * d * mult, np.int64(0))
         upd = score > best
@@ -778,13 +785,17 @@ def tile_flow_accumulation(grid: np.ndarray) -> np.ndarray:
     codes, ok = tile_d8_grids(grid)
     m = codes.shape[0]
     # one vectorized pass builds every downstream index: code -> (dr, dc)
-    # through a 129-slot LUT (codes are powers of two; slot 0 = no edge)
-    lut_dr = np.zeros(129, dtype=np.int64)
-    lut_dc = np.zeros(129, dtype=np.int64)
+    # through a 129-slot LUT (codes are powers of two; slot 0 = no edge).
+    # Indices/counts/elevations all fit int32 (m^2 < 2^31, accumulation
+    # <= m^2, elevations int16-ranged) — int32 throughout halves the
+    # memory traffic of this bandwidth-bound kernel (session 19) with
+    # bit-identical results.
+    lut_dr = np.zeros(129, dtype=np.int32)
+    lut_dc = np.zeros(129, dtype=np.int32)
     for dr, dc, code in _D8_DIRS:
         lut_dr[code], lut_dc[code] = dr, dc
-    ti = np.arange(m, dtype=np.int64)[:, None] + lut_dr[codes]
-    tj = np.arange(m, dtype=np.int64)[None, :] + lut_dc[codes]
+    ti = np.arange(m, dtype=np.int32)[:, None] + lut_dr[codes]
+    tj = np.arange(m, dtype=np.int32)[None, :] + lut_dc[codes]
     okr = ok.ravel()
     inb = (
         okr
@@ -794,14 +805,14 @@ def tile_flow_accumulation(grid: np.ndarray) -> np.ndarray:
         & (tj.ravel() >= 0)
         & (tj.ravel() < m)
     )
-    down_f = np.full(m * m, -1, dtype=np.int64)
+    down_f = np.full(m * m, -1, dtype=np.int32)
     idx = np.nonzero(inb)[0]
-    tgt = ti.ravel()[idx] * m + tj.ravel()[idx]
+    tgt = ti.ravel()[idx] * np.int32(m) + tj.ravel()[idx]  # < m^2 < 2^31
     recv = okr[tgt]  # flow into a non-ok cell leaves the accounted raster
     down_f[idx[recv]] = tgt[recv]
 
-    acc = np.where(ok, np.int64(1), np.int64(0)).ravel()
-    z = grid[1 : m + 1, 1 : m + 1].astype(np.int64).ravel()
+    acc = np.where(ok, np.int32(1), np.int32(0)).ravel()
+    z = grid[1 : m + 1, 1 : m + 1].astype(np.int32).ravel()
     src = np.nonzero(down_f >= 0)[0]
     if src.size:
         # descending-elevation topological sweep, grouped by level so each
