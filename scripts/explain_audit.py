@@ -178,6 +178,25 @@ def main():
         print("FATAL: frame near-dup final plan rescans the corpus", file=sys.stderr)
         sys.exit(1)
 
+    and_plan = plan_of(pq.q_audio_near_dup(spark, sf_dir))
+    sections.append(
+        (
+            "Audio near-dup (acoustic fingerprint exact-collapse + banding)",
+            "Same contract as the video-frame near-dup: reps materialized "
+            "once behind a lazy localCheckpoint (ExistingRDD in the final "
+            "plan, zero direct events scans), broadcast n_a/n_b joins, no "
+            "cartesian products.",
+            and_plan,
+        )
+    )
+    if (
+        "CartesianProduct" in and_plan
+        or "BroadcastNestedLoopJoin" in and_plan
+        or and_plan.count("Scan parquet") > 0
+    ):
+        print("FATAL: audio near-dup plan shape violation", file=sys.stderr)
+        sys.exit(1)
+
     # composed training-data pipeline: the corpus must be scanned once per
     # stage TIER, with cross-branch-referenced tiers materialized behind
     # lazy localCheckpoints (Spark has no cross-branch subtree reuse)
