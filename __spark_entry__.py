@@ -13,10 +13,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from htg_spark import (
+    curation_queries,
     driver_queries,
     enrich_queries,
     pipeline_queries,
     polygon_queries,
+    spatial_queries,
     terrain_queries,
 )
 
@@ -40,6 +42,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **enrich_queries.queries(),
         **polygon_queries.queries(),
         **terrain_queries.queries(),
+        **curation_queries.queries(),
+        **spatial_queries.queries(),
     }
 
 
@@ -50,4 +54,6 @@ def oracle_sql() -> dict[str, str]:
         **enrich_queries.oracle_sql(),
         **polygon_queries.oracle_sql(),
         **terrain_queries.oracle_sql(),
+        **curation_queries.oracle_sql(),
+        **spatial_queries.oracle_sql(),
     }

@@ -69,6 +69,7 @@ def main():
     n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
 
     def time_joins(points, trials):
+        trials = max(1, trials)  # trials<1 would leave best=None; 0 is not a skip knob
         t, r, rp, chks = {}, {}, {}, {}
         for name, kw in queries.items():
             e = engines.get(name, eng)
@@ -103,8 +104,10 @@ def main():
     # pipeline ops over the driver tables at this sf (dedup / ANN / text)
     from pyspark.sql import functions as F
 
+    from htg_spark import curation_queries as _cq
     from htg_spark import pipeline_queries as pq
     from htg_spark import polygon_queries as _polyq
+    from htg_spark import spatial_queries as _sq
     from htg_spark import terrain_queries as _tq
 
     def materialize(df):
@@ -162,8 +165,13 @@ def main():
         ("phash_near_dup", pq.q_phash_near_dup),
         ("frame_near_dup", pq.q_frame_near_dup),
         ("audio_near_dup", pq.q_audio_near_dup),
+        ("decontamination", _cq.q_decontamination),
+        ("stratified_sample", _cq.q_stratified_sample),
+        ("mixture_weights", _cq.q_mixture_weights),
         ("cell_heatmap", _dq.q_cell_heatmap),
         ("knn_poi_join", _dq.q_knn_poi_join),
+        ("geohash_cells", _sq.q_geohash_cells),
+        ("radius_neighbors", _sq.q_radius_neighbors),
         ("point_in_polygon", _polyq.q_point_in_polygon),
         ("polygon_metrics", _polyq.q_polygon_metrics),
         ("polygon_zonal_stats", _polyq.q_polygon_zonal_stats),
@@ -331,7 +339,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "elevation-join + pipeline-ops wall-clock (37 headline queries, min of 2 trials)",
+                "metric": f"elevation-join + pipeline-ops wall-clock ({len(times)} headline queries, min of {n_trials} trials)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,

@@ -90,6 +90,72 @@ def cell_id_at_level(lat: Column, lon: Column, level: int) -> Column:
     return cell_id(tile_lat(lat), tile_lon(lon)) * (k * k) + sub_r * k + sub_c
 
 
+# --- geohash: the interoperable base-32 cell string (Niemeyer encoding) ----
+#
+# Standard geohash = bit-interleaved (lon first) quantization of lat/lon,
+# 5 bits per output char. The successive-halving definition is equivalent to
+# computing the quantized cell indices in one shot — floor((lon+180)/360 *
+# 2^lon_bits) — and interleaving their bits, which keeps everything in exact
+# integer ops after ONE IEEE-identical double multiply+floor per axis, so a
+# SQL engine reproduces the string bit-for-bit (spatial_queries generates the
+# DuckDB mirror from these same loops).
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_axis_bits(precision: int) -> tuple[int, int, int]:
+    """(total_bits, lon_bits, lat_bits) — lon gets the extra bit on odd
+    totals because interleaving starts with longitude."""
+    bits = 5 * precision
+    return bits, (bits + 1) // 2, bits // 2
+
+
+def geohash_lon_idx(lon: Column, precision: int = 6) -> Column:
+    """Quantized longitude cell in [0, 2^lon_bits): floor((lon+180)/360 * 2^b),
+    clamped so the lon=180 edge lands in the last cell."""
+    _, lon_bits, _ = geohash_axis_bits(precision)
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits)))
+    return F.greatest(F.least(raw.cast("long"), F.lit((1 << lon_bits) - 1)), F.lit(0))
+
+
+def geohash_lat_idx(lat: Column, precision: int = 6) -> Column:
+    _, _, lat_bits = geohash_axis_bits(precision)
+    raw = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits)))
+    return F.greatest(F.least(raw.cast("long"), F.lit((1 << lat_bits) - 1)), F.lit(0))
+
+
+def geohash_interleave(lon_idx: Column, lat_idx: Column, precision: int = 6) -> Column:
+    """Interleave the axis-index bits MSB-first, longitude on even positions
+    — a static sum of (shift, mask, scale) integer terms, pure codegen.
+    Pass MATERIALIZED idx columns (a prior select), not inline expressions."""
+    bits, lon_bits, lat_bits = geohash_axis_bits(precision)
+    out = None
+    for t in range(bits):
+        if t % 2 == 0:
+            src, sbit = lon_idx, lon_bits - 1 - t // 2
+        else:
+            src, sbit = lat_idx, lat_bits - 1 - t // 2
+        term = F.shiftright(src, sbit).bitwiseAND(F.lit(1)) * F.lit(1 << (bits - 1 - t))
+        out = term if out is None else out + term
+    return out
+
+
+def geohash_chars(code: Column, precision: int = 6) -> Column:
+    """5-bit groups of the interleaved code, MSB group first, through the
+    base-32 alphabet. Pass a MATERIALIZED code column."""
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH32])
+    parts = [
+        F.element_at(
+            alphabet,
+            (F.shiftright(code, 5 * (precision - 1 - c)).bitwiseAND(F.lit(31)) + 1).cast(
+                "int"
+            ),
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*parts)
+
+
 def bbox_overlaps_tile(
     t_lat: Column, t_lon: Column, min_lat: float, min_lon: float, max_lat: float, max_lon: float
 ) -> Column:

@@ -1,0 +1,186 @@
+"""Training-data curation operators: benchmark decontamination, deterministic
+stratified sampling, and temperature-based mixture weights.
+
+These are the corpus-assembly steps that run AFTER cleaning/dedup
+(operators/text.py, operators/dedup.py) and decide what actually enters a
+training mix:
+
+- `decontaminate`: flag corpus documents that verbatim-contain an n-gram
+  from a held-out evaluation set (the GPT-3 appendix-C / PaLM / Llama
+  "13-gram decontamination" step, here parameterized).
+- `stratified_sample`: keep/drop per document by comparing a salted
+  md5-derived uniform in [0,1) against a per-stratum rate — exactly
+  reproducible on any engine and any cluster size (no RNG state, no
+  partition dependence).
+- `mixture_weights`: per-source sampling weights proportional to
+  n_docs^alpha (the multilingual "temperature" mix, alpha = 1/T); the
+  default alpha = 0.5 uses sqrt, which IEEE 754 requires to be correctly
+  rounded, so the weights are bit-identical across engines.
+
+Everything is built from `pyspark.sql.functions` primitives. Scale shapes:
+decontamination broadcast-joins the (small) eval n-gram set so the corpus
+never shuffles — only matching (doc_id, gram) hits reach the one aggregation;
+stratified sampling is a zero-shuffle codegen projection; mixture weights
+aggregate to ≤ n_strata rows before any float math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import ngram_expr, tokens_col
+
+# Denominator for the md5-derived uniform: first 8 hex chars -> [0, 2^32).
+HASH_DENOM = 4294967296.0  # 2^32
+
+
+def hash_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform in [0,1): u = int(md5(salt||key)[:8], 16) / 2^32.
+
+    md5 over UTF-8 bytes is identical in Spark and DuckDB; `conv` parses the
+    8 hex chars into an exact integer < 2^32, and the single division is the
+    same IEEE op on both engines — bit-for-bit reproducible, independent of
+    partitioning, task retries, and cluster size (unlike `rand(seed)`, which
+    is per-partition-seeded and NOT stable under repartitioning)."""
+    h = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+    return F.conv(h, 16, 10).cast("long").cast("double") / F.lit(HASH_DENOM)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.5,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "sample:",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash-uniform
+    is below the stratum's rate. Output keeps EVERY row with its draw and
+    decision so downstream stages (and the correctness oracle) can audit
+    the gate; a pipeline would `.where("keep")`.
+
+    Scale shape: pure projection — zero shuffle, no RNG state, trivially
+    re-runnable. Rates are plan literals (a CASE chain over ≤ dozens of
+    strata); for thousands of strata, broadcast-join a rates table instead.
+
+    Output: (id, stratum, rate, u, keep).
+    """
+    rate = F.lit(float(default_rate))
+    for name in sorted(rates):
+        rate = F.when(F.col(stratum_col) == name, float(rates[name])).otherwise(rate)
+    u = hash_uniform(F.col(id_col), salt)
+    return df.select(
+        id_col,
+        stratum_col,
+        rate.alias("rate"),
+        u.alias("u"),
+        (u < rate).alias("keep"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame, stratum_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Temperature-based mixture weights: w_s = n_s^0.5 / sum_t n_t^0.5
+    (alpha = 0.5, i.e. sampling temperature T = 2 — the standard
+    multilingual rebalance, e.g. mBERT/XLM-R exponent-smoothed sampling).
+
+    Bit-parity note: sqrt is correctly rounded by IEEE 754, and the
+    normalizing sum is folded LEFT-TO-RIGHT over the sqrt values sorted
+    ascending (F.aggregate seeded 0.0 == DuckDB list_reduce seeded with the
+    first element, since 0.0 + x == x), so both engines produce identical
+    doubles. A naive SUM() OVER () would depend on partition order.
+
+    Scale shape: one partial-aggregated groupBy down to ≤ n_strata rows;
+    the sort+fold and the broadcast-back join touch only that tiny frame.
+
+    Output: (stratum, n_docs, sqrt_n, weight), weights summing to ~1.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(id_col).alias("n_docs"))
+    # counts feeds TWO branches (the denominator fold and the final select);
+    # without materialization Spark re-runs the full corpus aggregation per
+    # branch — lazily checkpoint the ≤ n_strata-row frame instead
+    counts = counts.select(
+        stratum_col, "n_docs", F.sqrt(F.col("n_docs").cast("double")).alias("sqrt_n")
+    ).localCheckpoint(eager=False)
+    denom = counts.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("sqrt_n")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("_denom")
+    )
+    return F.broadcast(denom).crossJoin(counts).select(
+        stratum_col,
+        "n_docs",
+        "sqrt_n",
+        (F.col("sqrt_n") / F.col("_denom")).alias("weight"),
+    )
+
+
+def derive_eval_ngrams(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic held-out eval set for the decontamination fixture:
+    every 17th document (doc_id % 17 == 3) contributes ONE verbatim n-token
+    snippet starting at token offset doc_id % 5 (skipped if the document is
+    too short). Real pipelines load benchmark task files here; the contract
+    is just (eval_id, eval_ngram) with space-joined tokens."""
+    k = (F.col(id_col) % 5).cast("int")
+    base = docs.where(F.col(id_col) % 17 == 3).select(
+        F.col(id_col).alias("eval_id"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+        k.alias("_k"),
+    )
+    return base.where(F.size("_toks") >= F.col("_k") + n).select(
+        "eval_id",
+        F.concat_ws(" ", F.slice("_toks", F.col("_k") + 1, n)).alias("eval_ngram"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_ngrams: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus documents containing any eval-set n-gram as a verbatim
+    consecutive token run (GPT-3-style n-gram decontamination; n=13 there,
+    parameterized here).
+
+    Scale shape: the eval n-gram set is benchmark-sized (MBs), so it is
+    DISTINCT-ed and broadcast; corpus n-grams are a zero-shuffle array
+    projection (ngram_expr — O(tokens), no-CSE rule respected) exploded
+    into the broadcast hash join, where non-matching grams die map-side.
+    Only actual hits — a vanishing fraction of a clean corpus — reach the
+    single groupBy(doc_id), so the corpus text itself never crosses an
+    Exchange. The final flag joins hit counts back to the (doc_id)-only
+    projection of the corpus.
+
+    Output: (doc_id, n_hits, n_eval_hits, contaminated) — total matching
+    gram instances, distinct eval grams matched, and the gate.
+    """
+    ev = F.broadcast(eval_ngrams.select(F.col("eval_ngram").alias("_g")).distinct())
+    grams = corpus.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).select(id_col, F.explode(ngram_expr(F.col("_toks"), n)).alias("gram"))
+    hits = (
+        grams.join(ev, grams.gram == ev._g)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("gram").alias("n_eval_hits"),
+        )
+    )
+    ids = corpus.select(id_col)
+    return (
+        ids.join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.col("n_eval_hits"), F.lit(0)).cast("long").alias("n_eval_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

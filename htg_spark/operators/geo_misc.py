@@ -97,6 +97,91 @@ def knn_points_join(
     )
 
 
+def radius_neighbors(
+    pts: DataFrame,
+    scale: int = 2048,
+    id_col: str = "event_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Grid-bucketed radius self-join: for every point, the count of other
+    points within planar distance r = 1/scale degrees, plus the squared
+    distance to the closest one — the neighborhood-density primitive under
+    DBSCAN, spatial dedup, and POI-clustering jobs (the 2-D analog of the
+    embedding near-dup candidate join, operators/ann.py).
+
+    Scale shape: bucket every point into a grid of cell size exactly r
+    (gx = floor(x*scale)); the PROBE side explodes to its 3x3 neighboring
+    cells (9x fan-out of four narrow columns — no payload), the BUILD side
+    keeps its home cell, and one equi-join on (jx, jy) yields every
+    candidate pair exactly once per direction. The exact d2 <= r2 filter
+    runs inside the join stage, and only surviving (id) hits reach the
+    single count/min aggregation — so this is ONE shuffle of narrow
+    columns at any corpus size, never an all-pairs product. Dense-cluster
+    skew (many points in one cell) is the AQE skew-join case; for extreme
+    hotspots the salting pattern from engine.elevation_join applies
+    unchanged. `scale` MUST be a power of two so x*scale and r*r are exact
+    IEEE doubles — both engines and the SQL oracle agree bit-for-bit.
+
+    Output: (id, n_neighbors, min_d2 — NULL when no neighbor in range).
+    """
+    if scale & (scale - 1) != 0:
+        raise ValueError(f"scale must be a power of two, got {scale}")
+    r = 1.0 / scale
+    x, y = F.col(x_col), F.col(y_col)
+    # base feeds THREE plan branches (probe, build, the zero-count left
+    # join); Spark has no cross-branch subtree reuse, so materialize it
+    # lazily once instead of re-running the upstream plan per branch
+    base = pts.select(
+        id_col,
+        x_col,
+        y_col,
+        F.floor(x * F.lit(float(scale))).cast("long").alias("gx"),
+        F.floor(y * F.lit(float(scale))).cast("long").alias("gy"),
+    ).localCheckpoint(eager=False)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = base.select(
+        id_col, x_col, y_col, "gx", "gy", F.explode(offsets).alias("o")
+    ).select(
+        id_col,
+        x_col,
+        y_col,
+        (F.col("gx") + F.col("o.dx")).alias("jx"),
+        (F.col("gy") + F.col("o.dy")).alias("jy"),
+    )
+    build = base.select(
+        F.col(id_col).alias("_bid"),
+        F.col(x_col).alias("_bx"),
+        F.col(y_col).alias("_by"),
+        F.col("gx").alias("jx"),
+        F.col("gy").alias("jy"),
+    )
+    dx = F.col(x_col) - F.col("_bx")
+    dy = F.col(y_col) - F.col("_by")
+    hits = (
+        probe.join(build, on=["jx", "jy"])
+        .where((F.col(id_col) != F.col("_bid")) & (dx * dx + dy * dy <= F.lit(r * r)))
+        .select(id_col, (dx * dx + dy * dy).alias("d2"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_neighbors"), F.min("d2").alias("min_d2"))
+    )
+    return (
+        base.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("long").alias("n_neighbors"),
+            F.col("min_d2"),
+        )
+    )
+
+
 def parse_preload_bounds(value: str):
     """HTG_PRELOAD grammar (htg-service/src/main.rs:165-204):
     'true'/'all'/'1' -> None (all tiles); ';'-separated

@@ -511,6 +511,118 @@ def main():
         )
         sys.exit(1)
 
+    # --- curation + spatial additions (round 5 continuation) ---------------
+    from htg_spark import curation_queries as cuq
+    from htg_spark import spatial_queries as spq
+
+    gh = spq.q_geohash_cells(spark, sf_dir)
+    gh_plan = plan_of(gh)
+    sections.append(
+        (
+            "Geohash encode (pure codegen key projection)",
+            "Expected: events scan -> staged integer projections (axis "
+            "quantize, bit interleave, base-32 chars) with ZERO Exchanges — "
+            "the multi-resolution partition key must be free at any scale.",
+            gh_plan,
+        )
+    )
+    strat = cuq.q_stratified_sample(spark, sf_dir)
+    strat_plan = plan_of(strat)
+    sections.append(
+        (
+            "Stratified hash sampling (zero-shuffle gate)",
+            "Expected: documents scan -> md5/conv/CASE projection, ZERO "
+            "Exchanges — the sampling gate is partition-independent by "
+            "construction (no rand(), no RNG state).",
+            strat_plan,
+        )
+    )
+    for nm, pl in (("geohash", gh_plan), ("stratified-sample", strat_plan)):
+        n = len(_re.findall(r"\(\d+\) Exchange\b", pl))
+        if n != 0:
+            print(
+                f"FATAL: {nm} plan has {n} shuffle Exchanges (expected 0 — "
+                "pure projection)",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+
+    rad = spq.q_radius_neighbors(spark, sf_dir)
+    rad_plan = plan_of(rad)
+    sections.append(
+        (
+            "Radius self-join (grid-bucketed neighborhood count)",
+            "Expected: the gridded base frame materialized ONCE behind a "
+            "lazy localCheckpoint (Scan ExistingRDD; zero direct parquet "
+            "scans survive into the final plan even though THREE branches "
+            "read it), probe side exploded to 3x3 cells, equi-join on "
+            "(jx, jy), exact d2 filter inside the join stage, one narrow "
+            "count/min aggregation, broadcast left join for zero-count "
+            "rows. HARD REQUIREMENT: no cartesian product, no blob/text "
+            "columns in any Exchange, zero parquet re-scans.",
+            rad_plan,
+        )
+    )
+    if (
+        "CartesianProduct" in rad_plan
+        or "BroadcastNestedLoopJoin" in rad_plan
+        or len(_re.findall(r"\(\d+\) Scan parquet", rad_plan)) != 0
+        or "Scan ExistingRDD" not in rad_plan
+    ):
+        print(
+            "FATAL: radius-join plan re-scans parquet, lost its checkpointed "
+            "base, or contains a cartesian product",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    dec = cuq.q_decontamination(spark, sf_dir)
+    dec_plan = plan_of(dec)
+    sections.append(
+        (
+            "Benchmark decontamination (broadcast eval n-grams)",
+            "Expected: corpus n-grams are a zero-shuffle array projection "
+            "exploded into a BroadcastHashJoin against the DISTINCT-ed eval "
+            "set (benchmark-sized -> broadcast by construction); only hits "
+            "reach the groupBy(doc_id); the flag rejoins the id-only corpus "
+            "projection via a broadcast left join. HARD REQUIREMENT: the "
+            "eval join and the flag join are BroadcastHashJoins (document "
+            "text must never shuffle), no cartesian product.",
+            dec_plan,
+        )
+    )
+    n_dec_bhj = len(_re.findall(r"\(\d+\) BroadcastHashJoin\b", dec_plan))
+    if n_dec_bhj != 2 or "CartesianProduct" in dec_plan or "SortMergeJoin" in dec_plan:
+        print(
+            f"FATAL: decontamination plan has {n_dec_bhj} BroadcastHashJoins "
+            "(expected exactly 2 — eval match + flag rejoin) or a shuffled "
+            "join of document text",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    mix = cuq.q_mixture_weights(spark, sf_dir)
+    mix_plan = plan_of(mix)
+    sections.append(
+        (
+            "Mixture weights (single corpus aggregation)",
+            "Expected: ONE corpus scan + groupBy into the checkpointed "
+            "counts frame (Scan ExistingRDD — the denominator fold and the "
+            "final select both read it without re-aggregating); the 1-row "
+            "denominator rides a BroadcastNestedLoopJoin cross join, which "
+            "is exactly right for a single-row build side. HARD "
+            "REQUIREMENT: at most one parquet scan.",
+            mix_plan,
+        )
+    )
+    if len(_re.findall(r"\(\d+\) Scan parquet", mix_plan)) > 1:
+        print(
+            "FATAL: mixture-weights plan aggregates the corpus more than "
+            "once (counts frame not materialized)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — .explain('formatted') audit of the key plan shapes\n")
         for title, expect, plan in sections:

@@ -1,0 +1,233 @@
+"""Tests for operators/curation.py, cells.geohash_*, and
+geo_misc.radius_neighbors — each against an INDEPENDENT reference
+implementation (textbook successive-halving geohash, quadratic NumPy
+radius scan, hashlib-recomputed sampling uniforms), not the Spark code's
+own closed forms."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from htg_spark import cells
+from htg_spark.operators import curation, geo_misc
+
+# --- independent geohash reference: the textbook successive-halving loop ---
+
+
+def geohash_reference(lat: float, lon: float, precision: int) -> str:
+    out = []
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True  # lon first
+    bit, ch = 0, 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(cells.GEOHASH32[ch])
+            bit, ch = 0, 0
+    return "".join(out)
+
+
+def spark_geohash(spark, coords, precision):
+    df = spark.createDataFrame(coords, "lat double, lon double")
+    idx = df.select(
+        "lat",
+        "lon",
+        cells.geohash_lon_idx(F.col("lon"), precision).alias("lon_idx"),
+        cells.geohash_lat_idx(F.col("lat"), precision).alias("lat_idx"),
+    )
+    code = idx.select(
+        "lat",
+        "lon",
+        cells.geohash_interleave(F.col("lon_idx"), F.col("lat_idx"), precision).alias("c"),
+    )
+    rows = code.select(
+        "lat", "lon", cells.geohash_chars(F.col("c"), precision).alias("gh")
+    ).collect()
+    return {(r.lat, r.lon): r.gh for r in rows}
+
+
+def test_geohash_known_value(spark):
+    # the canonical example from Niemeyer's original service
+    got = spark_geohash(spark, [(57.64911, 10.40744)], 6)
+    assert got[(57.64911, 10.40744)] == "u4pruy"
+
+
+@pytest.mark.parametrize("precision", [1, 4, 6, 7])
+def test_geohash_matches_successive_halving(spark, precision):
+    rng = np.random.default_rng(42)
+    coords = [
+        (float(lat), float(lon))
+        for lat, lon in zip(rng.uniform(-90, 90, 60), rng.uniform(-180, 180, 60))
+    ]
+    # edges: poles, antimeridian, origin, exact cell boundaries
+    coords += [
+        (0.0, 0.0),
+        (90.0, 180.0),
+        (-90.0, -180.0),
+        (45.0, 90.0),
+        (-45.0, -90.0),
+        (59.9999999, 10.0),
+    ]
+    got = spark_geohash(spark, coords, precision)
+    for lat, lon in coords:
+        assert got[(lat, lon)] == geohash_reference(lat, lon, precision), (lat, lon)
+
+
+def test_geohash_prefix_nesting(spark):
+    coords = [(35.4321, 138.7654), (-12.5, 77.25)]
+    gh6 = spark_geohash(spark, coords, 6)
+    gh3 = spark_geohash(spark, coords, 3)
+    for c in coords:
+        assert gh6[c][:3] == gh3[c]
+
+
+# --- radius join vs quadratic scan ------------------------------------------
+
+
+def test_radius_neighbors_matches_quadratic(spark):
+    rng = np.random.default_rng(7)
+    scale = 256
+    r = 1.0 / scale
+    # dense cluster + sparse field + exact duplicates + a cross-cell pair
+    xs = np.concatenate(
+        [
+            10.0 + rng.uniform(0, 3 * r, 40),  # dense: many in-radius pairs
+            rng.uniform(-170, 170, 40),  # sparse: mostly isolated
+            [50.0, 50.0],  # exact duplicate coordinates
+            [20.0 - 1e-9, 20.0 + 1e-9],  # straddles a cell boundary
+        ]
+    )
+    ys = np.concatenate(
+        [
+            -5.0 + rng.uniform(0, 3 * r, 40),
+            rng.uniform(-80, 80, 40),
+            [7.0, 7.0],
+            [30.0, 30.0],
+        ]
+    )
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    got = {
+        r_.pid: (r_.n_neighbors, r_.min_d2)
+        for r_ in geo_misc.radius_neighbors(
+            df, scale=scale, id_col="pid", x_col="x", y_col="y"
+        ).collect()
+    }
+    assert set(got) == set(range(len(pts)))
+    dx = xs[:, None] - xs[None, :]
+    dy = ys[:, None] - ys[None, :]
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, np.inf)
+    within = d2 <= r * r
+    for i in range(len(pts)):
+        n_exp = int(within[i].sum())
+        assert got[i][0] == n_exp, i
+        if n_exp:
+            assert got[i][1] == float(d2[i][within[i]].min()), i
+        else:
+            assert got[i][1] is None, i
+
+
+def test_radius_neighbors_rejects_non_power_of_two():
+    with pytest.raises(ValueError):
+        geo_misc.radius_neighbors(None, scale=1000)
+
+
+# --- curation ----------------------------------------------------------------
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_decontaminate_hand_case(spark):
+    # eval doc 3 (3 % 17 == 3, k = 3): snippet = tokens [4..7] of its text
+    eval_doc = (3, "w0 w1 w2 s0 s1 s2 s3 w7 w8", "en")  # k=3, n=4 -> "s0 s1 s2 s3"
+    docs = _mkdocs(
+        spark,
+        [
+            eval_doc,
+            (1, "clean text with no overlap at all", "en"),
+            (2, "prefix s0 s1 s2 s3 suffix s0 s1 s2 s3 end", "en"),  # 2 hits
+            (20, "too short", "en"),
+        ],
+    )
+    ev = curation.derive_eval_ngrams(docs, n=4)
+    assert [r.eval_ngram for r in ev.collect()] == ["s0 s1 s2 s3"]
+    got = {r.doc_id: r for r in curation.decontaminate(docs, ev, n=4).collect()}
+    assert got[1].n_hits == 0 and not got[1].contaminated
+    assert got[2].n_hits == 2 and got[2].n_eval_hits == 1 and got[2].contaminated
+    assert got[3].n_hits == 1 and got[3].contaminated  # self-hit
+    assert got[20].n_hits == 0 and not got[20].contaminated
+    assert set(got) == {1, 2, 3, 20}
+
+
+def test_decontaminate_skips_too_short_eval_doc(spark):
+    # doc 3 has only 5 tokens; k=3 start + n=4 needs 7 -> no eval grams
+    docs = _mkdocs(spark, [(3, "a b c d e", "en"), (1, "a b c d e f g", "en")])
+    ev = curation.derive_eval_ngrams(docs, n=4)
+    assert ev.count() == 0
+    got = curation.decontaminate(docs, ev, n=4)
+    assert [r.contaminated for r in got.collect()] == [False, False]
+
+
+def test_stratified_sample_matches_hashlib(spark):
+    rows = [(i, f"doc {i}", ["en", "de", "zh"][i % 3]) for i in range(90)]
+    docs = _mkdocs(spark, rows)
+    rates = {"en": 0.75, "de": 0.25, "zh": 0.0625}
+    got = {r.doc_id: r for r in curation.stratified_sample(docs, rates).collect()}
+    for i, _, lang in rows:
+        u_ref = (
+            int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[:8], 16) / 2**32
+        )
+        assert got[i].u == u_ref, i
+        assert got[i].rate == rates[lang]
+        assert got[i].keep == (u_ref < rates[lang])
+    # every stratum must keep SOMETHING and drop SOMETHING at these sizes
+    kept = sum(r.keep for r in got.values())
+    assert 0 < kept < len(rows)
+
+
+def test_stratified_sample_default_rate(spark):
+    docs = _mkdocs(spark, [(1, "x", "xx"), (2, "y", "yy")])
+    got = curation.stratified_sample(docs, {"en": 1.0}, default_rate=0.5).collect()
+    assert all(r.rate == 0.5 for r in got)
+
+
+def test_mixture_weights_exact(spark):
+    docs = _mkdocs(
+        spark,
+        [(i, "t", "en") for i in range(16)]
+        + [(100 + i, "t", "de") for i in range(4)]
+        + [(200, "t", "zh")],
+    )
+    got = {r.lang: r for r in curation.mixture_weights(docs, stratum_col="lang").collect()}
+    sq = {"en": 4.0, "de": 2.0, "zh": 1.0}
+    denom = 1.0 + 2.0 + 4.0  # ascending fold order
+    for lang, s in sq.items():
+        assert got[lang].sqrt_n == s
+        assert got[lang].weight == s / denom
+    assert math.isclose(sum(r.weight for r in got.values()), 1.0, rel_tol=1e-12)
