@@ -134,6 +134,16 @@ def main():
         spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
     ).persist()
     n_imgs = imgs.count()
+    # same protocol for the audio/video payload tables (round-5 protocol
+    # change: image_chips/audio_features/video_frames previously timed
+    # their synthetic generators too — baselines re-recorded)
+    from htg_spark.driver_queries import derive_audio_table, derive_video_table
+
+    _ev_ids = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    auds = derive_audio_table(_ev_ids).persist()
+    auds.count()
+    vids = derive_video_table(_ev_ids).persist()
+    vids.count()
 
     pipeline_entries = (
         ("dedup_exact", pq.q_dedup_exact),
@@ -168,6 +178,8 @@ def main():
         ("decontamination", _cq.q_decontamination),
         ("stratified_sample", _cq.q_stratified_sample),
         ("mixture_weights", _cq.q_mixture_weights),
+        ("sequence_pack", _cq.q_sequence_pack),
+        ("sequence_fill", _cq.q_sequence_fill),
         ("cell_heatmap", _dq.q_cell_heatmap),
         ("knn_poi_join", _dq.q_knn_poi_join),
         ("geohash_cells", _sq.q_geohash_cells),
@@ -188,9 +200,13 @@ def main():
         ("mosaic_hillshade", _tq.q_mosaic_hillshade),
         ("contour_stats", _tq.q_contour_stats),
         ("elevation_quantiles", _tq.q_elevation_quantiles),
-        ("image_chips", _dq.q_image_chips),
-        ("audio_features", _dq.q_audio_features),
-        ("video_frames", _dq.q_video_frames),
+        ("image_chips", lambda s, d: multimodal.chip_images(imgs, chip=4).select(
+            "image_id", "chip_row", "chip_col", "w", "h", "sum_r", "sum_g", "sum_b"
+        )),
+        ("audio_features", lambda s, d: multimodal.audio_features(auds)),
+        ("video_frames", lambda s, d: multimodal.video_frame_sample(
+            vids, every_n=3
+        ).select("image_id", "frame_idx", "w", "h", "sum_r", "sum_g", "sum_b")),
         ("path_profile", _tq.q_path_profile),
         ("pipeline_e2e", pq.q_pipeline_e2e),
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),
@@ -223,6 +239,8 @@ def main():
         # release even when a query throws mid-loop — a leaked persist pins
         # the 100k-image table for the rest of the process
         imgs.unpersist()
+        auds.unpersist()
+        vids.unpersist()
 
     # sf1 section: the same five geospatial queries at 10x the point volume
     # (replicate scaled so input rows = one order of magnitude up) — catches

@@ -24,6 +24,8 @@ from .operators import curation
 SAMPLE_RATES = {"en": 0.75, "de": 0.5, "es": 0.25, "fr": 0.125, "zh": 0.0625}
 DEFAULT_RATE = 0.5
 DECONTAM_N = 8
+PACK_CAPACITY = 256
+PACK_SHARDS = 8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,6 +42,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.stratified_sample(
         _docs(spark, sf_dir), SAMPLE_RATES, default_rate=DEFAULT_RATE
     )
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.pack_sequences(
+        _docs(spark, sf_dir), capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+    )
+
+
+def q_sequence_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = curation.pack_sequences(
+        _docs(spark, sf_dir), capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+    )
+    return curation.sequence_fill(packed, capacity=PACK_CAPACITY)
 
 
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,6 +111,52 @@ SELECT lang, n_docs, sqrt_n, sqrt_n / d AS weight FROM counts, denom
 """
 
 
+_SQL_PACK_CUM = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS tok_count
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, tok_count,
+         -- CAST: DuckDB widens the window sum to HUGEINT, which fetchdf
+         -- would degrade to float64 (Spark stays long)
+         CAST(sum(tok_count) OVER (PARTITION BY shard ORDER BY doc_id)
+              AS BIGINT) AS cum_tokens
+  FROM base
+)"""
+
+# all-integer: `//` truncation == floor here because every operand is >= 0
+_SQL_SEQUENCE_PACK = f"""
+{_SQL_PACK_CUM}
+SELECT doc_id, shard, tok_count, cum_tokens,
+       (cum_tokens - tok_count) // {PACK_CAPACITY} AS start_seq,
+       (cum_tokens - 1) // {PACK_CAPACITY} AS end_seq,
+       (cum_tokens - 1) // {PACK_CAPACITY}
+         - (cum_tokens - tok_count) // {PACK_CAPACITY} + 1 AS n_seqs
+FROM cum
+"""
+
+# CAST the integer sums: DuckDB widens sum(BIGINT) to HUGEINT, Spark stays long
+_SQL_SEQUENCE_FILL = f"""
+{_SQL_PACK_CUM},
+spans AS (
+  SELECT shard, tok_count, cum_tokens,
+         unnest(generate_series((cum_tokens - tok_count) // {PACK_CAPACITY},
+                                (cum_tokens - 1) // {PACK_CAPACITY})) AS seq
+  FROM cum
+)
+SELECT shard, seq,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN cum_tokens > (seq + 1) * {PACK_CAPACITY}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_continued,
+       CAST(sum(least(cum_tokens, (seq + 1) * {PACK_CAPACITY})
+                - greatest(cum_tokens - tok_count, seq * {PACK_CAPACITY}))
+            AS BIGINT) AS fill_tokens
+FROM spans GROUP BY shard, seq
+"""
+
+
 def _decontamination_sql(n: int = DECONTAM_N) -> str:
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n)).replace(
         "toks[i + 0]", "toks[i]"
@@ -130,6 +191,8 @@ def queries():
         "decontamination": q_decontamination,
         "stratified_sample": q_stratified_sample,
         "mixture_weights": q_mixture_weights,
+        "sequence_pack": q_sequence_pack,
+        "sequence_fill": q_sequence_fill,
     }
 
 
@@ -138,4 +201,6 @@ def oracle_sql() -> dict[str, str]:
         "decontamination": _decontamination_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "mixture_weights": _SQL_MIXTURE,
+        "sequence_pack": _SQL_SEQUENCE_PACK,
+        "sequence_fill": _SQL_SEQUENCE_FILL,
     }

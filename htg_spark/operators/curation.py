@@ -119,6 +119,101 @@ def mixture_weights(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenation-style sequence packing (the GPT-style "pack then cut
+    every `capacity` tokens" step that turns a cleaned corpus into
+    fixed-length training sequences): within each output shard, documents
+    are concatenated in doc-id order (each contributing token_count + 1
+    separator tokens) and the stream is cut every `capacity` tokens, so a
+    document occupies sequences floor((cum - tc) / cap) .. floor((cum - 1)
+    / cap) of its shard.
+
+    Scale shape: ONE Exchange on the shard key serves the per-shard
+    running-sum window; everything after is integer projection. Sharding is
+    how real pipelines bound this — each shard is an independent output
+    file, so no global total order is ever required; `n_shards` scales with
+    the corpus while the per-shard window stays a single narrow sort. All
+    arithmetic is exact int64 (`div`, no float division), so any engine
+    agrees bit-for-bit.
+
+    Output: (doc_id, shard, tok_count, cum_tokens, start_seq, end_seq,
+    n_seqs) — which training sequences each document lands in and whether
+    it straddles a cut (n_seqs > 1).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        id_col,
+        (F.col(id_col) % n_shards).alias("shard"),
+        (F.size(tokens_col(F.col(text_col))) + 1).cast("long").alias("tok_count"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = base.select(
+        id_col,
+        "shard",
+        "tok_count",
+        F.sum("tok_count").over(w).alias("cum_tokens"),
+    )
+    start = F.expr(f"(cum_tokens - tok_count) div {capacity}")
+    end = F.expr(f"(cum_tokens - 1) div {capacity}")
+    return cum.select(
+        id_col,
+        "shard",
+        "tok_count",
+        "cum_tokens",
+        start.alias("start_seq"),
+        end.alias("end_seq"),
+        (end - start + F.lit(1)).alias("n_seqs"),
+    )
+
+
+def sequence_fill(packed: DataFrame, capacity: int = 256) -> DataFrame:
+    """Per-sequence rollup of `pack_sequences` output: how many documents
+    touch each (shard, seq) slot, how many of those continue past the
+    slot's cut boundary, and the exact token fill — the packing-efficiency
+    audit (fill < capacity only in each shard's final partial sequence).
+
+    Scale shape: each doc explodes to its n_seqs spanned slots (almost
+    always 1-2 — fan-out is corpus_tokens / capacity bounded, never
+    quadratic), then a groupBy on (shard, seq) that REUSES the window's
+    hash(shard) Exchange (partitioning keys ⊆ grouping keys satisfies the
+    clustered distribution), so pack + fill is ONE total shuffle
+    (plan-gated in explain_audit). Tokens-in-slot is pure interval
+    intersection in exact int64: min(cum, (seq+1)*cap) - max(cum - tc,
+    seq*cap).
+    """
+    seq = F.explode(F.sequence(F.col("start_seq"), F.col("end_seq"))).alias("seq")
+    spans = packed.select(
+        "shard", "tok_count", "cum_tokens", "start_seq", "end_seq", seq
+    )
+    cap = F.lit(capacity).cast("long")
+    tok_in = F.least(
+        F.col("cum_tokens"), (F.col("seq") + 1) * cap
+    ) - F.greatest(F.col("cum_tokens") - F.col("tok_count"), F.col("seq") * cap)
+    return (
+        spans.select(
+            "shard",
+            "seq",
+            tok_in.alias("_tok_in"),
+            (F.col("cum_tokens") > (F.col("seq") + 1) * cap)
+            .cast("long")
+            .alias("_continues"),
+        )
+        .groupBy("shard", "seq")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_continues").alias("n_continued"),
+            F.sum("_tok_in").alias("fill_tokens"),
+        )
+    )
+
+
 def derive_eval_ngrams(
     docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

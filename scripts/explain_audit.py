@@ -623,6 +623,32 @@ def main():
         )
         sys.exit(1)
 
+    pack = cuq.q_sequence_fill(spark, sf_dir)
+    pack_plan = plan_of(pack)
+    sections.append(
+        (
+            "Sequence packing + fill rollup (per-shard window)",
+            "Expected: ONE Exchange on the shard key serves BOTH the "
+            "per-shard running-sum window AND the (shard, seq) aggregation — "
+            "hash(shard) satisfies ClusteredDistribution(shard, seq) because "
+            "the partitioning keys are a subset of the grouping keys, so the "
+            "explode-to-spans fan-out, the interval-intersection math, and "
+            "the full rollup all stay in the post-window stage. HARD "
+            "REQUIREMENT: exactly 1 shuffle Exchange and no SinglePartition "
+            "global window.",
+            pack_plan,
+        )
+    )
+    n_ex = len(_re.findall(r"\(\d+\) Exchange\b", pack_plan))
+    if n_ex != 1 or "SinglePartition" in pack_plan:
+        print(
+            f"FATAL: sequence-fill plan has {n_ex} Exchanges (expected 1 — "
+            "the window Exchange must be reused by the rollup) "
+            "or a SinglePartition global window",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — .explain('formatted') audit of the key plan shapes\n")
         for title, expect, plan in sections:

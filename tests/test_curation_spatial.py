@@ -217,6 +217,66 @@ def test_stratified_sample_default_rate(spark):
     assert all(r.rate == 0.5 for r in got)
 
 
+def _pack_reference(rows, capacity, n_shards):
+    """Independent packing reference: literally simulate the concatenated
+    token stream per shard and cut it every `capacity` tokens."""
+    per_doc, per_slot = {}, {}
+    cum = dict.fromkeys(range(n_shards), 0)
+    for doc_id, text, _ in sorted(rows):
+        shard = doc_id % n_shards
+        tc = len(text.split(" ")) + 1
+        start, end = cum[shard] // capacity, (cum[shard] + tc - 1) // capacity
+        per_doc[doc_id] = (shard, tc, cum[shard] + tc, start, end, end - start + 1)
+        for t in range(cum[shard], cum[shard] + tc):  # token-by-token
+            slot = per_slot.setdefault((shard, t // capacity), [0, 0, set()])
+            slot[0] += 1
+            slot[2].add(doc_id)
+        for s in range(start, end):  # doc continues past slot s's cut
+            per_slot[(shard, s)][1] += 1
+        cum[shard] += tc
+    return per_doc, {
+        k: (len(v[2]), v[1], v[0]) for k, v in per_slot.items()
+    }  # (n_docs, n_continued, fill_tokens)
+
+
+def test_sequence_pack_matches_stream_simulation(spark):
+    rng = np.random.default_rng(11)
+    cap, n_shards = 16, 4
+    rows = []
+    for i in range(60):
+        n_tok = int(rng.integers(1, 40))  # some docs span 3+ sequences
+        rows.append((i, " ".join(f"t{j}" for j in range(n_tok)), "en"))
+    rows.append((60, " ".join(["x"] * 15), "en"))  # tok_count == cap exactly
+    docs = _mkdocs(spark, rows)
+    ref_doc, ref_slot = _pack_reference(rows, cap, n_shards)
+    packed = curation.pack_sequences(docs, capacity=cap, n_shards=n_shards)
+    got = {
+        r.doc_id: (r.shard, r.tok_count, r.cum_tokens, r.start_seq, r.end_seq, r.n_seqs)
+        for r in packed.collect()
+    }
+    assert got == ref_doc
+    fills = {
+        (r.shard, r.seq): (r.n_docs, r.n_continued, r.fill_tokens)
+        for r in curation.sequence_fill(packed, capacity=cap).collect()
+    }
+    assert fills == ref_slot
+    # packing invariant: every slot except each shard's last is exactly full
+    last = {s: max(q for sh, q in fills if sh == s) for s in range(n_shards)}
+    for (sh, q), (_, _, fill) in fills.items():
+        if q != last[sh]:
+            assert fill == cap, (sh, q)
+
+
+def test_sequence_pack_exact_boundary_doc(spark):
+    # one doc of exactly `cap` tokens fills sequence 0 and does NOT straddle
+    docs = _mkdocs(spark, [(0, " ".join(["a"] * 7), "en")])
+    packed = curation.pack_sequences(docs, capacity=8, n_shards=1)
+    r = packed.collect()[0]
+    assert (r.start_seq, r.end_seq, r.n_seqs) == (0, 0, 1)
+    f = curation.sequence_fill(packed, capacity=8).collect()[0]
+    assert (f.n_docs, f.n_continued, f.fill_tokens) == (1, 0, 8)
+
+
 def test_mixture_weights_exact(spark):
     docs = _mkdocs(
         spark,
