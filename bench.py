@@ -184,6 +184,9 @@ def main():
         ("knn_poi_join", _dq.q_knn_poi_join),
         ("geohash_cells", _sq.q_geohash_cells),
         ("radius_neighbors", _sq.q_radius_neighbors),
+        ("idw_grid", _sq.q_idw_grid),
+        ("trajectory_segments", _sq.q_trajectory_segments),
+        ("cell_smooth", _sq.q_cell_smooth),
         ("point_in_polygon", _polyq.q_point_in_polygon),
         ("polygon_metrics", _polyq.q_polygon_metrics),
         ("polygon_zonal_stats", _polyq.q_polygon_zonal_stats),

@@ -83,7 +83,7 @@ def get_path_engine(spark: SparkSession) -> ElevationEngine:
 # --- point derivation (Spark side) — MUST mirror _SQL_PTS below -----------------
 
 
-def derive_points(events: DataFrame) -> DataFrame:
+def derive_points(events: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     e = F.col("event_id")
     u = F.col("user_id")
     lat = (
@@ -100,7 +100,9 @@ def derive_points(events: DataFrame) -> DataFrame:
             F.lit(138.0) + ((e * 7 + u) % 2000).cast("double") / F.lit(1000.0)
         )
     )
-    return events.select("event_id", lat.alias("lat"), lon.alias("lon"))
+    return events.select(
+        "event_id", *extra_cols, lat.alias("lat"), lon.alias("lon")
+    )
 
 
 # shared SQL CTE prefix (DuckDB) — the mirror of derive_points + key math

@@ -76,6 +76,109 @@ def sessionize(
     )
 
 
+def trajectory_segments(
+    pings: DataFrame,
+    cut_d2: float = 0.0625,
+    stay_min_pings: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Spatial sessionization of a ping stream (the trajectory analog of
+    `sessionize`, and the stay-point / trip-segmentation primitive under
+    mobility analytics): partition by user, order by time, cut a new
+    segment wherever the planar squared jump from the previous ping
+    exceeds `cut_d2`, then roll each segment up to its bounding box,
+    duration, ping count, and largest within-segment jump. Segments whose
+    consecutive jumps all stayed inside the cutoff AND that accumulated
+    >= `stay_min_pings` pings are flagged as stays (dwell clusters).
+
+    Scale shape: identical to `sessionize` — the lag window (previous
+    lat/lon for the jump), the running-sum segment grouping, and the final
+    rollup all share ONE hash Exchange + Sort on (user, ts, id); the jump
+    metric is pure subtract/multiply/add on IEEE doubles (same op order on
+    every engine), timestamps are exact naive-epoch integer microseconds
+    (TIMESTAMP_NTZ math — DST-proof, bit-equal to DuckDB epoch_us), so the
+    whole rollup is reproducible bit-for-bit at any partitioning.
+
+    `cut_d2` MUST be an exactly-representable double (default 2^-4 — a
+    quarter-degree cut) so the threshold compare cannot straddle an engine
+    rounding difference.
+
+    Output: (user_id, segment_id = lowest event id in the segment,
+    n_pings, duration_us, lat_min/lat_max/lon_min/lon_max, max_jump_d2 =
+    largest within-segment jump (NULL for 1-ping segments), is_stay).
+    """
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    # stage _us as a COLUMN before any window: both window passes must
+    # order by the identical (column) sort keys or Catalyst plans a second
+    # Sort it cannot prove redundant
+    base = pings.select(user_col, id_col, lat_col, lon_col, us.alias("_us"))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    )
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    dlat = lat - F.lag(lat).over(w)
+    dlon = lon - F.lag(lon).over(w)
+    d2 = dlat * dlat + dlon * dlon
+    flagged = base.select(
+        user_col,
+        id_col,
+        lat_col,
+        lon_col,
+        "_us",
+        d2.alias("_d2"),
+        (d2.isNull() | (d2 > F.lit(float(cut_d2)))).cast("long").alias("_new"),
+    )
+    w2 = Window.partitionBy(user_col).orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped = flagged.select(
+        user_col,
+        id_col,
+        lat_col,
+        lon_col,
+        "_us",
+        "_d2",
+        "_new",
+        F.sum("_new").over(w2).alias("_grp"),
+    )
+    n_pings = F.count(F.lit(1)).alias("n_pings")
+    return (
+        grouped.groupBy(user_col, "_grp")
+        .agg(
+            F.min(id_col).alias("segment_id"),
+            n_pings,
+            (F.max("_us") - F.min("_us")).alias("duration_us"),
+            F.min(lat_col).alias("lat_min"),
+            F.max(lat_col).alias("lat_max"),
+            F.min(lon_col).alias("lon_min"),
+            F.max(lon_col).alias("lon_max"),
+            # the first ping of a segment carries the jump INTO it (the cut
+            # jump, or NULL at the head) — only _new == 0 jumps are inside
+            F.max(F.when(F.col("_new") == 0, F.col("_d2"))).alias("max_jump_d2"),
+        )
+        .select(
+            user_col,
+            "segment_id",
+            "n_pings",
+            "duration_us",
+            "lat_min",
+            "lat_max",
+            "lon_min",
+            "lon_max",
+            "max_jump_d2",
+            (F.col("n_pings") >= stay_min_pings).alias("is_stay"),
+        )
+    )
+
+
 def asof_join(
     probes: DataFrame,
     markers: DataFrame,

@@ -182,6 +182,203 @@ def radius_neighbors(
     )
 
 
+def idw_interpolate(
+    samples: DataFrame,
+    grid: DataFrame,
+    scale: int = 16,
+    eps: float = 2.0 ** -24,
+    id_col: str = "event_id",
+    value_col: str = "value",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    qid_col: str = "query_id",
+    qx_col: str = "qlon",
+    qy_col: str = "qlat",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation of a scattered sample field
+    onto a query grid (the gridding/kriging-lite primitive under heatmap
+    rendering, sensor-field rasterization, and elevation-from-sparse-GPS
+    jobs): for every grid point, idw = sum(v_i/(d2_i+eps)) /
+    sum(1/(d2_i+eps)) over the samples within planar radius r = 1/scale.
+
+    Scale shape: the GRID side (tiny — one row per output pixel) explodes
+    to its 3x3 covering cells and broadcasts; the sample CORPUS computes
+    its home cell map-side and BroadcastHashJoins — so the 100-TB sample
+    table never shuffles for the candidate join, the exact d2 <= r2 filter
+    runs inside the join stage, and ONE narrow Exchange on query_id
+    carries only (query_id, d2, id, value) survivors to the aggregation.
+    Per-query neighbor lists are bounded by local sample density times
+    r^2; for hotspot cells the AQE skew-join / salting pattern from
+    engine.elevation_join applies unchanged.
+
+    Bit parity: `scale` must be a power of two (x*scale and r*r exact),
+    `eps` exactly representable (default 2^-24 — regularizes d2 == 0 when
+    a sample sits on a grid point); the two weighted sums fold the
+    neighbor list in ascending (d2, id) order left-to-right, each term a
+    single IEEE divide — the same fold a SQL engine's ordered list_reduce
+    produces, so the float result is reproducible bit-for-bit at any
+    partitioning (same discipline as curation.mixture_weights).
+
+    Output: (query_id, qlat, qlon, n_samples, idw) — idw NULL where no
+    sample is in range.
+    """
+    if scale & (scale - 1) != 0:
+        raise ValueError(f"scale must be a power of two, got {scale}")
+    r = 1.0 / scale
+    qx, qy = F.col(qx_col), F.col(qy_col)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = grid.select(
+        qid_col,
+        qy_col,
+        qx_col,
+        F.floor(qx * F.lit(float(scale))).cast("long").alias("gx"),
+        F.floor(qy * F.lit(float(scale))).cast("long").alias("gy"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        qid_col,
+        qy_col,
+        qx_col,
+        (F.col("gx") + F.col("o.dx")).alias("jx"),
+        (F.col("gy") + F.col("o.dy")).alias("jy"),
+    )
+    x, y = F.col(x_col), F.col(y_col)
+    build = samples.select(
+        F.col(id_col).alias("_sid"),
+        value_col,
+        F.floor(x * F.lit(float(scale))).cast("long").alias("jx"),
+        F.floor(y * F.lit(float(scale))).cast("long").alias("jy"),
+        x.alias("_sx"),
+        y.alias("_sy"),
+    )
+    dx = F.col(qx_col) - F.col("_sx")
+    dy = F.col(qy_col) - F.col("_sy")
+    d2 = dx * dx + dy * dy
+    hits = (
+        build.join(F.broadcast(probe), on=["jx", "jy"])
+        .where(d2 <= F.lit(r * r))
+        .select(
+            qid_col,
+            d2.alias("_d2"),
+            F.col("_sid"),
+            F.col(value_col).alias("_v"),
+        )
+    )
+    e = F.lit(float(eps))
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("_d2"), F.col("_sid"), F.col("_v")))
+    )
+    agg = hits.groupBy(qid_col).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.aggregate(
+            lst,
+            F.struct(F.lit(0.0).alias("n"), F.lit(0.0).alias("d")),
+            lambda a, s: F.struct(
+                (a["n"] + s["_v"] / (s["_d2"] + e)).alias("n"),
+                (a["d"] + F.lit(1.0) / (s["_d2"] + e)).alias("d"),
+            ),
+            lambda a: a["n"] / a["d"],
+        ).alias("idw"),
+    )
+    return (
+        grid.select(qid_col, qy_col, qx_col)
+        # agg is bounded by the grid size (one row per output pixel) at any
+        # corpus scale — broadcast it so the backfill join can never SMJ
+        .join(F.broadcast(agg), on=qid_col, how="left")
+        .select(
+            qid_col,
+            qy_col,
+            qx_col,
+            F.coalesce(F.col("n_samples"), F.lit(0)).cast("long").alias("n_samples"),
+            F.col("idw"),
+        )
+    )
+
+
+# 3x3 binomial-ish smoothing kernel: center 4, edges 2, corners 1 (sum 16
+# over interior cells) — all-integer so the smoothed counts are exact
+SMOOTH_KERNEL = [
+    (dx, dy, 4 if dx == 0 and dy == 0 else (2 if dx == 0 or dy == 0 else 1))
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+]
+
+
+def smooth_cell_counts(pts: DataFrame, level: int = 4) -> DataFrame:
+    """K-ring smoothed spatial density (the heatmap-blur service query):
+    count points per level-`level` cell (cells.cell_id_at_level scheme),
+    then convolve the counts with the integer 3x3 SMOOTH_KERNEL on the
+    global fine grid — the aggregate-then-convolve pattern that turns a
+    raster blur over 10^12 points into two TINY shuffles.
+
+    Scale shape: shuffle 1 is the density rollup — map-side partial
+    combine bounds it by DISTINCT cell count (<= 64800 * 4^level), not by
+    corpus rows; shuffle 2 re-keys each cell's 9 weighted contributions by
+    RECEIVER cell (the same halo-exchange shape as terrain.mosaic_horn_
+    stats) and is bounded by 9x the cell count. All arithmetic is exact
+    integers. Cells outside the globe's fine grid are dropped (no
+    antimeridian wrap — documented, matching the tile scheme).
+
+    Output: (cell, n_own, smoothed) for every cell receiving at least one
+    contribution; n_own = the cell's own count (0 for halo-only cells),
+    smoothed = sum of kernel-weighted neighbor counts.
+    """
+    k = 1 << level
+    lat, lon = F.col("lat"), F.col("lon")
+    # MUST mirror cells.cell_id_at_level's decomposition (tile + fractional
+    # subcell, NOT floor((lat+90)*k) — the one-multiply form rounds
+    # differently for some doubles)
+    gy = (F.floor(lat).cast("long") + 90) * k + F.floor(
+        (lat - F.floor(lat)) * k
+    ).cast("long")
+    gx = (F.floor(lon).cast("long") + 180) * k + F.floor(
+        (lon - F.floor(lon)) * k
+    ).cast("long")
+    counts = pts.select(gy.alias("gy"), gx.alias("gx")).groupBy("gy", "gx").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    kern = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(w).alias("w")
+            )
+            for dx, dy, w in SMOOTH_KERNEL
+        ]
+    )
+    contrib = counts.select(
+        "gy", "gx", "n", F.explode(kern).alias("o")
+    ).select(
+        (F.col("gy") + F.col("o.dy")).alias("ry"),
+        (F.col("gx") + F.col("o.dx")).alias("rx"),
+        (F.col("n") * F.col("o.w")).alias("wn"),
+        F.when((F.col("o.dx") == 0) & (F.col("o.dy") == 0), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("own"),
+    ).where(
+        (F.col("ry") >= 0)
+        & (F.col("ry") < 180 * k)
+        & (F.col("rx") >= 0)
+        & (F.col("rx") < 360 * k)
+    )
+    sm = contrib.groupBy("ry", "rx").agg(
+        F.sum("own").alias("n_own"), F.sum("wn").alias("smoothed")
+    )
+    ry, rx = F.col("ry"), F.col("rx")
+    cell = (
+        (ry / k).cast("long") * 360 + (rx / k).cast("long")
+    ) * (k * k) + (ry % k) * k + (rx % k)
+    return sm.select(
+        cell.alias("cell"),
+        F.col("n_own").cast("long").alias("n_own"),
+        F.col("smoothed").cast("long").alias("smoothed"),
+    )
+
+
 def parse_preload_bounds(value: str):
     """HTG_PRELOAD grammar (htg-service/src/main.rs:165-204):
     'true'/'all'/'1' -> None (all tiles); ';'-separated

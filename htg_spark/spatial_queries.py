@@ -21,9 +21,15 @@ from pyspark.sql import functions as F
 from . import cells
 from .driver_queries import _SQL_PTS, derive_points
 from .operators import geo_misc
+from .operators.events import trajectory_segments
 
 GEOHASH_PRECISION = 6
 RADIUS_SCALE = 2048  # r = 2^-11 deg — ~4.9 steps of the fixture's 1e-4 lattice
+IDW_SCALE = 16  # r = 2^-4 deg — ~20 fixture samples per query disc at sf0.01
+IDW_EPS = 2.0 ** -24
+IDW_GRID_N = 32  # 32x32 query grid over the dense fixture cluster
+TRAJ_CUT_D2 = 0.0625  # 2^-4 — quarter-degree segment cut
+SMOOTH_LEVEL = 4
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,6 +65,31 @@ def q_radius_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_misc.radius_neighbors(
         pts, scale=RADIUS_SCALE, id_col="event_id", x_col="lon", y_col="lat"
     )
+
+
+def q_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW-interpolate the events' value field onto a 32x32 query grid over
+    the dense fixture cluster (lat [35,37) x lon [138,140), step 1/16 —
+    every coordinate an exact double: 35.0 + i*2^-4)."""
+    n = IDW_GRID_N
+    samples = derive_points(_events(spark, sf_dir), extra_cols=("value",))
+    i = F.col("id")
+    grid = spark.range(n * n).select(
+        i.alias("query_id"),
+        (F.lit(35.0) + F.floor(i / n).cast("double") * F.lit(0.0625)).alias("qlat"),
+        (F.lit(138.0) + (i % n).cast("double") * F.lit(0.0625)).alias("qlon"),
+    )
+    return geo_misc.idw_interpolate(samples, grid, scale=IDW_SCALE, eps=IDW_EPS)
+
+
+def q_trajectory_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id", "ts"))
+    return trajectory_segments(pts, cut_d2=TRAJ_CUT_D2)
+
+
+def q_cell_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = derive_points(_events(spark, sf_dir))
+    return geo_misc.smooth_cell_counts(pts, level=SMOOTH_LEVEL)
 
 
 # --- DuckDB oracles ---------------------------------------------------------
@@ -120,10 +151,132 @@ FROM pts p LEFT JOIN hits h ON p.event_id = h.id
 """
 
 
+def _idw_oracle_sql() -> str:
+    """INDEPENDENT bbox-join oracle (no grid cells — a covering-cell bug on
+    the Spark side mismatches instead of hiding); the weighted sums fold the
+    neighbor list in the same ascending (d2, id) order, each term the same
+    single-divide expression, so the floats agree bit-for-bit (list_reduce
+    seeds with the first element == Spark's 0.0 seed since 0.0 + x == x for
+    the strictly positive terms)."""
+    n, r, eps = IDW_GRID_N, 1.0 / IDW_SCALE, IDW_EPS
+    return f"""
+{_SQL_PTS.strip()},
+grid AS (
+  SELECT i AS query_id,
+    35.0 + CAST(i // {n} AS DOUBLE) * 0.0625 AS qlat,
+    138.0 + CAST(i % {n} AS DOUBLE) * 0.0625 AS qlon
+  FROM generate_series(0, {n * n - 1}) t(i)
+),
+sv AS (
+  SELECT p.event_id, p.lat, p.lon, e.value
+  FROM pts p JOIN events e USING (event_id)
+),
+hits AS (
+  SELECT g.query_id,
+    (g.qlon - s.lon) * (g.qlon - s.lon) + (g.qlat - s.lat) * (g.qlat - s.lat) AS d2,
+    s.event_id, s.value
+  FROM grid g JOIN sv s
+    ON s.lon >= g.qlon - {2 * r!r} AND s.lon <= g.qlon + {2 * r!r}
+   AND s.lat >= g.qlat - {2 * r!r} AND s.lat <= g.qlat + {2 * r!r}
+  WHERE (g.qlon - s.lon) * (g.qlon - s.lon) + (g.qlat - s.lat) * (g.qlat - s.lat)
+        <= {r * r!r}
+),
+lsts AS (
+  SELECT query_id, count(*) AS n_samples,
+    list(row(d2, event_id, value) ORDER BY d2 ASC, event_id ASC) AS l
+  FROM hits GROUP BY query_id
+),
+agg AS (
+  SELECT query_id, n_samples,
+    list_reduce(list_transform(l, s -> s[3] / (s[1] + {eps!r})), (a, b) -> a + b)
+      / list_reduce(list_transform(l, s -> 1.0 / (s[1] + {eps!r})), (a, b) -> a + b)
+      AS idw
+  FROM lsts
+)
+SELECT g.query_id, g.qlat, g.qlon,
+  coalesce(a.n_samples, 0) AS n_samples, a.idw
+FROM grid g LEFT JOIN agg a USING (query_id)
+"""
+
+
+def _trajectory_oracle_sql() -> str:
+    """Identical windows in DuckDB (the user_sessions precedent): one
+    (user, us, id) total order serves the lag jump, the running-sum segment
+    grouping, and the rollup; epoch_us == the Spark NTZ micros bit-exactly."""
+    cut = TRAJ_CUT_D2
+    return f"""
+{_SQL_PTS.strip()},
+j AS (
+  SELECT e.user_id, p.event_id, epoch_us(e.ts) AS us, p.lat, p.lon
+  FROM pts p JOIN events e USING (event_id)
+),
+f AS (
+  SELECT user_id, event_id, us, lat, lon,
+    (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w)
+      + (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w) AS d2
+  FROM j WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+),
+g AS (
+  SELECT *,
+    CASE WHEN d2 IS NULL OR d2 > {cut!r} THEN 1 ELSE 0 END AS newf,
+    sum(CASE WHEN d2 IS NULL OR d2 > {cut!r} THEN 1 ELSE 0 END) OVER (
+      PARTITION BY user_id ORDER BY us ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS grp
+  FROM f
+)
+SELECT user_id, min(event_id) AS segment_id, count(*) AS n_pings,
+  max(us) - min(us) AS duration_us,
+  min(lat) AS lat_min, max(lat) AS lat_max,
+  min(lon) AS lon_min, max(lon) AS lon_max,
+  max(CASE WHEN newf = 0 THEN d2 END) AS max_jump_d2,
+  count(*) >= 3 AS is_stay
+FROM g GROUP BY user_id, grp
+"""
+
+
+def _cell_smooth_oracle_sql() -> str:
+    """Level-4 fine-grid coordinates via the same tile+subcell decomposition
+    the cell_heatmap oracle pins (identical IEEE ops), then the all-integer
+    3x3 kernel convolution — exact, no float parity surface at all."""
+    k = 1 << SMOOTH_LEVEL
+    kern_rows = ", ".join(f"({dx}, {dy}, {w})" for dx, dy, w in geo_misc.SMOOTH_KERNEL)
+    return f"""
+{_SQL_PTS.strip()},
+c AS (
+  SELECT
+    (CAST(floor(lat) AS BIGINT) + 90) * {k}
+      + CAST(floor((lat - floor(lat)) * {k}) AS BIGINT) AS gy,
+    (CAST(floor(lon) AS BIGINT) + 180) * {k}
+      + CAST(floor((lon - floor(lon)) * {k}) AS BIGINT) AS gx
+  FROM pts
+),
+cnt AS (SELECT gy, gx, count(*) AS n FROM c GROUP BY gy, gx),
+kern(dx, dy, w) AS (VALUES {kern_rows}),
+contrib AS (
+  SELECT gy + dy AS ry, gx + dx AS rx, n * w AS wn,
+    CASE WHEN dx = 0 AND dy = 0 THEN n ELSE 0 END AS own
+  FROM cnt CROSS JOIN kern
+),
+sm AS (
+  SELECT ry, rx, sum(own) AS n_own, sum(wn) AS smoothed
+  FROM contrib
+  WHERE ry >= 0 AND ry < {180 * k} AND rx >= 0 AND rx < {360 * k}
+  GROUP BY ry, rx
+)
+SELECT ((ry // {k}) * 360 + (rx // {k})) * {k * k} + (ry % {k}) * {k} + (rx % {k})
+    AS cell,
+  CAST(n_own AS BIGINT) AS n_own, CAST(smoothed AS BIGINT) AS smoothed
+FROM sm
+"""
+
+
 def queries():
     return {
         "geohash_cells": q_geohash_cells,
         "radius_neighbors": q_radius_neighbors,
+        "idw_grid": q_idw_grid,
+        "trajectory_segments": q_trajectory_segments,
+        "cell_smooth": q_cell_smooth,
     }
 
 
@@ -131,4 +284,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "geohash_cells": _geohash_oracle_sql(),
         "radius_neighbors": _radius_oracle_sql(),
+        "idw_grid": _idw_oracle_sql(),
+        "trajectory_segments": _trajectory_oracle_sql(),
+        "cell_smooth": _cell_smooth_oracle_sql(),
     }

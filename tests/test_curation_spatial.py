@@ -291,3 +291,223 @@ def test_mixture_weights_exact(spark):
         assert got[lang].sqrt_n == s
         assert got[lang].weight == s / denom
     assert math.isclose(sum(r.weight for r in got.values()), 1.0, rel_tol=1e-12)
+
+
+# --- IDW interpolation vs quadratic fold -------------------------------------
+
+
+def _plan_text(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _n_shuffle_exchanges(df) -> int:
+    import re
+
+    # shuffle Exchanges only — "BroadcastExchange" deliberately not matched
+    return len(re.findall(r"\(\d+\) Exchange\b", _plan_text(df)))
+
+
+def test_idw_interpolate_matches_quadratic_fold(spark):
+    """Bucketed IDW vs an independent all-pairs NumPy+Python recompute with
+    the same documented fold order (ascending (d2, id), left-to-right, one
+    divide per term) — exact float equality. Fixture exercises: a sample
+    exactly ON a grid point (d2 == 0 -> the eps regularizer), a d2 tie
+    broken by id, an empty query disc, and cross-cell neighbors."""
+    scale = 16
+    r = 1.0 / scale
+    eps = 2.0 ** -24
+    rng = np.random.default_rng(11)
+    sx = np.concatenate(
+        [
+            10.0 + rng.uniform(0, 0.25, 60),  # dense patch over the grid
+            [10.0625, 10.0625 + r / 2, 10.0625 - r / 2],  # on-point + d2 tie
+            [40.0, 41.0],  # far away: leaves some queries empty
+        ]
+    )
+    sy = np.concatenate(
+        [
+            -3.0 + rng.uniform(0, 0.25, 60),
+            [-2.9375, -2.9375, -2.9375],
+            [40.0, 41.0],
+        ]
+    )
+    sv = rng.uniform(0.5, 100.0, len(sx))
+    samples = spark.createDataFrame(
+        [
+            (int(i), float(x), float(y), float(v))
+            for i, (x, y, v) in enumerate(zip(sx, sy, sv))
+        ],
+        "sid long, x double, y double, val double",
+    )
+    qpts = [
+        (int(q), 10.0 + (q % 8) * 0.0625, -3.0 + (q // 8) * 0.0625)
+        for q in range(64)
+    ]
+    grid = spark.createDataFrame(qpts, "qid long, qx double, qy double")
+    out = geo_misc.idw_interpolate(
+        samples,
+        grid,
+        scale=scale,
+        eps=eps,
+        id_col="sid",
+        value_col="val",
+        x_col="x",
+        y_col="y",
+        qid_col="qid",
+        qx_col="qx",
+        qy_col="qy",
+    )
+    plan = _plan_text(out)
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert _n_shuffle_exchanges(out) == 1  # only the query_id aggregation
+
+    got = {r_.qid: r_ for r_ in out.collect()}
+    assert set(got) == set(range(64))
+    for qid, qx, qy in qpts:
+        cand = []
+        for i in range(len(sx)):
+            dx = qx - sx[i]
+            dy = qy - sy[i]
+            d2 = dx * dx + dy * dy
+            if d2 <= r * r:
+                cand.append((d2, i, sv[i]))
+        cand.sort()
+        num = den = 0.0
+        for d2, _i, v in cand:
+            num = num + v / (d2 + eps)
+            den = den + 1.0 / (d2 + eps)
+        assert got[qid].n_samples == len(cand), qid
+        if cand:
+            assert got[qid].idw == num / den, qid
+        else:
+            assert got[qid].idw is None, qid
+
+
+def test_idw_rejects_non_power_of_two():
+    with pytest.raises(ValueError):
+        geo_misc.idw_interpolate(None, None, scale=100)
+
+
+# --- trajectory segmentation --------------------------------------------------
+
+
+def test_trajectory_segments_semantics(spark):
+    """Constructed walk: a 3-ping dwell cluster (stay), a quarter-degree
+    teleport cut, a 2-ping move (not a stay), a timestamp tie broken by
+    event id, and a second user interleaved in time. ONE shuffle serves
+    both windows and the rollup."""
+    from htg_spark.operators.events import trajectory_segments
+
+    rows = [
+        # user 1: dwell at (10, 10) -- jumps of 0.1 deg (d2 = 0.01 <= 0.0625)
+        (1, 101, "2024-01-01 00:00:00", 10.0, 10.0),
+        (2, 101, "2024-01-01 00:05:00", 10.1, 10.0),
+        (3, 101, "2024-01-01 00:10:00", 10.1, 10.1),
+        # teleport: 1 degree jump -> new segment, 2 pings (not a stay)
+        (4, 101, "2024-01-01 00:20:00", 11.1, 10.1),
+        (5, 101, "2024-01-01 00:25:00", 11.2, 10.1),
+        # timestamp TIE with id 5 -- id order keeps it after 5; another cut
+        (6, 101, "2024-01-01 00:25:00", 12.2, 10.1),
+        # user 2: single ping
+        (7, 202, "2024-01-01 00:07:00", -5.0, 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, lat double, lon double"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "lat", "lon",
+    )
+    out = trajectory_segments(df, cut_d2=0.0625)
+    import re
+
+    plan = _plan_text(out)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1
+
+    segs = {r.segment_id: r for r in out.collect()}
+    assert set(segs) == {1, 4, 6, 7}
+    s1 = segs[1]
+    assert (s1.user_id, s1.n_pings, s1.is_stay) == (101, 3, True)
+    assert s1.duration_us == 10 * 60 * 1_000_000
+    assert (s1.lat_min, s1.lat_max, s1.lon_min, s1.lon_max) == (10.0, 10.1, 10.0, 10.1)
+    # largest within-segment jump: each hop is 0.1 deg -> d2 ~ 0.01
+    exp = max(
+        (10.1 - 10.0) * (10.1 - 10.0) + (10.0 - 10.0) * (10.0 - 10.0),
+        (10.1 - 10.1) * (10.1 - 10.1) + (10.1 - 10.0) * (10.1 - 10.0),
+    )
+    assert s1.max_jump_d2 == exp
+    s4 = segs[4]
+    assert (s4.n_pings, s4.is_stay) == (2, False)
+    assert s4.duration_us == 5 * 60 * 1_000_000
+    s6 = segs[6]
+    assert (s6.n_pings, s6.duration_us, s6.max_jump_d2) == (1, 0, None)
+    s7 = segs[7]
+    assert (s7.user_id, s7.n_pings, s7.max_jump_d2, s7.is_stay) == (
+        202, 1, None, False,
+    )
+
+
+# --- k-ring cell smoothing ----------------------------------------------------
+
+
+def test_cell_smooth_hand_case(spark):
+    """Three points in one level-4 cell, one in an edge-adjacent cell, one
+    at the south-pole boundary (its out-of-globe halo rows must drop), all
+    verified against a hand convolution of the 3x3 (4/2/1) kernel."""
+    from htg_spark.operators.geo_misc import smooth_cell_counts
+
+    k = 16
+    rows = [
+        # 3 points in cell (gy, gx) = ((10+90)*16 + 8, (20+180)*16 + 4)
+        (1, 10.5, 20.25),
+        (2, 10.53, 20.27),
+        (3, 10.51, 20.26),
+        # 1 point one fine-cell east: gx + 1
+        (4, 10.5, 20.3125),
+        # south-pole corner cell (gy = 0, gx = 0): ry = -1 rows must drop
+        (5, -90.0, -180.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, lat double, lon double")
+    out = smooth_cell_counts(df, level=4)
+    assert _n_shuffle_exchanges(out) == 2  # density rollup + halo re-key
+
+    import math as m
+
+    def fine(lat, lon):
+        gy = (m.floor(lat) + 90) * k + m.floor((lat - m.floor(lat)) * k)
+        gx = (m.floor(lon) + 180) * k + m.floor((lon - m.floor(lon)) * k)
+        return gy, gx
+
+    counts = {}
+    for _i, lat, lon in rows:
+        counts[fine(lat, lon)] = counts.get(fine(lat, lon), 0) + 1
+    exp = {}
+    own = {}
+    for (gy, gx), n in counts.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ry, rx = gy + dy, gx + dx
+                if 0 <= ry < 180 * k and 0 <= rx < 360 * k:
+                    w = 4 if dx == 0 and dy == 0 else (2 if dx == 0 or dy == 0 else 1)
+                    exp[(ry, rx)] = exp.get((ry, rx), 0) + n * w
+                    if dx == 0 and dy == 0:
+                        own[(ry, rx)] = own.get((ry, rx), 0) + n
+    def cell_of(ry, rx):
+        return ((ry // k) * 360 + rx // k) * k * k + (ry % k) * k + (rx % k)
+
+    got = {r.cell: (r.n_own, r.smoothed) for r in out.collect()}
+    assert got == {
+        cell_of(ry, rx): (own.get((ry, rx), 0), s) for (ry, rx), s in exp.items()
+    }
+    # pole cell: only the 2x2 in-globe quadrant of its kernel remains
+    gy0, gx0 = fine(-90.0, -180.0)
+    assert (gy0, gx0) == (0, 0)
+    assert got[cell_of(0, 0)] == (1, 4)
+    assert got[cell_of(1, 1)] == (0, 1)
