@@ -172,6 +172,7 @@ def main():
         ("user_sessions", pq.q_user_sessions),
         ("funnel_stages", pq.q_funnel_stages),
         ("event_asof_join", pq.q_event_asof_join),
+        ("interval_attribution", pq.q_interval_attribution),
         ("phash_near_dup", pq.q_phash_near_dup),
         ("frame_near_dup", pq.q_frame_near_dup),
         ("audio_near_dup", pq.q_audio_near_dup),

@@ -282,6 +282,63 @@ def asof_join(
     )
 
 
+def interval_join(
+    probes: DataFrame,
+    intervals: DataFrame,
+    bucket_us: int,
+    key_col: str = "user_id",
+    us_col: str = "us",
+    window_col: str = "window_id",
+    start_col: str = "ws_us",
+    end_col: str = "we_us",
+) -> DataFrame:
+    """Bucketized point-in-interval join: every probe row x every interval
+    of the same key with start <= probe ts <= end (both inclusive) — the
+    range join Spark SQL would otherwise plan as a per-key cross product
+    (attribution windows, outage overlaps, campaign exposure joins).
+
+    The scale shape is the 1-D analog of geo_misc.radius_neighbors: each
+    INTERVAL explodes to the time buckets it covers (fan-out bounded by
+    interval length / bucket_us — pick bucket_us near the median interval
+    length), each PROBE lands in exactly ONE bucket map-side, and one
+    (key, bucket) equi-join replaces the range predicate, which then runs
+    exactly inside the join stage. Because the probe side has exactly one
+    bucket per row, every qualifying (probe, interval) pair appears EXACTLY
+    once — no dedup pass. Bucket math is pure int64 `div` (exact at any
+    epoch). Candidate shuffle bytes: |probes| + |intervals| x avg spanned
+    buckets, never the per-key product.
+
+    Output: all probe columns + the interval's window/start/end columns.
+    """
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_us must be positive, got {bucket_us}")
+    iv = intervals.select(
+        window_col,
+        F.col(key_col).alias("_ikey"),
+        start_col,
+        end_col,
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {int(bucket_us)}"),
+                F.expr(f"{end_col} div {int(bucket_us)}"),
+            )
+        ).alias("_ibucket"),
+    )
+    pr = probes.withColumn("_pbucket", F.expr(f"{us_col} div {int(bucket_us)}"))
+    return (
+        pr.join(
+            iv,
+            on=(
+                (F.col(key_col) == F.col("_ikey"))
+                & (F.col("_pbucket") == F.col("_ibucket"))
+                & (F.col(us_col) >= F.col(start_col))
+                & (F.col(us_col) <= F.col(end_col))
+            ),
+        )
+        .drop("_pbucket", "_ibucket", "_ikey")
+    )
+
+
 def props_stats(
     events: DataFrame,
     type_col: str = "event_type",

@@ -850,6 +850,46 @@ def q_event_asof_join(spark, sf_dir):
     )
 
 
+INTERVAL_LEN_US = 45 * 60 * 1_000_000  # 45-minute attribution window
+INTERVAL_BUCKET_US = 15 * 60 * 1_000_000  # ~median window length / 3
+
+
+def q_interval_attribution(spark, sf_dir):
+    """Attribution-window rollup via the bucketized point-in-interval join
+    (operators/events.interval_join — the 1-D radius-join shape): every
+    101st event opens a 45-minute window; count the same user's events
+    inside it, their span, and distinct types. One (key, bucket) equi-join
+    replaces the range predicate — candidate volume is |events| + |windows|
+    x <=4 spanned buckets, never the per-user cross product a naive range
+    join shuffles at 100 TB. Exact int64 microsecond math throughout."""
+    from .operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts").cast("timestamp_ntz"),
+    )
+    base = e.select("event_id", "user_id", "event_type", us.alias("us"))
+    windows = base.where(F.col("event_id") % 101 == 0).select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("us").alias("ws_us"),
+        (F.col("us") + F.lit(INTERVAL_LEN_US)).alias("we_us"),
+    )
+    pairs = ev.interval_join(
+        base.select("event_id", "user_id", "event_type", "us"),
+        windows,
+        bucket_us=INTERVAL_BUCKET_US,
+    )
+    return pairs.groupBy("window_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
 def q_rolling_fingerprint(spark, sf_dir):
     """Position-sensitive polynomial rolling hash per document (the classic
     Rabin-Karp fingerprint), exact-integer parity with the SQL oracle."""
@@ -1345,6 +1385,28 @@ pe AS (
 SELECT pr.event_id, pr.user_id, pr.us,
   pe.purchase_id, pe.purchase_value, pr.us - pe.us AS gap_us
 FROM pr ASOF LEFT JOIN pe ON pr.user_id = pe.user_id AND pr.us >= pe.us
+"""
+    # INDEPENDENT formulation: the oracle states the range predicate
+    # directly (the naive per-key range join DuckDB plans fine at sf0.01),
+    # so any bucketization bug in interval_join (off-by-one bucket span,
+    # non-covering explode, dropped boundary) mismatches instead of hiding
+    interval_attribution_sql = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+),
+w AS (
+  SELECT event_id AS window_id, user_id, us AS ws_us,
+    us + {INTERVAL_LEN_US} AS we_us
+  FROM base WHERE event_id % 101 = 0
+)
+SELECT w.window_id, w.user_id,
+  COUNT(*) AS n_events,
+  MIN(b.us) AS first_us,
+  MAX(b.us) AS last_us,
+  COUNT(DISTINCT b.event_type) AS n_types
+FROM w JOIN base b
+  ON b.user_id = w.user_id AND b.us >= w.ws_us AND b.us <= w.we_us
+GROUP BY w.window_id, w.user_id
 """
     # the ONE definition of each PII pattern (operators/text.py) feeds both
     # engines — the Python string values interpolate into DuckDB SQL
@@ -1854,6 +1916,7 @@ FROM rc
         "top_terms": top_terms_sql,
         "user_sessions": user_sessions_sql,
         "event_asof_join": event_asof_join_sql,
+        "interval_attribution": interval_attribution_sql,
         "phash_near_dup": phash_near_dup_sql,
         "frame_near_dup": frame_near_dup_sql,
         "audio_near_dup": audio_near_dup_sql,
@@ -1890,6 +1953,7 @@ def queries():
         "top_terms": q_top_terms,
         "user_sessions": q_user_sessions,
         "event_asof_join": q_event_asof_join,
+        "interval_attribution": q_interval_attribution,
         "phash_near_dup": q_phash_near_dup,
         "frame_near_dup": q_frame_near_dup,
         "audio_near_dup": q_audio_near_dup,

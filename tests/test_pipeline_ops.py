@@ -471,6 +471,70 @@ def test_asof_join_semantics(spark):
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_interval_join_semantics(spark):
+    """Bucketized point-in-interval join: both boundaries inclusive,
+    overlapping windows each match (exactly once — no dedup pass needed),
+    zero-length windows work, keys partition, and the plan never falls
+    back to a cross product."""
+    from htg_spark.operators import events as ev
+
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("p1", 1, 20),   # start boundary of A (inclusive)
+                ("p2", 1, 50),   # end boundary of A (inclusive)
+                ("p3", 1, 46),   # inside A AND B -> two rows
+                ("p4", 1, 19),   # just before A
+                ("p5", 1, 51),   # just after A
+                ("p6", 2, 46),   # right ts, wrong key
+                ("p7", 2, 5),    # inside C
+                ("p8", 3, 100),  # zero-length window D, boundary hit
+                ("p9", 3, 101),  # just after D
+            ],
+            columns=["pid", "user_id", "us"],
+        )
+    )
+    windows = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("A", 1, 20, 50),   # spans buckets 2..5 at bucket_us=10
+                ("B", 1, 45, 47),   # overlaps A
+                ("C", 2, 0, 9),     # single bucket
+                ("D", 3, 100, 100),  # zero length
+            ],
+            columns=["window_id", "user_id", "ws_us", "we_us"],
+        )
+    )
+    out = (
+        ev.interval_join(probes, windows, bucket_us=10)
+        .orderBy("pid", "window_id")
+        .toPandas()
+    )
+    got = list(zip(out["pid"], out["window_id"]))
+    assert got == [
+        ("p1", "A"), ("p2", "A"), ("p3", "A"), ("p3", "B"),
+        ("p7", "C"), ("p8", "D"),
+    ]
+    # exactly-once even though window A explodes to 4 buckets
+    assert len(got) == len(set(got))
+    # probe columns survive; interval start/end ride along
+    assert list(out.columns) == ["pid", "user_id", "us", "window_id", "ws_us", "we_us"]
+    assert out.loc[out["pid"] == "p8", "we_us"].tolist() == [100]
+
+    with pytest.raises(ValueError, match="bucket_us"):
+        ev.interval_join(probes, windows, bucket_us=0)
+
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ev.interval_join(probes, windows, bucket_us=10).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_phash_banding_63bit(spark):
     """The image-phash reuse of the banding engine at sig_bits=63: high
     bit 62 participates in a block (the top block is 15 bits wide), exact
