@@ -188,6 +188,7 @@ def main():
         ("idw_grid", _sq.q_idw_grid),
         ("trajectory_segments", _sq.q_trajectory_segments),
         ("cell_smooth", _sq.q_cell_smooth),
+        ("dbscan_clusters", _sq.q_dbscan_clusters),
         ("point_in_polygon", _polyq.q_point_in_polygon),
         ("polygon_metrics", _polyq.q_polygon_metrics),
         ("polygon_zonal_stats", _polyq.q_polygon_zonal_stats),

@@ -379,6 +379,141 @@ def smooth_cell_counts(pts: DataFrame, level: int = 4) -> DataFrame:
     )
 
 
+def dbscan_clusters(
+    pts: DataFrame,
+    scale: int = 8192,
+    min_pts: int = 2,
+    id_col: str = "event_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Deterministic grid-DBSCAN: density-based spatial clustering with
+    eps = 1/scale degrees (planar) — POI discovery, hotspot extraction,
+    GPS-noise grouping. Composes the repo's two scale primitives: the
+    radius_neighbors covering-cell candidate join (one narrow-column
+    shuffle, never all-pairs) and dedup.connected_components (size-adaptive:
+    driver NumPy solve under the edge threshold, O(log diameter)
+    pointer-doubling rounds above it).
+
+    Semantics (fully deterministic, unlike visit-order DBSCAN):
+    - core: n_neighbors (excluding self) >= min_pts (classic minPts - 1);
+    - core clusters: connected components of the core-core eps-graph,
+      labeled by the component's minimum id;
+    - border: non-core within eps of >= 1 core — assigned the MINIMUM
+      cluster label among its in-range cores (visit-order DBSCAN assigns
+      whichever core claims it first; min is the canonical tie-break);
+    - noise: everything else (cluster_id NULL).
+
+    Scale shape: candidate edges come from ONE (jx, jy) equi-join of four
+    narrow columns (probe side explodes 3x3 covering cells, build side
+    keeps its home cell); the directed hit list is lazily checkpointed
+    once and feeds all three consumers (degree count, core-core edges,
+    border assignment) — Spark has no cross-branch subtree reuse, so
+    without it the join would run three times. Core-core edges are a
+    sliver of the corpus (dup pairs always are), so CC takes the collect
+    path at test scale and the distributed loop at 10^9+ edges. `scale`
+    MUST be a power of two so grid floors and r*r are exact IEEE doubles —
+    the SQL oracle states the range predicate directly (naive bbox join)
+    and still agrees bit-for-bit.
+
+    Output: (id, n_neighbors, role 'core'|'border'|'noise',
+    cluster_id — NULL for noise)."""
+    from .dedup import connected_components
+
+    if scale & (scale - 1) != 0:
+        raise ValueError(f"scale must be a power of two, got {scale}")
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    r = 1.0 / scale
+    x, y = F.col(x_col), F.col(y_col)
+    base = pts.select(
+        id_col,
+        x_col,
+        y_col,
+        F.floor(x * F.lit(float(scale))).cast("long").alias("gx"),
+        F.floor(y * F.lit(float(scale))).cast("long").alias("gy"),
+    ).localCheckpoint(eager=False)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = base.select(
+        id_col, x_col, y_col, "gx", "gy", F.explode(offsets).alias("o")
+    ).select(
+        id_col,
+        x_col,
+        y_col,
+        (F.col("gx") + F.col("o.dx")).alias("jx"),
+        (F.col("gy") + F.col("o.dy")).alias("jy"),
+    )
+    build = base.select(
+        F.col(id_col).alias("_bid"),
+        F.col(x_col).alias("_bx"),
+        F.col(y_col).alias("_by"),
+        F.col("gx").alias("jx"),
+        F.col("gy").alias("jy"),
+    )
+    dx = F.col(x_col) - F.col("_bx")
+    dy = F.col(y_col) - F.col("_by")
+    # directed (id, nid) hit list — one row per ordered in-range pair
+    hits = (
+        probe.join(build, on=["jx", "jy"])
+        .where((F.col(id_col) != F.col("_bid")) & (dx * dx + dy * dy <= F.lit(r * r)))
+        .select(id_col, F.col("_bid").alias("nid"))
+        .localCheckpoint(eager=False)
+    )
+    flags = (
+        base.select(id_col)
+        .join(hits.groupBy(id_col).agg(F.count("*").alias("_n")), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_neighbors"),
+        )
+        .withColumn("is_core", F.col("n_neighbors") >= min_pts)
+        .localCheckpoint(eager=False)
+    )
+    cores = flags.where(F.col("is_core")).select(id_col)
+    core_pairs = (
+        hits.where(F.col(id_col) < F.col("nid"))
+        .join(cores, on=id_col, how="leftsemi")
+        .join(cores.select(F.col(id_col).alias("nid")), on="nid", how="leftsemi")
+        .select(F.col(id_col).alias("id_a"), F.col("nid").alias("id_b"))
+    )
+    core_lab = connected_components(core_pairs, cores, id_col=id_col, stats=stats).select(
+        id_col, F.col("group_id").alias("_core_cluster")
+    )
+    border = (
+        hits.join(flags.where(~F.col("is_core")).select(id_col), on=id_col, how="leftsemi")
+        .join(
+            core_lab.select(
+                F.col(id_col).alias("nid"), F.col("_core_cluster").alias("_nbr_cluster")
+            ),
+            on="nid",
+        )
+        .groupBy(id_col)
+        .agg(F.min("_nbr_cluster").alias("_border_cluster"))
+    )
+    return (
+        flags.join(core_lab, on=id_col, how="left")
+        .join(border, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_neighbors",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("_border_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.when(F.col("is_core"), F.col("_core_cluster"))
+            .otherwise(F.col("_border_cluster"))
+            .alias("cluster_id"),
+        )
+    )
+
+
 def parse_preload_bounds(value: str):
     """HTG_PRELOAD grammar (htg-service/src/main.rs:165-204):
     'true'/'all'/'1' -> None (all tiles); ';'-separated

@@ -30,6 +30,8 @@ IDW_EPS = 2.0 ** -24
 IDW_GRID_N = 32  # 32x32 query grid over the dense fixture cluster
 TRAJ_CUT_D2 = 0.0625  # 2^-4 — quarter-degree segment cut
 SMOOTH_LEVEL = 4
+DBSCAN_SCALE = 8192  # eps = 2^-13 — 4-connects the 1e-4 fixture lattice
+DBSCAN_MIN_PTS = 2  # core iff >= 2 in-range neighbors (excluding self)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,6 +92,17 @@ def q_trajectory_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cell_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = derive_points(_events(spark, sf_dir))
     return geo_misc.smooth_cell_counts(pts, level=SMOOTH_LEVEL)
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grid-DBSCAN over the derived points (eps = 2^-13,
+    min_pts = 2): ~14% core / 4% border / 82% noise on the fixture — the
+    dense 1e-4-lattice micro-cluster fragments into small components
+    (sub-percolation occupancy), exercising all three roles."""
+    pts = derive_points(_events(spark, sf_dir))
+    return geo_misc.dbscan_clusters(
+        pts, scale=DBSCAN_SCALE, min_pts=DBSCAN_MIN_PTS, id_col="event_id"
+    )
 
 
 # --- DuckDB oracles ---------------------------------------------------------
@@ -270,6 +283,64 @@ FROM sm
 """
 
 
+def _dbscan_oracle_sql(scale: int = DBSCAN_SCALE, min_pts: int = DBSCAN_MIN_PTS) -> str:
+    """INDEPENDENT formulation: candidate pairs come from a naive 2r bbox
+    self-join (no grid cells — a covering-cell bug on the Spark side
+    mismatches instead of hiding), cluster labels from a recursive-CTE
+    transitive closure over the core-core eps-graph (the neardup_groups
+    oracle precedent). CTEs are MATERIALIZED because DuckDB otherwise
+    re-evaluates the edge join on every recursion step (~24 s -> 1.5 s).
+    At eps = 2^-13 the dense fixture lattice (step 1e-4) is 4-connected at
+    33% site occupancy — below the 2-D percolation threshold, so components
+    stay small and the closure is ~10k rows, never quadratic."""
+    r = 1.0 / scale
+    pts = _SQL_PTS.strip().replace("WITH pts AS (", "WITH RECURSIVE pts AS MATERIALIZED (", 1)
+    return f"""
+{pts},
+prs AS MATERIALIZED (
+  SELECT a.event_id AS id, b.event_id AS nid
+  FROM pts a JOIN pts b
+    ON b.lon >= a.lon - {2 * r!r} AND b.lon <= a.lon + {2 * r!r}
+   AND b.lat >= a.lat - {2 * r!r} AND b.lat <= a.lat + {2 * r!r}
+   AND a.event_id <> b.event_id
+  WHERE (a.lon - b.lon) * (a.lon - b.lon)
+      + (a.lat - b.lat) * (a.lat - b.lat) <= {r * r!r}
+),
+cnt AS (SELECT id, count(*) AS n FROM prs GROUP BY id),
+flags AS MATERIALIZED (
+  SELECT p.event_id, COALESCE(c.n, 0) AS n_neighbors,
+    COALESCE(c.n, 0) >= {min_pts} AS is_core
+  FROM pts p LEFT JOIN cnt c ON c.id = p.event_id
+),
+core_edges AS MATERIALIZED (
+  SELECT pr.id AS a, pr.nid AS b FROM prs pr
+  JOIN flags fa ON fa.event_id = pr.id AND fa.is_core
+  JOIN flags fb ON fb.event_id = pr.nid AND fb.is_core
+),
+reach(src, dst) AS (
+  SELECT event_id, event_id FROM flags WHERE is_core
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN core_edges e ON r.dst = e.a
+),
+lab AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+bord AS (
+  SELECT pr.id, min(l.cluster_id) AS cluster_id
+  FROM prs pr JOIN lab l ON l.id = pr.nid
+  JOIN flags f ON f.event_id = pr.id AND NOT f.is_core
+  GROUP BY pr.id
+)
+SELECT f.event_id,
+  CAST(f.n_neighbors AS BIGINT) AS n_neighbors,
+  CASE WHEN f.is_core THEN 'core'
+       WHEN b.cluster_id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  CASE WHEN f.is_core THEN l.cluster_id ELSE b.cluster_id END AS cluster_id
+FROM flags f
+LEFT JOIN lab l ON l.id = f.event_id
+LEFT JOIN bord b ON b.id = f.event_id
+"""
+
+
 def queries():
     return {
         "geohash_cells": q_geohash_cells,
@@ -277,6 +348,7 @@ def queries():
         "idw_grid": q_idw_grid,
         "trajectory_segments": q_trajectory_segments,
         "cell_smooth": q_cell_smooth,
+        "dbscan_clusters": q_dbscan_clusters,
     }
 
 
@@ -287,4 +359,5 @@ def oracle_sql() -> dict[str, str]:
         "idw_grid": _idw_oracle_sql(),
         "trajectory_segments": _trajectory_oracle_sql(),
         "cell_smooth": _cell_smooth_oracle_sql(),
+        "dbscan_clusters": _dbscan_oracle_sql(),
     }

@@ -93,3 +93,63 @@ def test_knn_points_join_exact_and_zero_shuffle(spark):
     plan = buf.getvalue()
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
     assert "Join" not in plan
+
+
+def test_dbscan_clusters_hand_case(spark):
+    """Deterministic grid-DBSCAN at scale=8 (eps=0.125), min_pts=3:
+    colocated quad + attached core + single border; a chain cluster; a
+    between-two-clusters border whose tie-break is the MIN cluster label
+    (visit-order DBSCAN would pick whichever core claimed it first); a
+    singleton and a non-core pair as noise."""
+    import numpy as np
+    import pytest
+
+    from htg_spark.operators.geo_misc import dbscan_clusters
+
+    rows = [
+        # colocated quad (all core, cluster 1) + core 5 + border 6 + noise 7
+        (1, 0.0, 0.0), (2, 0.0, 0.0), (3, 0.0, 0.0), (4, 0.0, 0.0),
+        (5, 0.0, 0.1), (6, 0.0, 0.2), (7, 0.0, 0.35),
+        # left blob+core, the tie-break border 15, right core+blob
+        (11, 3.0, 2.8), (12, 3.02, 2.8), (13, 2.98, 2.8),
+        (14, 3.0, 2.9),
+        (15, 3.0, 3.0),
+        (16, 3.0, 3.1),
+        (17, 3.0, 3.2), (18, 3.02, 3.2), (19, 2.98, 3.2),
+        # noise: singleton + a mutually-close non-core pair
+        (20, 5.0, 5.0), (21, 6.0, 6.0), (22, 6.0, 6.0),
+    ]
+    pts = spark.createDataFrame(pd.DataFrame(rows, columns=["pid", "lat", "lon"]))
+    stats = {}
+    out = (
+        dbscan_clusters(pts, scale=8, min_pts=3, id_col="pid", stats=stats)
+        .orderBy("pid")
+        .toPandas()
+        .set_index("pid")
+    )
+    assert len(out) == len(rows)
+    assert stats["strategy"] == "collect"
+
+    expect = {
+        1: (4, "core", 1), 2: (4, "core", 1), 3: (4, "core", 1), 4: (4, "core", 1),
+        5: (5, "core", 1), 6: (1, "border", 1), 7: (0, "noise", None),
+        11: (3, "core", 11), 12: (3, "core", 11), 13: (3, "core", 11),
+        14: (4, "core", 11),
+        15: (2, "border", 11),  # sees cores 14 (cluster 11) and 16 (cluster 16)
+        16: (4, "core", 16),
+        17: (3, "core", 16), 18: (3, "core", 16), 19: (3, "core", 16),
+        20: (0, "noise", None), 21: (1, "noise", None), 22: (1, "noise", None),
+    }
+    for pid, (n, role, cid) in expect.items():
+        assert out.loc[pid, "n_neighbors"] == n, pid
+        assert out.loc[pid, "role"] == role, pid
+        got_cid = out.loc[pid, "cluster_id"]
+        if cid is None:
+            assert got_cid is None or (isinstance(got_cid, float) and np.isnan(got_cid)), pid
+        else:
+            assert got_cid == cid, pid
+
+    with pytest.raises(ValueError, match="power of two"):
+        dbscan_clusters(pts, scale=10, id_col="pid")
+    with pytest.raises(ValueError, match="min_pts"):
+        dbscan_clusters(pts, scale=8, min_pts=0, id_col="pid")
