@@ -617,6 +617,20 @@ def q_image_chips(spark, sf_dir):
     )
 
 
+def q_image_quality(spark, sf_dir):
+    """Exact-integer blur/exposure curation metrics over REAL decoded
+    payloads (multimodal.image_quality): Laplacian focus sum-of-squares,
+    edge count, channel clipping counts, gray dynamic range. The oracle
+    recomputes every interior pixel's 4-neighbor Laplacian directly from
+    the pixel closed form (neighbors of flat index p are p±1 and p±w), so
+    the decode, the gray reduction, and the interior bounds are all
+    value-checked without the oracle ever seeing a byte."""
+    from .operators import multimodal
+
+    imgs = derive_images_table(_events(spark, sf_dir))
+    return multimodal.image_quality(imgs, edge_thresh=64)
+
+
 def derive_audio_table(events: DataFrame) -> DataFrame:
     """Deterministic audio-clip table (the audio leg of the input_hint
     shape): every non-binary consequence is a closed form DuckDB can
@@ -1063,6 +1077,56 @@ WHERE r < ((4 + event_id % 11) // 4) * 4
   AND c < ((4 + event_id % 13) // 4) * 4
 GROUP BY event_id, r // 4, c // 4
 """
+
+    # image_quality: interior Laplacians straight from the pixel closed
+    # form — the 4-neighbors of flat pixel p are p±1 (same row) and p±w
+    def _g(q: str) -> str:
+        return (
+            f"((e * 31 + 7 * (3 * ({q}))) % 256"
+            f" + (e * 31 + 7 * (3 * ({q}) + 1)) % 256"
+            f" + (e * 31 + 7 * (3 * ({q}) + 2)) % 256)"
+        )
+
+    image_quality_sql = f"""
+WITH dims AS (
+  SELECT event_id AS e, 4 + event_id % 13 AS w, 4 + event_id % 11 AS h FROM events
+),
+pxk AS (
+  SELECT e, unnest(generate_series(0, w * h * 3 - 1)) AS k FROM dims
+),
+clip AS (
+  SELECT e,
+    sum(CASE WHEN (e * 31 + 7 * k) % 256 = 0 THEN 1 ELSE 0 END) AS n_clip_lo,
+    sum(CASE WHEN (e * 31 + 7 * k) % 256 = 255 THEN 1 ELSE 0 END) AS n_clip_hi
+  FROM pxk GROUP BY e
+),
+gp AS (
+  SELECT e, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM dims
+),
+gray AS (SELECT e, w, h, p, {_g("p")} AS g FROM gp),
+rng AS (SELECT e, max(g) - min(g) AS dyn_range FROM gray GROUP BY e),
+lap AS (
+  SELECT e,
+    4 * g - {_g("p - w")} - {_g("p + w")} - {_g("p - 1")} - {_g("p + 1")} AS L
+  FROM gray
+  WHERE p // w >= 1 AND p // w < h - 1 AND p % w >= 1 AND p % w < w - 1
+),
+foc AS (
+  SELECT e, sum(L * L) AS lap_ss,
+    sum(CASE WHEN abs(L) >= 64 THEN 1 ELSE 0 END) AS edge_count
+  FROM lap GROUP BY e
+)
+SELECT 'img_' || CAST(d.e AS VARCHAR) AS image_id,
+  CAST(COALESCE(f.lap_ss, 0) AS BIGINT) AS lap_ss,
+  CAST(COALESCE(f.edge_count, 0) AS BIGINT) AS edge_count,
+  CAST(c.n_clip_lo AS BIGINT) AS n_clip_lo,
+  CAST(c.n_clip_hi AS BIGINT) AS n_clip_hi,
+  CAST(r.dyn_range AS BIGINT) AS dyn_range
+FROM dims d
+JOIN clip c ON c.e = d.e
+JOIN rng r ON r.e = d.e
+LEFT JOIN foc f ON f.e = d.e
+"""
     # audio_features: every feature from the sample closed form
     # ((e*17 + 5k) % 65536) - 32768; integer except rms = sqrt(sum_sq / n)
     # in the kernel's documented op order
@@ -1274,6 +1338,7 @@ FROM r WHERE rank <= 3
         "images_geotag_join": images_geotag,
         "images_elevation_join": images_elev,
         "image_chips": image_chips_sql,
+        "image_quality": image_quality_sql,
         "image_augment": image_augment_sql,
         "audio_features": audio_features_sql,
         "video_frames": video_frames_sql,
@@ -1305,6 +1370,7 @@ def queries():
         "images_geotag_join": q_images_geotag_join,
         "images_elevation_join": q_images_elevation_join,
         "image_chips": q_image_chips,
+        "image_quality": q_image_quality,
         "image_augment": q_image_augment,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,

@@ -130,6 +130,69 @@ def image_stats(images: DataFrame) -> DataFrame:
     )
 
 
+def image_quality(images: DataFrame, edge_thresh: int = 64) -> DataFrame:
+    """Exact-integer image quality metrics for curation filtering — the
+    blur/exposure gates a web-scale image pipeline applies before training
+    (keep sharp, well-exposed images; drop flat or clipped ones):
+
+    - gray = r + g + b per pixel (0..765): integer luma, no float weights,
+      so every downstream metric is exact and cross-engine bit-stable;
+    - lap_ss: sum of squared 4-neighbor Laplacians (4g - up - down - left
+      - right) over INTERIOR gray pixels — the variance-of-Laplacian focus
+      measure with the division dropped (monotone-equivalent per size, and
+      exact);
+    - edge_count: interior pixels with \\|laplacian\\| >= edge_thresh;
+    - n_clip_lo / n_clip_hi: channel samples == 0 / == 255 (under/over-
+      exposure clipping);
+    - dyn_range: max(gray) - min(gray) (contrast span).
+
+    Images narrower than 3 px in either axis have no interior: lap_ss =
+    edge_count = 0. Decode is the shared vectorized _decode_stacks path
+    (one np.frombuffer per fixed-shape subgroup); all reductions run on
+    the whole stack, never per row. Scale shape: embarrassingly parallel
+    map over the image corpus, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            lap_ss = np.zeros(n, dtype=np.int64)
+            edge_count = np.zeros(n, dtype=np.int64)
+            clip_lo = np.empty(n, dtype=np.int64)
+            clip_hi = np.empty(n, dtype=np.int64)
+            dyn = np.empty(n, dtype=np.int64)
+            for pos, stack in _decode_stacks(pdf):
+                g = stack.sum(axis=3, dtype=np.int64)  # (n, h, w) in 0..765
+                clip_lo[pos] = (stack == 0).sum(axis=(1, 2, 3))
+                clip_hi[pos] = (stack == 255).sum(axis=(1, 2, 3))
+                dyn[pos] = g.max(axis=(1, 2)) - g.min(axis=(1, 2))
+                if g.shape[1] >= 3 and g.shape[2] >= 3:
+                    lap = (
+                        4 * g[:, 1:-1, 1:-1]
+                        - g[:, :-2, 1:-1]
+                        - g[:, 2:, 1:-1]
+                        - g[:, 1:-1, :-2]
+                        - g[:, 1:-1, 2:]
+                    )
+                    lap_ss[pos] = (lap * lap).sum(axis=(1, 2))
+                    edge_count[pos] = (np.abs(lap) >= edge_thresh).sum(axis=(1, 2))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "lap_ss": lap_ss,
+                    "edge_count": edge_count,
+                    "n_clip_lo": clip_lo,
+                    "n_clip_hi": clip_hi,
+                    "dyn_range": dyn,
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run,
+        schema="image_id string, lap_ss long, edge_count long, "
+        "n_clip_lo long, n_clip_hi long, dyn_range long",
+    )
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize to (out_w, out_h); output re-encoded 'raw'.
     (image_id, bytes, w, h, fmt) with the same schema as the input table.

@@ -368,3 +368,56 @@ def test_audio_gain_exact_and_invariant(spark):
 
     with pytest.raises(ValueError):
         multimodal.audio_gain(aud, 5, 4)
+
+
+def test_image_quality_matches_numpy(spark, images):
+    """Every metric vs a direct per-image NumPy reference over the full
+    48-image fixture (all three codecs), plus hand images: a constant
+    image (zero Laplacian, zero range, full lo-clip), a 2x2 (no interior),
+    and a single bright pixel whose Laplacian response is computed by hand."""
+    import pandas as pd
+
+    out = (
+        multimodal.image_quality(images, edge_thresh=64)
+        .toPandas()
+        .set_index("image_id")
+    )
+    src = fixtures.make_images_pdf(48)
+    assert len(out) == 48
+    for _, r in src.iterrows():
+        px = fixtures.decode_image(bytes(r["bytes"]), int(r["w"]), int(r["h"]), r["fmt"])
+        g = px.sum(axis=2, dtype=np.int64)
+        lap = (
+            4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+        )
+        row = out.loc[r["image_id"]]
+        assert row["lap_ss"] == (lap * lap).sum()
+        assert row["edge_count"] == (np.abs(lap) >= 64).sum()
+        assert row["n_clip_lo"] == (px == 0).sum()
+        assert row["n_clip_hi"] == (px == 255).sum()
+        assert row["dyn_range"] == g.max() - g.min()
+
+    # hand cases: constant-black 4x4; 2x2 (no interior -> lap zeros);
+    # one 255-spike at the center of a black 3x3 (per-channel)
+    black = np.zeros((4, 4, 3), dtype=np.uint8)
+    tiny = np.full((2, 2, 3), 7, dtype=np.uint8)
+    spike = np.zeros((3, 3, 3), dtype=np.uint8)
+    spike[1, 1, :] = 255
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["black", "tiny", "spike"],
+            "bytes": [black.tobytes(), tiny.tobytes(), spike.tobytes()],
+            "w": np.array([4, 2, 3], dtype=np.int32),
+            "h": np.array([4, 2, 3], dtype=np.int32),
+            "fmt": ["raw", "raw", "raw"],
+        }
+    )
+    got = (
+        multimodal.image_quality(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("image_id")
+    )
+    assert got.loc["black"].tolist() == [0, 0, 48, 0, 0]
+    assert got.loc["tiny"].tolist() == [0, 0, 0, 0, 0]
+    # spike gray=765 at center: single interior Laplacian = 4*765 = 3060
+    assert got.loc["spike"].tolist() == [3060 * 3060, 1, 24, 3, 765]
