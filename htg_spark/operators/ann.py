@@ -662,6 +662,105 @@ def near_dup_pairs(
     return cand.select("id_a", "id_b", cos).where(F.col("cosine") >= threshold)
 
 
+def semdedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 1024,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, 'SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication'): semantic near-duplicate
+    PRUNING over an embedding corpus — cluster every vector to its nearest
+    centroid (max dot product, the IVF coarse quantizer), then within each
+    cluster drop any vector that has an EARLIER (lower-id) cluster member
+    with cosine >= threshold. Greedy by id order, exactly the published
+    keep-one-per-duplicate-neighborhood rule made deterministic: the
+    lowest-id member of every dup neighborhood survives, and a dropped
+    member still shadows later ones (no transitive-closure pass — matching
+    the reference algorithm, which prunes per pairwise check, not per
+    connected component).
+
+    Scale shape (the published one): the pairwise pass runs WITHIN clusters
+    only — k centroids cut the O(N^2) global matrix to sum over clusters of
+    c_i^2, with E[c] = N/k (k from params_for grows ~sqrt(N)). One hash
+    Exchange on the cluster id is the only shuffle; the embedding column
+    crosses it exactly once, pair rows NEVER materialize in any shuffle —
+    each cluster's pairwise cosines are computed inside applyInPandas as a
+    blocked (block x cluster) NumPy accumulation (memory bounded by
+    block*c doubles, not c^2) and only the per-member verdict row leaves
+    the worker. A pathologically skewed cluster is the algorithm's own
+    limit (the matrix needs the whole cluster); the centroid count is the
+    knob, exactly as in the paper.
+
+    Bit parity: dots and norms accumulate left-to-right over the dimension
+    (same order as dot_expr / cosine_udf / DuckDB list_reduce) and the
+    cosine divides dot by (norm_a * norm_b) — so every cosine is
+    bit-identical across engines and the threshold compare cannot straddle
+    an ulp. Centroid assignment is ivf_assign_udf (argmax dot, first index
+    wins ties) — the ann_ivf_topk-oracled kernel.
+
+    Output: (vec_id, cluster, n_earlier_dups, max_earlier_cos, is_kept)
+    where n_earlier_dups counts lower-id same-cluster members with cosine
+    >= threshold, max_earlier_cos is the max cosine to ANY lower-id member
+    (NULL for the cluster's first member), is_kept = n_earlier_dups == 0.
+    """
+    thr = float(threshold)
+    id_type = dict(emb.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, cluster int, n_earlier_dups long, "
+        "max_earlier_cos double, is_kept boolean"
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        c = len(pdf)
+        if c == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": pdf["cluster"],
+                    "n_earlier_dups": pd.Series([], dtype="int64"),
+                    "max_earlier_cos": pd.Series([], dtype="float64"),
+                    "is_kept": pd.Series([], dtype="bool"),
+                }
+            )
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt(_np_pair_dot(x, x))
+        n_dups = np.zeros(c, dtype=np.int64)
+        max_cos = np.full(c, np.nan)
+        for i0 in range(1, c, block):
+            i1 = min(i0 + block, c)
+            # dots of rows [i0, i1) against ALL rows [0, i1) — explicit
+            # left-to-right accumulation over the dimension (see _np_dots)
+            acc = np.zeros((i1 - i0, i1), dtype=np.float64)
+            for t in range(x.shape[1]):
+                acc += x[i0:i1, None, t] * x[None, :i1, t]
+            cos = acc / (norms[i0:i1, None] * norms[None, :i1])
+            # member i compares against j < i only (strictly earlier ids)
+            mask = np.arange(i1)[None, :] < np.arange(i0, i1)[:, None]
+            n_dups[i0:i1] = ((cos >= thr) & mask).sum(axis=1)
+            max_cos[i0:i1] = np.where(mask, cos, -np.inf).max(axis=1)
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"],
+                "n_earlier_dups": n_dups,
+                "max_earlier_cos": max_cos,
+                "is_kept": n_dups == 0,
+            }
+        )
+        return out
+
+    assigned = emb.select(
+        id_col,
+        vec_col,
+        ivf_assign_udf(centroids)(F.col(vec_col)).alias("cluster"),
+    )
+    return assigned.groupBy("cluster").applyInPandas(prune, schema)
+
+
 def near_dup_pairs_exact(
     emb: DataFrame,
     threshold: float = 0.99,

@@ -246,6 +246,102 @@ def jaccard_verify(
     )
 
 
+def jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard similarity join via document-frequency-
+    ordered prefix filtering (the AllPairs/PPJoin family — Bayardo WWW'07,
+    Xiao WWW'08): returns EVERY pair (id_a < id_b) whose word n-gram SETS
+    have Jaccard >= threshold_num/threshold_den, with no probabilistic miss.
+    The deterministic complement to MinHash-LSH (`lsh_candidate_pairs`
+    recalls ~threshold pairs with banding probability < 1): same contract,
+    zero false negatives, the right tool when the dedup policy must be
+    auditable ("ALL pairs above t were found").
+
+    Prefix-filtering principle: under any global total order on n-grams, if
+    J(A, B) >= t then the (|A| - ceil(t*|A|) + 1)-prefix of A and the
+    corresponding prefix of B share at least one n-gram (J >= t implies
+    |A inter B| >= ceil(t*|A|), and a set of that size cannot avoid the
+    prefix by pigeonhole). Ordering by ASCENDING document frequency puts the
+    RAREST n-grams in the prefixes, so the candidate equi-join fans out by
+    prefix-df, not corpus size.
+
+    Plan shape (the 100-TB contract): (1) distinct (id, n-gram) stream —
+    one shuffle; (2) vocabulary-sized df table — one map-side-combined
+    groupBy; (3) df join-back + ONE window pass ranks each doc's n-grams
+    rarest-first (row_number and the size count share one Exchange+Sort on
+    id); (4) prefix rows self-equi-join on the n-gram — candidate volume =
+    sum over n-grams of (prefix-df)^2, bounded by the df tail, never
+    |docs|^2; a length filter (min size >= t * max size, exact integers)
+    prunes inside the join; (5) exact verify via jaccard_verify's per-doc
+    array join. Raw text never shuffles except as each doc's distinct-
+    n-gram array in the verify stage (same trade as jaccard_verify).
+
+    The threshold is a RATIONAL num/den and every filter compares exact
+    integers (den*inter >= num*union), so no engine can disagree at the
+    boundary; the reported `jaccard` double is one IEEE division, bit-equal
+    across engines. n >= 2 recommended: over a small vocabulary, larger n
+    keeps the n-gram df distribution heavy-tailed (prefix filtering's
+    selectivity assumption). Docs with fewer than n tokens have no n-grams
+    and never pair (Jaccard with an empty set is undefined, excluded).
+
+    Output: (id_a, id_b, inter, union_n, jaccard), one row per qualifying
+    pair.
+    """
+    from .text import ngram_expr
+
+    t_num, t_den = int(threshold_num), int(threshold_den)
+    if not 0 < t_num <= t_den:
+        raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
+    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("_toks"))
+    sh = (
+        toks.select(id_col, F.explode(ngram_expr(F.col("_toks"), n)).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+        # consumed by the df table, the ranked prefix, AND the verify stage
+        # (no cross-branch subtree reuse in Spark SQL)
+        .localCheckpoint(eager=False)
+    )
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w_rank = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(df_tab, "shingle")
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    # prefix length |S| - ceil(t*|S|) + 1 in exact integer arithmetic
+    ceil_tn = F.expr(f"(({t_num} * _n) + {t_den} - 1) div {t_den}")
+    prefix = (
+        ranked.where(F.col("_rk") <= F.col("_n") - ceil_tn + F.lit(1))
+        .select(id_col, "shingle", "_n")
+        # both sides of the candidate self-join read this frame
+        .localCheckpoint(eager=False)
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle", F.col("_n").alias("_na"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle", F.col("_n").alias("_nb"))
+    cand = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # J >= t forces min(|A|,|B|) >= t * max(|A|,|B|) — exact ints
+            & (
+                F.lit(t_den) * F.least("_na", "_nb")
+                >= F.lit(t_num) * F.greatest("_na", "_nb")
+            )
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = jaccard_verify(df, cand, id_col=id_col, text_col=text_col, shingles=sh)
+    return verified.where(
+        F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.col("union_n")
+    ).select("id_a", "id_b", "inter", "union_n", "jaccard")
+
+
 def _cc_collect(
     pairs_thin: DataFrame, vertices: DataFrame, id_col: str, stats: dict | None
 ) -> DataFrame:

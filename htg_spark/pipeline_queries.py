@@ -169,6 +169,18 @@ def q_neardup_groups(spark, sf_dir):
     return dedup.connected_components(dup, corpus.select("cid"), id_col="cid")
 
 
+def q_ngram_jaccard_join(spark, sf_dir):
+    """EXACT all-pairs 4-gram Jaccard >= 3/5 over the near-dup corpus via
+    df-ordered prefix filtering (AllPairs/PPJoin) — the deterministic
+    complement to the MinHash-LSH path: zero false negatives, so the
+    INDEPENDENT quadratic oracle (shingle-equality join, no prefix logic)
+    is a COMPLETE check, not just a candidate-set replay."""
+    corpus = neardup_corpus(_docs(spark, sf_dir))
+    return dedup.jaccard_join(
+        corpus, id_col="cid", n=4, threshold_num=3, threshold_den=5
+    )
+
+
 def q_simhash(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("cid"), "text")
     return dedup.simhash(docs, id_col="cid")
@@ -963,6 +975,25 @@ def q_embedding_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b")  # int-only output: threshold-robust
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic pruning over the embedding corpus + planted
+    scalar-multiple copies: IVF-centroid clustering (the ann_ivf_topk-
+    oracled assign kernel), then within-cluster greedy lowest-id-wins
+    cosine pruning at 0.95 — pairwise cosines never leave the worker, only
+    the per-vector verdict row does. Copies sit at cosine ~1.0 to their
+    originals (same centroid — dots scale uniformly), so every copy must
+    be dropped and every original kept unless the corpus itself collides."""
+    emb = _emb(spark, sf_dir)
+    scaled = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.5).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(scaled)
+    return ann.semdedup(corpus, CENTROIDS, threshold=0.95)
+
+
 # --- oracle SQL -----------------------------------------------------------------------
 
 _SQL_EMB_D = """
@@ -1027,6 +1058,39 @@ FROM pairs p
 LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
 JOIN sizes za ON za.cid = p.id_a
 JOIN sizes zb ON zb.cid = p.id_b
+"""
+    )
+    # INDEPENDENT of the Spark plan's prefix filtering: a direct
+    # shingle-equality quadratic (complete for J >= t since any qualifying
+    # pair shares a 4-gram), so a completeness bug in the prefix logic
+    # MISMATCHES instead of hiding. Rational threshold compare in exact
+    # BIGINTs on both engines.
+    jaccard_join_sql = (
+        "WITH "
+        + _SQL_NEARDUP_CORPUS
+        + """,
+tk AS (SELECT cid, string_split(text, ' ') AS toks FROM corpus),
+sh4 AS (
+  SELECT DISTINCT cid, shingle FROM (
+    SELECT cid,
+      unnest(list_transform(generate_series(1, len(toks) - 3),
+        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingle
+    FROM tk
+  )
+),
+sizes AS (SELECT cid, count(*) AS n_sh FROM sh4 GROUP BY cid),
+inter AS (
+  SELECT sa.cid AS id_a, sb.cid AS id_b, count(*) AS inter
+  FROM sh4 sa JOIN sh4 sb ON sb.shingle = sa.shingle AND sa.cid < sb.cid
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+  CAST(za.n_sh + zb.n_sh - i.inter AS BIGINT) AS union_n,
+  CAST(i.inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.cid = i.id_a
+JOIN sizes zb ON zb.cid = i.id_b
+WHERE 5 * i.inter >= 3 * (za.n_sh + zb.n_sh - i.inter)
 """
     )
     groups_sql = (
@@ -1736,6 +1800,47 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -
       / (a.nrm * b.nrm) >= 0.999
 """
     )
+    # SemDeDup: the same scaled-copy corpus as near_dup_sql, the same
+    # centroid-assign CASE chain as ivf_sql, then a within-cluster
+    # lower-id pairwise join — fully independent of the Spark plan's
+    # blocked applyInPandas accumulation (which must match bit-for-bit)
+    semdedup_sql = (
+        "WITH "
+        + _SQL_EMB_D
+        + f""",
+scaled AS (
+  SELECT vec_id + 100000 AS vec_id,
+    list_transform(v, x -> CAST(CAST(x AS FLOAT) * CAST(1.5 AS FLOAT) AS DOUBLE)) AS v
+  FROM e WHERE vec_id % 10 = 0
+),
+corpus AS (
+  SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM scaled
+),
+nn AS (
+  SELECT vec_id, v,
+    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM corpus
+),
+dd AS (SELECT vec_id, v, nrm, {', '.join(cent_dots)} FROM nn),
+ab AS (SELECT *, {best} AS best FROM dd),
+cl AS (SELECT vec_id, v, nrm, CAST({assign} AS INT) AS cluster FROM ab),
+p AS (
+  SELECT a.vec_id AS vid,
+    list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -> x + y)
+      / (a.nrm * b.nrm) AS cosine
+  FROM cl a JOIN cl b ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+),
+agg AS (
+  SELECT vid, count(*) FILTER (WHERE cosine >= 0.95) AS n_dups, max(cosine) AS mx
+  FROM p GROUP BY vid
+)
+SELECT c.vec_id, c.cluster,
+  CAST(COALESCE(g.n_dups, 0) AS BIGINT) AS n_earlier_dups,
+  g.mx AS max_earlier_cos,
+  COALESCE(g.n_dups, 0) = 0 AS is_kept
+FROM cl c LEFT JOIN agg g ON g.vid = c.vec_id
+"""
+    )
     # the composed training-data pipeline: every stage reuses the exact SQL
     # shape already proven green for its standalone operator (line_filter,
     # pii, line_dedup, exact/minhash/LSH/jaccard dedup, recursive-CTE CC,
@@ -1904,6 +2009,7 @@ FROM rc
         "dedup_exact": dedup_exact_sql,
         "minhash_signatures": minhash_sql,
         "lsh_dedup_pairs": lsh_sql,
+        "ngram_jaccard_join": jaccard_join_sql,
         "neardup_groups": groups_sql,
         "simhash": simhash_sql,
         "simhash_near_dup": simhash_near_dup_sql,
@@ -1932,6 +2038,7 @@ FROM rc
         "ann_ivf_topk": ivf_sql,
         "ann_pq_topk": pq_sql,
         "embedding_near_dup": near_dup_sql,
+        "semdedup": semdedup_sql,
         "pipeline_e2e": pipeline_e2e_sql,
     }
 
@@ -1941,6 +2048,7 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_dedup_pairs": q_lsh_dedup_pairs,
+        "ngram_jaccard_join": q_ngram_jaccard_join,
         "neardup_groups": q_neardup_groups,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1969,5 +2077,6 @@ def queries():
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "semdedup": q_semdedup,
         "pipeline_e2e": q_pipeline_e2e,
     }

@@ -102,6 +102,136 @@ def test_minhash_lsh_recall_on_edited_pairs(spark):
     assert not missing, f"LSH missed {len(missing)} edited pairs: {sorted(missing)[:5]}"
 
 
+def test_jaccard_join_matches_bruteforce(spark):
+    """EXACT-join contract: jaccard_join must return precisely the pairs a
+    quadratic all-pairs scan finds — zero misses (the prefix filter is
+    provably complete) and zero extras — with bit-identical inter/union.
+    Corpus: 50 random docs over a 14-word vocabulary (heavy n-gram
+    collisions stress the candidate join) + edited copies of every fourth
+    doc (append 2 / drop 1 tokens) planting pairs on both sides of the
+    3/5 threshold."""
+    rng = np.random.default_rng(17)
+    vocab = [f"v{i}" for i in range(14)]
+    rows = []
+    for i in range(50):
+        toks = [vocab[j] for j in rng.integers(0, len(vocab), rng.integers(9, 26))]
+        rows.append((2 * i, " ".join(toks)))
+        if i % 4 == 0:
+            edited = toks[:-1] + ["zz", "qq"]
+            rows.append((2 * i + 1, " ".join(edited)))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["cid", "text"]))
+    n, t_num, t_den = 3, 3, 5
+    out = dedup.jaccard_join(
+        docs, id_col="cid", n=n, threshold_num=t_num, threshold_den=t_den
+    ).toPandas()
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.union_n) for r in out.itertuples(index=False)
+    }
+    # quadratic reference over Python n-gram sets
+    sets = {}
+    for cid, txt in rows:
+        toks = txt.split(" ")
+        sets[cid] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and t_den * inter >= t_num * union:
+                want[(a, b)] = (inter, union)
+    assert got == want, (
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
+    )
+    assert len(want) >= 13  # the planted copies actually exercise the join
+
+
+def test_semdedup_matches_reference(spark):
+    """Blocked applyInPandas SemDeDup vs an independent scalar reference:
+    same centroid argmax (first index wins), same left-to-right dot/norm
+    folds, greedy lower-id-shadows rule — n_earlier_dups / is_kept /
+    max_earlier_cos must match BIT-for-bit. Corpus: 90 random vectors +
+    exact 2x scalar copies of every third one (cosine ~1.0, same cluster),
+    block=4 so the blocked accumulation path (multiple partial blocks,
+    cross-block mask edges) is actually exercised."""
+    import math
+
+    rng = np.random.default_rng(23)
+    dim, k = 8, 4
+    cents = ann.ivf_centroids(dim, k, seed=7)
+    vecs = {}
+    for i in range(90):
+        vecs[i] = [float(np.float32(v)) for v in rng.standard_normal(dim)]
+        if i % 3 == 0:
+            vecs[i + 1000] = [float(np.float32(2.0) * np.float32(v)) for v in vecs[i]]
+    pdf = pd.DataFrame(
+        {"vec_id": list(vecs), "embedding": [vecs[i] for i in vecs]}
+    )
+    emb = spark.createDataFrame(pdf).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = ann.semdedup(emb, cents, threshold=0.95, block=4).toPandas()
+    got = {
+        int(r.vec_id): (int(r.cluster), int(r.n_earlier_dups),
+                        None if pd.isna(r.max_earlier_cos) else float(r.max_earlier_cos),
+                        bool(r.is_kept))
+        for r in out.itertuples(index=False)
+    }
+
+    def ltr_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    assign, norm = {}, {}
+    for i, v in vecs.items():
+        dots = [ltr_dot(v, c) for c in cents]
+        assign[i] = dots.index(max(dots))
+        norm[i] = math.sqrt(ltr_dot(v, v))
+    want = {}
+    for i in sorted(vecs):
+        earlier = [j for j in vecs if assign[j] == assign[i] and j < i]
+        cosines = [
+            ltr_dot(vecs[i], vecs[j]) / (norm[i] * norm[j]) for j in earlier
+        ]
+        n_dups = sum(1 for c in cosines if c >= 0.95)
+        want[i] = (
+            assign[i],
+            n_dups,
+            max(cosines) if cosines else None,
+            n_dups == 0,
+        )
+    assert got == want
+    # the planted copies actually exercised the drop path
+    dropped = [i for i in vecs if i >= 1000 and not got[i][3]]
+    assert len(dropped) >= 25
+
+
+def test_jaccard_join_threshold_boundary_exact(spark):
+    """A pair at EXACTLY Jaccard = 3/5 (inter 3, union 5 over unigram sets)
+    must be included — the rational integer compare cannot round it out —
+    and 1/3 must be excluded; single-token docs (no n-grams at n=2) never
+    pair."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cid": [1, 2, 3, 4, 5],
+                "text": ["a b c d", "a b c e", "a b x y", "q", "q"],
+            }
+        )
+    )
+    out = dedup.jaccard_join(docs, id_col="cid", n=1, threshold_num=3, threshold_den=5)
+    got = {(r.id_a, r.id_b): (r.inter, r.union_n) for r in out.collect()}
+    assert got == {(1, 2): (3, 5), (4, 5): (1, 1)}
+    # n=2: the bigram pair (inter 2, union 4 -> J = 0.5 < 3/5) falls below
+    # the threshold, and the one-token docs have no bigrams at all — empty
+    out2 = dedup.jaccard_join(docs, id_col="cid", n=2, threshold_num=3, threshold_den=5)
+    assert out2.count() == 0
+
+
 def test_connected_components_grouping(spark):
     """Chain 1-2-3 collapses to one group under min-label propagation
     (needs >1 round: 3 only reaches 1 through 2); 4-5 a pair; 6 a
