@@ -149,6 +149,7 @@ def main():
         ("dedup_exact", pq.q_dedup_exact),
         ("minhash_signatures", pq.q_minhash_signatures),
         ("lsh_dedup_pairs", pq.q_lsh_dedup_pairs),
+        ("ngram_jaccard_join", pq.q_ngram_jaccard_join),
         ("neardup_groups", pq.q_neardup_groups),
         ("simhash", pq.q_simhash),
         ("simhash_near_dup", pq.q_simhash_near_dup),
@@ -157,6 +158,7 @@ def main():
         ("ann_lsh_topk_multi", pq.q_ann_lsh_topk_multi),
         ("ann_pq_topk", pq.q_ann_pq_topk),
         ("embedding_near_dup", pq.q_embedding_near_dup),
+        ("semdedup", pq.q_semdedup),
         ("text_quality", pq.q_text_quality),
         ("text_stats", pq.q_text_stats),
         ("bpe_token_stats", pq.q_bpe_token_stats),
