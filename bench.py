@@ -216,6 +216,7 @@ def main():
         ).select("image_id", "frame_idx", "w", "h", "sum_r", "sum_g", "sum_b")),
         ("path_profile", _tq.q_path_profile),
         ("pipeline_e2e", pq.q_pipeline_e2e),
+        ("vision_pipeline_e2e", _dq.q_vision_pipeline_e2e),
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),
         ("image_quality", lambda s, d: multimodal.image_quality(imgs, edge_thresh=64)),
         ("image_resize", lambda s, d: multimodal.resize_images(imgs, 8, 8)),

@@ -1127,6 +1127,77 @@ JOIN clip c ON c.e = d.e
 JOIN rng r ON r.e = d.e
 LEFT JOIN foc f ON f.e = d.e
 """
+    # vision_pipeline_e2e: the WHOLE composed chain recomputed closed-form —
+    # quality gate (clip counts + gray dynamic range, the image_quality
+    # fragments), aHash over gate survivors (the frame_near_dup lattice
+    # machinery with the base-image pixel formula), exact-hash collapse to
+    # lexicographic-min canonicals with group sizes, then the chip rollup
+    # as sums over the crop-to-multiple-of-4 pixel region. All exact
+    # integers end to end.
+    vision_e2e_sql = f"""
+WITH dims AS (
+  SELECT event_id AS e, 4 + event_id % 13 AS w, 4 + event_id % 11 AS h FROM events
+),
+pxk AS (SELECT e, unnest(generate_series(0, w * h * 3 - 1)) AS k FROM dims),
+clip AS (
+  SELECT e,
+    sum(CASE WHEN (e * 31 + 7 * k) % 256 = 0 THEN 1 ELSE 0 END) AS lo,
+    sum(CASE WHEN (e * 31 + 7 * k) % 256 = 255 THEN 1 ELSE 0 END) AS hi
+  FROM pxk GROUP BY e
+),
+gp AS (SELECT e, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM dims),
+grayp AS (SELECT e, w, h, p, {_g("p")} AS gr FROM gp),
+rng AS (SELECT e, max(gr) - min(gr) AS dyn FROM grayp GROUP BY e),
+gate AS (
+  SELECT d.e, d.w, d.h FROM dims d
+  JOIN clip c ON c.e = d.e JOIN rng r ON r.e = d.e
+  WHERE r.dyn >= 200 AND c.lo + c.hi <= 2
+),
+cells AS (
+  SELECT v.e, gi.range AS i, gj.range AS j,
+    (((gi.range * v.h) // 8) * v.w + ((gj.range * v.w) // 8)) * 3 AS k0
+  FROM gate v, range(0, 8) gi, range(0, 8) gj
+),
+cg AS (
+  SELECT e, i * 8 + j AS idx,
+      (e * 31 + 7 * k0) % 256 + (e * 31 + 7 * (k0 + 1)) % 256
+    + (e * 31 + 7 * (k0 + 2)) % 256 AS gr
+  FROM cells
+),
+tot AS (SELECT e, sum(gr) AS total FROM cg GROUP BY e),
+hs AS (
+  SELECT cg.e, CAST(sum(CASE WHEN idx < 63 AND cg.gr * 64 >= t.total
+      THEN (1::BIGINT << CAST(idx AS INT)) ELSE 0::BIGINT END) AS BIGINT) AS ahash
+  FROM cg JOIN tot t USING (e) GROUP BY cg.e
+),
+reps AS (
+  SELECT e, 'img_' || CAST(e AS VARCHAR) AS image_id, ahash,
+    count(*) OVER (PARTITION BY ahash) AS grp_size,
+    min('img_' || CAST(e AS VARCHAR)) OVER (PARTITION BY ahash) AS canon
+  FROM hs QUALIFY image_id = canon
+),
+repd AS (
+  SELECT r.e, r.image_id, d.w, d.h
+  FROM reps r JOIN dims d ON d.e = r.e
+),
+cp AS (
+  SELECT e, image_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+  FROM repd
+),
+roll AS (
+  SELECT image_id,
+    CAST((w // 4) * (h // 4) AS BIGINT) AS n_chips,
+    CAST(sum((e * 31 + 7 * (3 * p)) % 256) AS BIGINT) AS tot_r,
+    CAST(sum((e * 31 + 7 * (3 * p + 1)) % 256) AS BIGINT) AS tot_g,
+    CAST(sum((e * 31 + 7 * (3 * p + 2)) % 256) AS BIGINT) AS tot_b
+  FROM cp
+  WHERE (p // w) < (h // 4) * 4 AND (p % w) < (w // 4) * 4
+  GROUP BY image_id, e, w, h
+)
+SELECT r.image_id, r.ahash, CAST(r.grp_size AS BIGINT) AS grp_size,
+  l.n_chips, l.tot_r, l.tot_g, l.tot_b
+FROM reps r JOIN roll l ON l.image_id = r.image_id
+"""
     # audio_features: every feature from the sample closed form
     # ((e*17 + 5k) % 65536) - 32768; integer except rms = sqrt(sum_sq / n)
     # in the kernel's documented op order
@@ -1339,6 +1410,7 @@ FROM r WHERE rank <= 3
         "images_elevation_join": images_elev,
         "image_chips": image_chips_sql,
         "image_quality": image_quality_sql,
+        "vision_pipeline_e2e": vision_e2e_sql,
         "image_augment": image_augment_sql,
         "audio_features": audio_features_sql,
         "video_frames": video_frames_sql,
@@ -1347,6 +1419,58 @@ FROM r WHERE rank <= 3
         "tile_inventory": inventory,
         "bbox_preload": bbox,
     }
+
+
+def q_vision_pipeline_e2e(spark, sf_dir):
+    """Composed vision curation pipeline over the input_hint image table —
+    the image-axis counterpart of pipeline_e2e, proving the multimodal
+    operators COMPOSE rather than pass in isolation:
+
+      decode -> exact-integer quality gate (dyn_range >= 200, total
+      clipped pixels <= 2) -> content aHash -> exact-hash dedup collapse
+      (lowest-id canonical per signature, group size carried) -> ViT chip
+      extraction rolled up per canonical survivor.
+
+    Plan sharing: the generated image table is lazily checkpointed ONCE and
+    feeds all three decode stages (quality, aHash, chips) from materialized
+    blocks — the generator never re-runs (no-cross-branch-reuse rule); the
+    gated survivor table is checkpointed for the same reason (aHash +
+    chips). Every stage's arithmetic is exact integers, so the oracle
+    recomputes the whole chain closed-form: at sf0.01 the gate keeps
+    6,884 of 10,000 images and the collapse leaves 4,544 canonicals.
+
+    Output: (image_id, ahash, grp_size, n_chips, tot_r, tot_g, tot_b)."""
+    from pyspark.sql.window import Window
+
+    from .operators import multimodal
+
+    imgs = derive_images_table(
+        _events(spark, sf_dir).select("event_id")
+    ).localCheckpoint(eager=False)
+    q = multimodal.image_quality(imgs, edge_thresh=64)
+    keep = q.where(
+        (F.col("dyn_range") >= 200)
+        & ((F.col("n_clip_lo") + F.col("n_clip_hi")) <= 2)
+    ).select("image_id")
+    kept = imgs.join(keep, "image_id").localCheckpoint(eager=False)
+    sigs = multimodal.image_ahash(kept)
+    w = Window.partitionBy("ahash")
+    reps = (
+        sigs.withColumn("grp_size", F.count(F.lit(1)).over(w))
+        .withColumn("_canon", F.min("image_id").over(w))
+        .where(F.col("image_id") == F.col("_canon"))
+        .select("image_id", "ahash", "grp_size")
+    )
+    chips = multimodal.chip_images(
+        kept.join(reps.select("image_id"), "image_id"), chip=4
+    )
+    roll = chips.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_chips"),
+        F.sum("sum_r").alias("tot_r"),
+        F.sum("sum_g").alias("tot_g"),
+        F.sum("sum_b").alias("tot_b"),
+    )
+    return reps.join(roll, "image_id")
 
 
 def queries():
@@ -1371,6 +1495,7 @@ def queries():
         "images_elevation_join": q_images_elevation_join,
         "image_chips": q_image_chips,
         "image_quality": q_image_quality,
+        "vision_pipeline_e2e": q_vision_pipeline_e2e,
         "image_augment": q_image_augment,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,

@@ -649,6 +649,93 @@ def main():
         )
         sys.exit(1)
 
+    jj = pq.q_ngram_jaccard_join(spark, sf_dir)
+    jj_plan = plan_of(jj)
+    sections.append(
+        (
+            "Exact n-gram Jaccard join (prefix filtering)",
+            "Expected: the distinct-shingle stream and the ranked prefix are "
+            "lazily checkpointed (Scan ExistingRDD), so the df table, the "
+            "window rank, both candidate-join sides, and the verify array "
+            "join all read materialized blocks — the corpus parquet never "
+            "re-scans into the final plan. Candidates come from a shingle "
+            "equi-join with the integer length filter inside the join "
+            "condition. HARD REQUIREMENT: no cartesian product, zero "
+            "parquet scans (checkpointed bases only).",
+            jj_plan,
+        )
+    )
+    if (
+        "CartesianProduct" in jj_plan
+        or "BroadcastNestedLoopJoin" in jj_plan
+        or len(_re.findall(r"\(\d+\) Scan parquet", jj_plan)) != 0
+        or "Scan ExistingRDD" not in jj_plan
+    ):
+        print(
+            "FATAL: jaccard-join plan re-scans parquet, lost its "
+            "checkpointed bases, or contains a cartesian product",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    sd = pq.q_semdedup(spark, sf_dir)
+    sd_plan = plan_of(sd)
+    sections.append(
+        (
+            "SemDeDup (cluster-then-prune)",
+            "Expected: embeddings scan (twice — base + scaled-copy union) -> "
+            "ArrowEvalPython (ivf_assign_udf centroid assignment) -> exactly "
+            "ONE hash Exchange on the cluster id -> FlatMapGroupsInPandas "
+            "emitting per-vector verdicts. Pairwise cosines never appear in "
+            "the plan — no pair join, no cartesian; the embedding column "
+            "crosses the single Exchange once.",
+            sd_plan,
+        )
+    )
+    n_sd_ex = len(_re.findall(r"\(\d+\) Exchange\b", sd_plan))
+    if (
+        n_sd_ex != 1
+        or "FlatMapGroupsInPandas" not in sd_plan
+        or "CartesianProduct" in sd_plan
+        or "SortMergeJoin" in sd_plan
+    ):
+        print(
+            f"FATAL: semdedup plan has {n_sd_ex} Exchanges (expected exactly "
+            "1 — the cluster hash shuffle) or lost its applyInPandas stage "
+            "or grew a pair join",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    from htg_spark import driver_queries as dq
+
+    ve = dq.q_vision_pipeline_e2e(spark, sf_dir)
+    ve_plan = plan_of(ve)
+    sections.append(
+        (
+            "Composed vision pipeline final plan (vision_pipeline_e2e)",
+            "Expected: the generated image table and the quality-gate "
+            "survivors are each lazily localCheckpoint'ed (Scan ExistingRDD) "
+            "so the three decode stages (quality, aHash, chips) read "
+            "materialized blocks — ZERO direct parquet scans survive into "
+            "the final plan and the synthetic generator never re-runs. "
+            "No cartesian products; joins are id-equi-joins.",
+            ve_plan,
+        )
+    )
+    if (
+        len(_re.findall(r"\(\d+\) Scan parquet", ve_plan)) != 0
+        or "Scan ExistingRDD" not in ve_plan
+        or "CartesianProduct" in ve_plan
+        or "BroadcastNestedLoopJoin" in ve_plan
+    ):
+        print(
+            "FATAL: vision_pipeline_e2e plan re-scans parquet, lost its "
+            "checkpointed bases, or contains a cartesian product",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — .explain('formatted') audit of the key plan shapes\n")
         for title, expect, plan in sections:
