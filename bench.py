@@ -219,6 +219,7 @@ def main():
         ("vision_pipeline_e2e", _dq.q_vision_pipeline_e2e),
         ("image_stats", lambda s, d: multimodal.image_stats(imgs)),
         ("image_quality", lambda s, d: multimodal.image_quality(imgs, edge_thresh=64)),
+        ("image_histogram", lambda s, d: multimodal.image_histogram(imgs, bins=8)),
         ("image_resize", lambda s, d: multimodal.resize_images(imgs, 8, 8)),
         ("image_embedding", lambda s, d: multimodal.image_embedding(imgs, dim=16)),
         ("image_augment", lambda s, d: multimodal.augment_images(

@@ -631,6 +631,19 @@ def q_image_quality(spark, sf_dir):
     return multimodal.image_quality(imgs, edge_thresh=64)
 
 
+def q_image_histogram(spark, sf_dir):
+    """Per-channel 8-bin color histograms over REAL decoded payloads
+    (multimodal.image_histogram), long form with empty bins materialized —
+    one row per (image, channel, bin). All-integer bin math
+    (bin = pixel >> 5), so the oracle recounts every bin from the pixel
+    closed form and left-joins a dense (image x channel x bin) grid to
+    pin the zero bins too."""
+    from .operators import multimodal
+
+    imgs = derive_images_table(_events(spark, sf_dir))
+    return multimodal.image_histogram(imgs, bins=8)
+
+
 def derive_audio_table(events: DataFrame) -> DataFrame:
     """Deterministic audio-clip table (the audio leg of the input_hint
     shape): every non-binary consequence is a closed form DuckDB can
@@ -1198,6 +1211,30 @@ SELECT r.image_id, r.ahash, CAST(r.grp_size AS BIGINT) AS grp_size,
   l.n_chips, l.tot_r, l.tot_g, l.tot_b
 FROM reps r JOIN roll l ON l.image_id = r.image_id
 """
+    # image_histogram: recount every (channel, bin) from the pixel closed
+    # form (channel = k % 3 since the last axis of the row-major (h, w, 3)
+    # block is the channel; bin = value // 32 for 8 bins), then left-join a
+    # dense image x channel x bin grid so empty bins pin as zero
+    image_histogram_sql = """
+WITH dims AS (
+  SELECT event_id AS e, 4 + event_id % 13 AS w, 4 + event_id % 11 AS h FROM events
+),
+pxk AS (SELECT e, unnest(generate_series(0, w * h * 3 - 1)) AS k FROM dims),
+cnts AS (
+  SELECT e, k % 3 AS channel, ((e * 31 + 7 * k) % 256) // 32 AS bin,
+    count(*) AS c
+  FROM pxk GROUP BY e, k % 3, ((e * 31 + 7 * k) % 256) // 32
+),
+grid AS (
+  SELECT e, ch.range AS channel, b.range AS bin
+  FROM dims, range(0, 3) ch, range(0, 8) b
+)
+SELECT 'img_' || CAST(g.e AS VARCHAR) AS image_id,
+  CAST(g.channel AS INT) AS channel, CAST(g.bin AS INT) AS bin,
+  CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
+FROM grid g
+LEFT JOIN cnts c ON c.e = g.e AND c.channel = g.channel AND c.bin = g.bin
+"""
     # audio_features: every feature from the sample closed form
     # ((e*17 + 5k) % 65536) - 32768; integer except rms = sqrt(sum_sq / n)
     # in the kernel's documented op order
@@ -1410,6 +1447,7 @@ FROM r WHERE rank <= 3
         "images_elevation_join": images_elev,
         "image_chips": image_chips_sql,
         "image_quality": image_quality_sql,
+        "image_histogram": image_histogram_sql,
         "vision_pipeline_e2e": vision_e2e_sql,
         "image_augment": image_augment_sql,
         "audio_features": audio_features_sql,
@@ -1495,6 +1533,7 @@ def queries():
         "images_elevation_join": q_images_elevation_join,
         "image_chips": q_image_chips,
         "image_quality": q_image_quality,
+        "image_histogram": q_image_histogram,
         "vision_pipeline_e2e": q_vision_pipeline_e2e,
         "image_augment": q_image_augment,
         "audio_features": q_audio_features,

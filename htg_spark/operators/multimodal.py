@@ -193,6 +193,54 @@ def image_quality(images: DataFrame, edge_thresh: int = 64) -> DataFrame:
     )
 
 
+def image_histogram(images: DataFrame, bins: int = 8) -> DataFrame:
+    """Per-channel color histogram in long form — one row per
+    (image_id, channel, bin) INCLUDING empty bins, so downstream
+    histogram-distance joins see aligned vectors without a fill step:
+    (image_id, channel 0..2, bin 0..bins-1, cnt).
+
+    All-integer (bin = pixel >> log2(256/bins)), so the DuckDB oracle
+    recomputes every count exactly. The decode stack reduces with ONE
+    np.bincount per uniform-shape subgroup (row/channel/bin composed into
+    a single index) — no per-image loop; the 3*bins-per-image fan-out is
+    map-only, the shape that survives 100 TB (histograms are then tiny
+    relative to payloads). bins must be a power of two <= 256."""
+    if bins < 2 or bins > 256 or (bins & (bins - 1)) != 0:
+        raise ValueError(f"bins must be a power of two in [2, 256], got {bins}")
+    shift = 8 - (bins.bit_length() - 1)
+    per_img = 3 * bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            counts = np.zeros((n, 3, bins), dtype=np.int64)
+            for pos, stack in _decode_stacks(pdf):
+                m = len(pos)
+                # compose (subgroup row, channel, bin) into one flat index:
+                # row*3*bins + channel*bins + bin — one bincount per stack
+                idx = (
+                    np.arange(m, dtype=np.int64)[:, None, None, None] * per_img
+                    + np.arange(3, dtype=np.int64)[None, None, None, :] * bins
+                    + (stack >> shift).astype(np.int64)
+                )
+                counts[pos] = np.bincount(
+                    idx.ravel(), minlength=m * per_img
+                ).reshape(m, 3, bins)
+            ids = pdf["image_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "image_id": np.repeat(ids, per_img),
+                    "channel": np.tile(np.repeat(np.arange(3, dtype=np.int32), bins), n),
+                    "bin": np.tile(np.arange(bins, dtype=np.int32), 3 * n),
+                    "cnt": counts.ravel(),
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, schema="image_id string, channel int, bin int, cnt long"
+    )
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize to (out_w, out_h); output re-encoded 'raw'.
     (image_id, bytes, w, h, fmt) with the same schema as the input table.

@@ -30,6 +30,40 @@ def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     work.write.mode(mode).partitionBy("p_cell").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + per-file-sorted table write: pays the shuffle ONCE at
+    write time so every later equi-join or aggregation on `key` between
+    tables bucketed with the SAME (key, n_buckets) is co-located —
+    Catalyst elides the Exchange on BOTH sides (asserted by
+    `test_points_store.test_bucketed_join_elides_exchange`). This is the
+    100-TB pattern for dimension/fact tables joined repeatedly on one key:
+    at 1000 executors the per-query shuffle of the large side disappears
+    entirely. The Iceberg analogue is a `bucket(N, key)` partition
+    transform; with no Iceberg jar in the sandbox this uses the Spark
+    datasource bucketing that ships with parquet tables.
+
+    `path` makes the table external (explicit location) so tests never
+    write into the default warehouse under the repo root."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, key).sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back through the session catalog (the bucket
+    spec lives in the catalog — a plain spark.read.parquet over the same
+    files would NOT carry it and joins would re-shuffle)."""
+    return spark.table(table)
+
+
 def read_points(
     spark: SparkSession,
     path: str,

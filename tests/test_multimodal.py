@@ -421,3 +421,25 @@ def test_image_quality_matches_numpy(spark, images):
     assert got.loc["tiny"].tolist() == [0, 0, 0, 0, 0]
     # spike gray=765 at center: single interior Laplacian = 4*765 = 3060
     assert got.loc["spike"].tolist() == [3060 * 3060, 1, 24, 3, 765]
+
+
+def test_image_histogram_matches_numpy(spark, images):
+    """Every (channel, bin) count vs a direct per-image np.histogram over
+    the full 48-image all-codec fixture; empty bins must be present as
+    zeros (downstream histogram-distance joins rely on aligned vectors);
+    non-power-of-two bins rejected."""
+    import pytest
+
+    out = multimodal.image_histogram(images, bins=8).toPandas()
+    src = fixtures.make_images_pdf(48)
+    assert len(out) == 48 * 3 * 8
+    piv = out.set_index(["image_id", "channel", "bin"])["cnt"]
+    for _, r in src.iterrows():
+        px = fixtures.decode_image(bytes(r["bytes"]), int(r["w"]), int(r["h"]), r["fmt"])
+        for ch in range(3):
+            ref = np.bincount(px[:, :, ch].ravel() >> 5, minlength=8)
+            got = [piv[(r["image_id"], ch, b)] for b in range(8)]
+            assert got == ref.tolist()
+            assert sum(got) == int(r["w"]) * int(r["h"])
+    with pytest.raises(ValueError, match="power of two"):
+        multimodal.image_histogram(images, bins=5)

@@ -53,3 +53,72 @@ def test_write_from_phash(spark, tmp_path):
     back = read_points(spark, path)
     assert back.count() == 200
     assert "p_cell" in back.columns and "lat" in back.columns
+
+
+def _plan_of(df):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_elides_exchange(spark, tmp_path):
+    """The write-once-shuffle pattern: two tables bucketed+sorted on the
+    same (key, n_buckets) join and aggregate with ZERO Exchange in the
+    plan — at 1000 executors the per-query shuffle of a repeatedly-joined
+    fact table disappears entirely. Result must equal the plain
+    (shuffling) join bit-for-bit."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from htg_spark.points_store import read_bucketed, write_bucketed
+
+    n = 5000
+    fact = pd.DataFrame(
+        {"k": [i % 97 for i in range(n)], "v": [i * 7 % 1013 for i in range(n)]}
+    )
+    dim = pd.DataFrame({"k": list(range(97)), "w": [k * k % 31 for k in range(97)]})
+    fact_df = spark.createDataFrame(fact)
+    dim_df = spark.createDataFrame(dim)
+    write_bucketed(fact_df, "t_fact_b", "k", 8, path=str(tmp_path / "fact"))
+    write_bucketed(dim_df, "t_dim_b", "k", 8, path=str(tmp_path / "dim"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: a broadcast would hide the elision
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lb = read_bucketed(spark, "t_fact_b")
+        rb = read_bucketed(spark, "t_dim_b")
+        joined = lb.join(rb, "k").select("k", "v", "w")
+        plan = _plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # the co-located result must equal the plain shuffling join
+        plain = (
+            fact_df.join(dim_df, "k")
+            .select("k", "v", "w")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.pmod(F.xxhash64("k", "v", "w"), F.lit(1_000_000_007))).alias("chk"),
+            )
+            .collect()[0]
+        )
+        got = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("k", "v", "w"), F.lit(1_000_000_007))).alias("chk"),
+        ).collect()[0]
+        assert (got["n"], got["chk"]) == (plain["n"], plain["chk"])
+        # aggregation on the bucket key rides the same metadata: no Exchange
+        agg_plan = _plan_of(lb.groupBy("k").agg(F.sum("v").alias("s")))
+        assert "Exchange" not in agg_plan, agg_plan
+        # a catalog-blind read of the SAME files loses the bucket spec and
+        # must re-shuffle — the read path through the catalog is load-bearing
+        blind = spark.read.parquet(str(tmp_path / "fact")).join(rb, "k")
+        assert "Exchange" in _plan_of(blind)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_fact_b")
+        spark.sql("DROP TABLE IF EXISTS t_dim_b")
