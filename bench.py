@@ -150,6 +150,7 @@ def main():
         ("minhash_signatures", pq.q_minhash_signatures),
         ("lsh_dedup_pairs", pq.q_lsh_dedup_pairs),
         ("ngram_jaccard_join", pq.q_ngram_jaccard_join),
+        ("incremental_dedup", pq.q_incremental_dedup),
         ("neardup_groups", pq.q_neardup_groups),
         ("simhash", pq.q_simhash),
         ("simhash_near_dup", pq.q_simhash_near_dup),

@@ -167,3 +167,87 @@ def bbox_overlaps_tile(
         & (F.lit(min_lon) < (t_lon + 1).cast("double"))
         & (F.lit(max_lon) > t_lon.cast("double"))
     )
+
+
+# --- Web-mercator slippy tiles (z/x/y + Bing quadkey) ---------------------
+#
+# The interoperable raster-serving grid (OSM/Bing/MapLibre): zoom z splits
+# the mercator square into 2^z x 2^z tiles. Every per-point op is a pure
+# projection (zero shuffle); the only transcendentals are sin + ln, whose
+# <=1-ulp cross-engine differences can flip the floor() only when the
+# mercator image of a latitude lands within ~2^-52 (relative) of a tile
+# boundary — vanishingly unlikely for any finite fixture and EXPOSED, not
+# hidden, by the full-value oracle. All exported columns are integers or
+# strings built from them; no raw double ever reaches an output.
+
+WEB_MERCATOR_MAX_LAT = 85.05112878  # atan(sinh(pi)) in degrees — the square cut
+_PI = 3.141592653589793  # double nearest pi; inlined VERBATIM in SQL mirrors
+_4PI = 12.566370614359172  # double(4*pi) precomputed so both engines share it
+
+
+def mercator_tile_x(lon: Column, zoom: int) -> Column:
+    """Slippy x: floor((lon+180)/360 * 2^z), clamped so lon=180 stays in the
+    last column. Same shape as geohash_lon_idx at 2^zoom cells."""
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << zoom)))
+    return F.greatest(F.least(raw.cast("long"), F.lit((1 << zoom) - 1)), F.lit(0))
+
+
+def mercator_tile_y(lat: Column, zoom: int) -> Column:
+    """Slippy y via the Gudermannian inverse written with sin + ln only:
+    merc = 0.5 - ln((1+s)/(1-s)) / (4*pi),  s = sin(lat_c * pi / 180)
+    with lat clamped to +/-85.05112878 first (the mercator square cut).
+    The op order here is mirrored TOKEN-FOR-TOKEN by the SQL oracle."""
+    lat_c = F.greatest(
+        F.least(lat, F.lit(WEB_MERCATOR_MAX_LAT)), F.lit(-WEB_MERCATOR_MAX_LAT)
+    )
+    s = F.sin(lat_c * F.lit(_PI) / F.lit(180.0))
+    merc = F.lit(0.5) - F.log((F.lit(1.0) + s) / (F.lit(1.0) - s)) / F.lit(_4PI)
+    raw = F.floor(merc * F.lit(float(1 << zoom)))
+    return F.greatest(F.least(raw.cast("long"), F.lit((1 << zoom) - 1)), F.lit(0))
+
+
+def mercator_sql_idx(zoom: int, lon_col: str = "lon", lat_col: str = "lat") -> tuple[str, str]:
+    """DuckDB mirror of (mercator_tile_x, mercator_tile_y) — generated from
+    the same constants so the two renderings cannot drift."""
+    n = float(1 << zoom)
+    hi = (1 << zoom) - 1
+    x = (
+        f"greatest(least(CAST(floor(({lon_col} + 180.0) / 360.0 * {n!r}) AS BIGINT), "
+        f"{hi}), 0)"
+    )
+    lat_c = f"greatest(least({lat_col}, {WEB_MERCATOR_MAX_LAT!r}), {-WEB_MERCATOR_MAX_LAT!r})"
+    s = f"sin({lat_c} * {_PI!r} / 180.0)"
+    merc = f"(0.5 - ln((1.0 + {s}) / (1.0 - {s})) / {_4PI!r})"
+    y = f"greatest(least(CAST(floor({merc} * {n!r}) AS BIGINT), {hi}), 0)"
+    return x, y
+
+
+def quadkey(x_idx: Column, y_idx: Column, zoom: int) -> Column:
+    """Bing quadkey: base-4 digit per level, MSB-first —
+    digit_i = bit_i(x) + 2*bit_i(y), i = zoom-1 .. 0. Quadkeys NEST: the
+    parent tile's quadkey is the length-(z-1) prefix, which is what makes
+    the string a multi-resolution partition / range-pruning key at scale.
+    Pass MATERIALIZED idx columns (a prior select), not inline expressions."""
+    digits = F.array(*[F.lit(c) for c in "0123"])
+    parts = [
+        F.element_at(
+            digits,
+            (
+                F.shiftright(x_idx, i).bitwiseAND(F.lit(1))
+                + F.shiftright(y_idx, i).bitwiseAND(F.lit(1)) * F.lit(2)
+                + F.lit(1)
+            ).cast("int"),
+        )
+        for i in range(zoom - 1, -1, -1)
+    ]
+    return F.concat(*parts)
+
+
+def quadkey_sql(zoom: int, x_col: str = "zx", y_col: str = "zy") -> str:
+    """DuckDB mirror of quadkey() — same loop, second rendering target."""
+    parts = [
+        f"substr('0123', CAST((({x_col} >> {i}) & 1) + (({y_col} >> {i}) & 1) * 2 "
+        f"+ 1 AS INT), 1)"
+        for i in range(zoom - 1, -1, -1)
+    ]
+    return " || ".join(parts)

@@ -131,6 +131,51 @@ sigs AS (
 _SQL_SIGS = _sigs_sql()
 
 
+def _shingle_sig_block(src: str, su: str) -> str:
+    """Renamed instance of _SQL_SHINGLES + _SQL_SIGS over the CTE `src`
+    (name suffix `su`) so the corpus and batch sides of the incremental-
+    dedup oracle share one rendering of the shingle/minhash machinery."""
+    digit = (
+        "CAST(strpos('0123456789abcdef', substr(md5(shingle), {p}, 1)) - 1 AS BIGINT)"
+    )
+    x = "(" + " + ".join(
+        digit.format(p=p) + f" * {16 ** (8 - p)}" for p in range(1, 9)
+    ) + f") % {dedup.MINHASH_PRIME}"
+    mins = ",\n    ".join(
+        f"min(({a} * x + {b}) % {dedup.MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(dedup.minhash_coeffs(4))
+    )
+    return f"""
+tk{su} AS (SELECT cid, string_split(text, ' ') AS toks FROM {src}),
+sh{su} AS (
+  SELECT DISTINCT cid, shingle FROM (
+    SELECT cid,
+      unnest(list_transform(generate_series(1, array_length(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS shingle
+    FROM tk{su}
+  )
+),
+shx{su} AS (SELECT cid, {x} AS x FROM sh{su}),
+sigs{su} AS (
+  SELECT cid,
+    {mins}
+  FROM shx{su} GROUP BY cid
+)
+"""
+
+
+_SQL_INCDEDUP_TABLES = """
+corpus_c AS (SELECT doc_id AS cid, text FROM documents WHERE doc_id % 4 <> 1),
+corpus_b AS (
+  SELECT doc_id + 1000000 AS cid, text FROM documents WHERE doc_id % 8 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS cid, text || ' zz qq' AS text FROM documents WHERE doc_id % 8 = 4
+  UNION ALL
+  SELECT doc_id + 1000000 AS cid, text FROM documents WHERE doc_id % 4 = 1
+)
+"""
+
+
 # --- dedup queries ---------------------------------------------------------------
 
 
@@ -178,6 +223,36 @@ def q_ngram_jaccard_join(spark, sf_dir):
     corpus = neardup_corpus(_docs(spark, sf_dir))
     return dedup.jaccard_join(
         corpus, id_col="cid", n=4, threshold_num=3, threshold_den=5
+    )
+
+
+def incdedup_corpus(docs: DataFrame) -> DataFrame:
+    """The EXISTING (already-admitted) corpus: 3/4 of documents."""
+    return docs.where(F.col("doc_id") % 4 != 1).select(
+        F.col("doc_id").alias("cid"), "text"
+    )
+
+
+def incdedup_batch(docs: DataFrame) -> DataFrame:
+    """The incoming batch: exact copies of corpus docs (doc_id % 8 = 0),
+    lightly-edited near-copies (% 8 = 4, 2 appended tokens), and docs the
+    corpus has never seen (% 4 = 1) — all three verdict classes present."""
+    d = F.col("doc_id")
+    ex = docs.where(d % 8 == 0).select((d + 1000000).alias("cid"), "text")
+    nr = docs.where(d % 8 == 4).select(
+        (d + 1000000).alias("cid"), F.concat(F.col("text"), F.lit(" zz qq")).alias("text")
+    )
+    nv = docs.where(d % 4 == 1).select((d + 1000000).alias("cid"), "text")
+    return ex.unionByName(nr).unionByName(nv)
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingestion dedup (dedup.incremental_dedup): verdict each
+    new-batch doc against the existing corpus — exact md5 hit, LSH-candidate
+    + exact-Jaccard near hit, or novel — without any corpus x corpus stage."""
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_dedup(
+        incdedup_corpus(docs), incdedup_batch(docs), id_col="cid", threshold=0.5
     )
 
 
@@ -1058,6 +1133,62 @@ FROM pairs p
 LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
 JOIN sizes za ON za.cid = p.id_a
 JOIN sizes zb ON zb.cid = p.id_b
+"""
+    )
+    inc_sql = (
+        "WITH "
+        + _SQL_INCDEDUP_TABLES.strip()
+        + ", "
+        + _shingle_sig_block("corpus_c", "_c").strip()
+        + ", "
+        + _shingle_sig_block("corpus_b", "_b").strip()
+        + """,
+bands_c AS (
+  SELECT cid, 0 AS band_id, CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR) AS band_key FROM sigs_c
+  UNION ALL
+  SELECT cid, 1 AS band_id, CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR) AS band_key FROM sigs_c
+),
+bands_b AS (
+  SELECT cid, 0 AS band_id, CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR) AS band_key FROM sigs_b
+  UNION ALL
+  SELECT cid, 1 AS band_id, CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR) AS band_key FROM sigs_b
+),
+cand AS (
+  SELECT DISTINCT b.cid AS bid, c.cid AS ccid
+  FROM bands_b b JOIN bands_c c ON b.band_id = c.band_id AND b.band_key = c.band_key
+),
+sz_c AS (SELECT cid, count(*) AS n FROM sh_c GROUP BY cid),
+sz_b AS (SELECT cid, count(*) AS n FROM sh_b GROUP BY cid),
+icnt AS (
+  SELECT p.bid, p.ccid, count(*) AS i
+  FROM cand p
+  JOIN sh_b sb ON sb.cid = p.bid
+  JOIN sh_c sc ON sc.cid = p.ccid AND sc.shingle = sb.shingle
+  GROUP BY p.bid, p.ccid
+),
+ver AS (
+  SELECT p.bid, p.ccid,
+    CAST(COALESCE(i.i, 0) AS DOUBLE)
+      / CAST(zb.n + zc.n - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+  FROM cand p
+  LEFT JOIN icnt i ON i.bid = p.bid AND i.ccid = p.ccid
+  JOIN sz_b zb ON zb.cid = p.bid
+  JOIN sz_c zc ON zc.cid = p.ccid
+),
+qual AS (SELECT * FROM ver WHERE jaccard >= 0.5),
+pick AS (SELECT bid, min(ccid) AS near_dup_of FROM qual GROUP BY bid),
+near AS (
+  SELECT p.bid, p.near_dup_of, q.jaccard AS near_jaccard
+  FROM pick p JOIN qual q ON q.bid = p.bid AND q.ccid = p.near_dup_of
+),
+exi AS (SELECT md5(text) AS h, min(cid) AS exact_dup_of FROM corpus_c GROUP BY md5(text)),
+bex AS (
+  SELECT b.cid AS bid, e.exact_dup_of
+  FROM corpus_b b LEFT JOIN exi e ON md5(b.text) = e.h
+)
+SELECT x.bid AS cid, x.exact_dup_of, n.near_dup_of, n.near_jaccard,
+  (x.exact_dup_of IS NULL AND n.near_dup_of IS NULL) AS is_novel
+FROM bex x LEFT JOIN near n ON n.bid = x.bid
 """
     )
     # INDEPENDENT of the Spark plan's prefix filtering: a direct
@@ -2009,6 +2140,7 @@ FROM rc
         "dedup_exact": dedup_exact_sql,
         "minhash_signatures": minhash_sql,
         "lsh_dedup_pairs": lsh_sql,
+        "incremental_dedup": inc_sql,
         "ngram_jaccard_join": jaccard_join_sql,
         "neardup_groups": groups_sql,
         "simhash": simhash_sql,
@@ -2048,6 +2180,7 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_dedup_pairs": q_lsh_dedup_pairs,
+        "incremental_dedup": q_incremental_dedup,
         "ngram_jaccard_join": q_ngram_jaccard_join,
         "neardup_groups": q_neardup_groups,
         "simhash": q_simhash,

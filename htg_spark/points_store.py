@@ -88,3 +88,87 @@ def read_points(
         ]
         df = df.where(F.col("p_cell").isin(cells_in))
     return df
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    n_files: int = 32,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    precision: int = 6,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered layout: sort the table by the
+    interleaved-bit spatial key before writing, so each output file covers
+    a spatially COMPACT region and its parquet footer min/max statistics
+    on BOTH lat and lon are tight. Any later bbox scan then skips most
+    files/row-groups from the footers alone — the Iceberg/Delta
+    `zorder by (lat, lon)` data-layout pattern, which at 100 TB is the
+    difference between reading the whole table and reading the few
+    gigabytes under the query box. (A single-column sort would make only
+    THAT column's stats tight; interleaving makes both axes tight at once.)
+
+    Plan: ONE range shuffle (repartitionByRange on the z-key — sampled
+    range bounds give evenly-sized files regardless of spatial skew) +
+    in-partition sort, both paid once at write time. The z-key is the
+    geohash bit-interleave (cells.geohash_*) and is DROPPED from the
+    stored schema — it is derivable, and layout metadata does not belong
+    in the logical table."""
+    zkey = cells.geohash_interleave(
+        cells.geohash_lon_idx(F.col(lon_col), precision),
+        cells.geohash_lat_idx(F.col(lat_col), precision),
+        precision,
+    )
+    work = df.withColumn("_zkey", zkey)
+    (
+        work.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def bbox_file_audit(
+    path: str,
+    min_lat: float,
+    min_lon: float,
+    max_lat: float,
+    max_lon: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> tuple[int, int]:
+    """Footer-only pruning audit: (total_files, files_whose_stats_overlap).
+    Reads ONLY parquet footers (no data pages) and applies the same
+    min/max-vs-bbox overlap test a stats-pruning reader (Spark parquet
+    filter pushdown, Iceberg manifest pruning) applies — the measurable
+    proof that a layout actually localizes a spatial predicate."""
+    import glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(_os.path.join(path, "*.parquet")))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo_la = lo_lo = float("inf")
+        hi_la = hi_lo = float("-inf")
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if name == lat_col:
+                    lo_la = min(lo_la, st.min)
+                    hi_la = max(hi_la, st.max)
+                elif name == lon_col:
+                    lo_lo = min(lo_lo, st.min)
+                    hi_lo = max(hi_lo, st.max)
+        if lo_la <= max_lat and hi_la >= min_lat and lo_lo <= max_lon and hi_lo >= min_lon:
+            hit += 1
+    return len(files), hit

@@ -32,6 +32,8 @@ TRAJ_CUT_D2 = 0.0625  # 2^-4 — quarter-degree segment cut
 SMOOTH_LEVEL = 4
 DBSCAN_SCALE = 8192  # eps = 2^-13 — 4-connects the 1e-4 fixture lattice
 DBSCAN_MIN_PTS = 2  # core iff >= 2 in-range neighbors (excluding self)
+MERCATOR_ZOOM = 12  # 4096x4096 slippy grid — ~0.088 deg/tile
+MERCATOR_PARENT = 9  # rollup level: quadkey prefix length of the parent key
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,6 +61,39 @@ def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gh.select(
         "event_id", "gh_code", "gh6", F.substring("gh6", 1, 4).alias("gh4")
+    )
+
+
+def q_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-mercator z/x/y tile rollup at zoom 12 plus the Bing quadkey and
+    its level-9 parent prefix — the interoperable raster-serving grid the
+    Terrain-RGB / pyramid products (L32) would be published on. Per-point
+    tile assignment is a zero-shuffle projection (sin+ln+floor, then pure
+    integer bit interleave for the quadkey); the rollup is ONE hash
+    aggregation on the tile key. Quadkeys nest (parent = length-(z-1)
+    prefix), which is what makes the string a multi-resolution partition /
+    range-pruning key for a 100-TB tile store."""
+    z = MERCATOR_ZOOM
+    pts = derive_points(_events(spark, sf_dir))
+    idx = pts.select(
+        "event_id",
+        cells.mercator_tile_x(F.col("lon"), z).alias("zx"),
+        cells.mercator_tile_y(F.col("lat"), z).alias("zy"),
+    )
+    qk = idx.select(
+        "event_id",
+        "zx",
+        "zy",
+        cells.quadkey(F.col("zx"), F.col("zy"), z).alias("quadkey"),
+    )
+    return (
+        qk.groupBy("zx", "zy", "quadkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+        .withColumn("qk_parent", F.substring("quadkey", 1, MERCATOR_PARENT))
     )
 
 
@@ -139,6 +174,23 @@ idx AS (SELECT event_id, {lon_idx} AS lon_idx, {lat_idx} AS lat_idx FROM pts),
 code AS (SELECT event_id, {code} AS gh_code FROM idx),
 gh AS (SELECT event_id, gh_code, {chars} AS gh6 FROM code)
 SELECT event_id, gh_code, gh6, substr(gh6, 1, 4) AS gh4 FROM gh
+"""
+
+
+def _mercator_oracle_sql(zoom: int = MERCATOR_ZOOM, parent: int = MERCATOR_PARENT) -> str:
+    """Mirror generated from the SAME constants/loops as
+    cells.mercator_tile_x/y and cells.quadkey — one projection, two
+    rendering targets (the geohash-oracle pattern)."""
+    x_sql, y_sql = cells.mercator_sql_idx(zoom)
+    qk_sql = cells.quadkey_sql(zoom)
+    return f"""
+{_SQL_PTS.strip()},
+idx AS (SELECT event_id, {x_sql} AS zx, {y_sql} AS zy FROM pts),
+qk AS (SELECT event_id, zx, zy, {qk_sql} AS quadkey FROM idx)
+SELECT zx, zy, quadkey, count(*) AS n_pts,
+  min(event_id) AS min_event, max(event_id) AS max_event,
+  substr(quadkey, 1, {parent}) AS qk_parent
+FROM qk GROUP BY zx, zy, quadkey
 """
 
 
@@ -344,6 +396,7 @@ LEFT JOIN bord b ON b.id = f.event_id
 def queries():
     return {
         "geohash_cells": q_geohash_cells,
+        "mercator_tiles": q_mercator_tiles,
         "radius_neighbors": q_radius_neighbors,
         "idw_grid": q_idw_grid,
         "trajectory_segments": q_trajectory_segments,
@@ -355,6 +408,7 @@ def queries():
 def oracle_sql() -> dict[str, str]:
     return {
         "geohash_cells": _geohash_oracle_sql(),
+        "mercator_tiles": _mercator_oracle_sql(),
         "radius_neighbors": _radius_oracle_sql(),
         "idw_grid": _idw_oracle_sql(),
         "trajectory_segments": _trajectory_oracle_sql(),

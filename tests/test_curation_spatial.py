@@ -511,3 +511,100 @@ def test_cell_smooth_hand_case(spark):
     assert (gy0, gx0) == (0, 0)
     assert got[cell_of(0, 0)] == (1, 4)
     assert got[cell_of(1, 1)] == (0, 1)
+
+
+# --- web-mercator slippy tiles + quadkey -------------------------------------
+
+
+def mercator_reference(lat: float, lon: float, zoom: int) -> tuple[int, int]:
+    """Pure-Python mirror of cells.mercator_tile_x/y (same op order)."""
+    n = 1 << zoom
+    x = min(max(int(math.floor((lon + 180.0) / 360.0 * float(n))), 0), n - 1)
+    lat_c = max(min(lat, cells.WEB_MERCATOR_MAX_LAT), -cells.WEB_MERCATOR_MAX_LAT)
+    s = math.sin(lat_c * math.pi / 180.0)
+    merc = 0.5 - math.log((1.0 + s) / (1.0 - s)) / (4.0 * math.pi)
+    y = min(max(int(math.floor(merc * float(n))), 0), n - 1)
+    return x, y
+
+
+def spark_mercator(spark, coords, zoom):
+    df = spark.createDataFrame(coords, "lat double, lon double")
+    rows = df.select(
+        "lat",
+        "lon",
+        cells.mercator_tile_x(F.col("lon"), zoom).alias("zx"),
+        cells.mercator_tile_y(F.col("lat"), zoom).alias("zy"),
+    ).collect()
+    return {(r["lat"], r["lon"]): (r["zx"], r["zy"]) for r in rows}
+
+
+@pytest.mark.parametrize("zoom", [1, 7, 12])
+def test_mercator_matches_reference(spark, zoom):
+    rng = np.random.default_rng(11)
+    coords = [
+        (float(lat), float(lon))
+        for lat, lon in zip(rng.uniform(-84, 84, 50), rng.uniform(-180, 180, 50))
+    ]
+    # edges: equator/prime meridian, clamp band, antimeridian, poles
+    coords += [
+        (0.0, 0.0),
+        (85.05112878, 179.9999),
+        (-85.05112878, -180.0),
+        (89.0, 180.0),  # past the clamp -> y pinned to row 0, x to last col
+        (-89.0, 42.5),
+        (41.85, -87.65),
+    ]
+    got = spark_mercator(spark, coords, zoom)
+    for lat, lon in coords:
+        assert got[(lat, lon)] == mercator_reference(lat, lon, zoom), (lat, lon)
+
+
+def test_mercator_fixed_points(spark):
+    # structural anchors that do not depend on libm at all
+    got = spark_mercator(spark, [(0.0, 0.0), (89.9, 179.99), (-89.9, -179.99)], 12)
+    assert got[(0.0, 0.0)] == (2048, 2048)  # origin -> exact center tile
+    assert got[(89.9, 179.99)] == (4095, 0)  # clamped top-right
+    assert got[(-89.9, -179.99)] == (0, 4095)  # clamped bottom-left
+
+
+def test_quadkey_bing_documented_example(spark):
+    # tile (x=3, y=5) at level 3 is quadkey "213" (Bing tile-system docs)
+    df = spark.createDataFrame([(3, 5)], "zx long, zy long")
+    got = df.select(cells.quadkey(F.col("zx"), F.col("zy"), 3).alias("qk")).collect()
+    assert got[0]["qk"] == "213"
+
+
+def test_quadkey_nesting_and_sql_mirror(spark):
+    """Parent tile (x>>1, y>>1, z-1) quadkey == child's length-(z-1) prefix,
+    and the generated DuckDB SQL agrees with the Spark expression on the
+    same integer inputs (rendered through Spark's SQL parser)."""
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    z = 9
+    xs = rng.integers(0, 1 << z, 40)
+    ys = rng.integers(0, 1 << z, 40)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(xs, ys)], "zx long, zy long"
+    )
+    child = df.select(
+        "zx", "zy", cells.quadkey(F.col("zx"), F.col("zy"), z).alias("qk")
+    )
+    parent = child.select(
+        "qk",
+        cells.quadkey(
+            F.shiftright(F.col("zx"), 1), F.shiftright(F.col("zy"), 1), z - 1
+        ).alias("qk_parent"),
+    ).collect()
+    for r in parent:
+        assert r["qk"][: z - 1] == r["qk_parent"]
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            f"SELECT zx * 10000 + zy, {cells.quadkey_sql(z)} FROM "
+            f"(SELECT unnest({[int(v) for v in xs]}) AS zx, "
+            f"unnest({[int(v) for v in ys]}) AS zy)"
+        ).fetchall()
+    )
+    for r in child.collect():
+        assert duck[r["zx"] * 10000 + r["zy"]] == r["qk"]

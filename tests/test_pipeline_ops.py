@@ -1209,3 +1209,161 @@ def test_funnel_stages_semantics(spark, tmp_path):
     plan = buf.getvalue()
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1
+
+
+# --- incremental corpus dedup -------------------------------------------------
+
+
+def test_incremental_dedup_verdicts(spark):
+    corpus_rows = [
+        (10, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+        (11, "juliet kilo lima mike november oscar papa quebec romeo"),
+        (12, "one two three four five six seven eight nine ten eleven"),
+        (13, "alpha bravo charlie delta echo foxtrot golf hotel india"),  # dup of 10
+    ]
+    batch_rows = [
+        (100, "alpha bravo charlie delta echo foxtrot golf hotel india"),  # exact
+        (101, "juliet kilo lima mike november oscar papa quebec romeo zz"),  # near
+        (102, "totally unseen sentence with its own fresh vocabulary set"),  # novel
+        (103, "one two three four five six seven eight nine ten eleven"),  # exact
+    ]
+    corpus = spark.createDataFrame(pd.DataFrame(corpus_rows, columns=["doc_id", "text"]))
+    batch = spark.createDataFrame(pd.DataFrame(batch_rows, columns=["doc_id", "text"]))
+    out = (
+        dedup.incremental_dedup(corpus, batch, threshold=0.5)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == len(batch_rows)  # one verdict row per batch doc
+    # exact dup resolves to the LOWEST corpus id of the duplicate group
+    assert out.loc[100, "exact_dup_of"] == 10 and not out.loc[100, "is_novel"]
+    assert out.loc[103, "exact_dup_of"] == 12
+    # near dup: no exact hit, LSH candidate + jaccard over threshold
+    assert pd.isna(out.loc[101, "exact_dup_of"])
+    assert out.loc[101, "near_dup_of"] == 11
+    assert 0.5 <= out.loc[101, "near_jaccard"] < 1.0
+    assert not out.loc[101, "is_novel"]
+    # novel: neither verdict fires
+    assert pd.isna(out.loc[102, "exact_dup_of"])
+    assert pd.isna(out.loc[102, "near_dup_of"])
+    assert bool(out.loc[102, "is_novel"])
+
+
+def test_incremental_dedup_idempotent_readmit(spark):
+    """Re-submitting already-admitted docs: every row must resolve to an
+    exact dup of its corpus canonical — never a novel."""
+    rows = [
+        (0, "aa bb cc dd ee ff gg hh"),
+        (1, "ii jj kk ll mm nn oo pp"),
+        (2, "qq rr ss tt uu vv ww xx"),
+    ]
+    corpus = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    resub = corpus.select((F.col("doc_id") + 50).alias("doc_id"), "text")
+    out = dedup.incremental_dedup(corpus, resub).toPandas()
+    assert not out["is_novel"].any()
+    assert sorted(out["exact_dup_of"].tolist()) == [0, 1, 2]
+
+
+def test_band_keys_one_row_per_band(spark):
+    sigs = dedup.minhash_signatures(
+        spark.createDataFrame(
+            pd.DataFrame([(0, "aa bb cc dd"), (1, "aa bb cc dd")], columns=["doc_id", "text"])
+        )
+    )
+    bk = dedup.band_keys(sigs).toPandas()
+    assert len(bk) == 4  # 2 docs x 2 bands
+    assert set(bk["band_id"]) == {0, 1}
+    # identical docs -> identical band keys in every band
+    piv = bk.pivot(index="band_id", columns="doc_id", values="band_key")
+    assert (piv[0] == piv[1]).all()
+
+
+# --- BPE vocabulary training ----------------------------------------------------
+
+
+def bpe_reference(texts, n_merges, min_count=2):
+    """Independent pure-Python BPE trainer (Sennrich formulation)."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in words.items()}
+    merges = []
+    for step in range(n_merges):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        # count DESC, then (left, right) ASC — the operator's total order
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append({"step": step, "left": l, "right": r, "merged": l + r,
+                       "pair_count": cnt})
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from htg_spark.operators import bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest wide",
+        "low newer wide lowest",
+        "aaa aaa aaab",  # overlap case: greedy left-to-right inside a word
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = bpe.bpe_train(df, n_merges=12, min_count=2)
+    want = bpe_reference(texts, n_merges=12, min_count=2)
+    assert got == want
+    assert len(got) == 12  # corpus is rich enough that no early stop fires
+
+
+def test_bpe_greedy_overlap(spark):
+    """Merge (a, a) applied to 'aaa' must produce ['aa', 'a', '</w>'] —
+    greedy left-to-right, no overlapping re-merge."""
+    from htg_spark.operators import bpe
+
+    df = spark.createDataFrame(pd.DataFrame({"text": ["aaa aaa aaa"]}))
+    merges = bpe.bpe_train(df, n_merges=1, min_count=2)
+    assert merges == [
+        {"step": 0, "left": "a", "right": "a", "merged": "aa", "pair_count": 6}
+    ]
+
+
+def test_bpe_encode_roundtrip(spark):
+    """Encoding with the learned merges: concatenating a word's tokens
+    (minus the marker) reconstructs the word, and frequent words compress
+    to fewer tokens than rare ones."""
+    from htg_spark.operators import bpe
+
+    texts = ["banana banana banana band bandana", "banana band banana"]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts, "doc_id": [0, 1]}))
+    merges = bpe.bpe_train(df, n_merges=8, min_count=2)
+    enc = bpe.bpe_encode(df, merges).orderBy("doc_id").collect()
+    for row in enc:
+        joined = "".join(t for t in row["bpe_tokens"])
+        assert joined.replace(bpe.END_OF_WORD, "") == row["text"].replace(" ", "")
+        assert row["n_bpe_tokens"] == len(row["bpe_tokens"])
+    # 'banana' (5 occurrences) must encode in fewer symbols than its 7 chars
+    ref = bpe_reference(texts, 8, 2)
+    assert ref == merges

@@ -122,3 +122,50 @@ def test_bucketed_join_elides_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_fact_b")
         spark.sql("DROP TABLE IF EXISTS t_dim_b")
+
+
+def test_zorder_layout_prunes_bbox(spark, tmp_path):
+    """Z-ordered files must (a) return bit-identical query results to an
+    unclustered layout, (b) let footer min/max stats prune most files for
+    a small bbox where the unclustered layout prunes none."""
+    from pyspark.sql import functions as F
+
+    from htg_spark.points_store import bbox_file_audit, write_zordered
+
+    rng = np.random.default_rng(23)
+    n = 60_000
+    pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(n, dtype=np.int64),
+            "lat": 35.0 + rng.random(n) * 4.0,
+            "lon": 138.0 + rng.random(n) * 4.0,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    zpath, rpath = str(tmp_path / "zord"), str(tmp_path / "rand")
+    write_zordered(df, zpath, n_files=32)
+    # control layout: same file count, row-order (i.e. id-order) placement
+    df.repartitionByRange(32, "point_id").write.parquet(rpath)
+
+    bbox = (35.2, 138.2, 35.45, 138.45)  # ~0.4% of the covered area
+    total_z, hit_z = bbox_file_audit(zpath, *bbox)
+    total_r, hit_r = bbox_file_audit(rpath, *bbox)
+    assert total_z == 32 and total_r == 32
+    assert hit_r == 32  # unclustered: every file's stats span the box
+    assert hit_z <= 8  # z-ordered: the box lives in a few curve runs
+
+    # results are layout-independent (and the filter reaches the scan)
+    def bbox_rows(path):
+        d = spark.read.parquet(path).where(
+            (F.col("lat") >= bbox[0])
+            & (F.col("lon") >= bbox[1])
+            & (F.col("lat") <= bbox[2])
+            & (F.col("lon") <= bbox[3])
+        )
+        return d
+
+    a = sorted(r["point_id"] for r in bbox_rows(zpath).collect())
+    b = sorted(r["point_id"] for r in bbox_rows(rpath).collect())
+    assert a == b and len(a) > 0
+    # z-key is layout metadata only — not stored in the schema
+    assert spark.read.parquet(zpath).columns == ["point_id", "lat", "lon"]
