@@ -187,6 +187,8 @@ def main():
         ("cell_heatmap", _dq.q_cell_heatmap),
         ("knn_poi_join", _dq.q_knn_poi_join),
         ("geohash_cells", _sq.q_geohash_cells),
+        ("mercator_tiles", _sq.q_mercator_tiles),
+        ("density_tiles", _sq.q_density_tiles),
         ("radius_neighbors", _sq.q_radius_neighbors),
         ("idw_grid", _sq.q_idw_grid),
         ("trajectory_segments", _sq.q_trajectory_segments),

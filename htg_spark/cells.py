@@ -251,3 +251,45 @@ def quadkey_sql(zoom: int, x_col: str = "zx", y_col: str = "zy") -> str:
         for i in range(zoom - 1, -1, -1)
     ]
     return " || ".join(parts)
+
+
+def mercator_fractional(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """The CONTINUOUS mercator coordinates (fx, fy) in [0, 2^z): tile index
+    is floor(f), sub-tile pixel position is the fractional part. Factored
+    out so tile keys and pixel rasterization share one expression — and one
+    SQL rendering (mercator_fractional_sql)."""
+    fx = (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << zoom))
+    lat_c = F.greatest(
+        F.least(lat, F.lit(WEB_MERCATOR_MAX_LAT)), F.lit(-WEB_MERCATOR_MAX_LAT)
+    )
+    s = F.sin(lat_c * F.lit(_PI) / F.lit(180.0))
+    merc = F.lit(0.5) - F.log((F.lit(1.0) + s) / (F.lit(1.0) - s)) / F.lit(_4PI)
+    fy = merc * F.lit(float(1 << zoom))
+    return fx, fy
+
+
+def mercator_fractional_sql(zoom: int, lon_col: str = "lon", lat_col: str = "lat") -> tuple[str, str]:
+    """DuckDB mirror of mercator_fractional — same constants, same op order."""
+    n = float(1 << zoom)
+    fx = f"(({lon_col} + 180.0) / 360.0 * {n!r})"
+    lat_c = f"greatest(least({lat_col}, {WEB_MERCATOR_MAX_LAT!r}), {-WEB_MERCATOR_MAX_LAT!r})"
+    s = f"sin({lat_c} * {_PI!r} / 180.0)"
+    fy = f"((0.5 - ln((1.0 + {s}) / (1.0 - {s})) / {_4PI!r}) * {n!r})"
+    return fx, fy
+
+
+def tile_pixel(f: Column, tile_idx: Column, tile_px: int) -> Column:
+    """Sub-tile pixel index from a continuous mercator coordinate and its
+    (already clamped) tile index: floor(f * tile_px) - tile_idx * tile_px,
+    clamped into [0, tile_px) so the clamped edge tiles keep their points
+    on the last pixel row/column."""
+    raw = F.floor(f * F.lit(float(tile_px))).cast("long") - tile_idx * F.lit(tile_px)
+    return F.greatest(F.least(raw, F.lit(tile_px - 1)), F.lit(0))
+
+
+def tile_pixel_sql(f_sql: str, idx_sql: str, tile_px: int) -> str:
+    """DuckDB mirror of tile_pixel."""
+    return (
+        f"greatest(least(CAST(floor({f_sql} * {float(tile_px)!r}) AS BIGINT) "
+        f"- {idx_sql} * {tile_px}, {tile_px - 1}), 0)"
+    )

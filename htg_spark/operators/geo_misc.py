@@ -533,3 +533,71 @@ def parse_preload_bounds(value: str):
         if len(nums) == 4:
             boxes.append((nums[0], nums[1], nums[2], nums[3]))
     return boxes or None
+
+
+def density_tiles(
+    pts: DataFrame,
+    zoom: int = 12,
+    tile_px: int = 64,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Vector -> raster tile rendering: rasterize a point corpus into
+    web-mercator density tiles (the tile-server product behind every
+    "heatmap layer"): per z/x/y tile, a tile_px x tile_px gray8 image whose
+    pixel value is the point count clipped to 255, plus exact integer
+    stats (n_pts, nonzero_px, max_count, sum_clipped) so a closed-form SQL
+    oracle can value-check the render arithmetic without shipping pixels.
+
+    Scale shape: the corpus collapses FIRST — groupBy (tile, pixel) is ONE
+    map-side-combined shuffle whose output is bounded by tiles x tile_px^2
+    regardless of corpus rows; the applyInPandas render then reshapes
+    <= tile_px^2 aggregated rows per tile into the payload (second shuffle
+    moves only the aggregated counts, never points). Pixel assignment
+    shares the mercator expression with the tile key (cells.
+    mercator_fractional), so tile and pixel can never disagree."""
+    import numpy as np
+    import pandas as pd
+
+    from .. import cells
+
+    fx, fy = cells.mercator_fractional(F.col(lon_col), F.col(lat_col), zoom)
+    d = pts.select(fx.alias("_fx"), fy.alias("_fy"))
+    hi = (1 << zoom) - 1
+    zx = F.greatest(F.least(F.floor(F.col("_fx")).cast("long"), F.lit(hi)), F.lit(0))
+    zy = F.greatest(F.least(F.floor(F.col("_fy")).cast("long"), F.lit(hi)), F.lit(0))
+    keyed = d.select(zx.alias("zx"), zy.alias("zy"), "_fx", "_fy")
+    px = cells.tile_pixel(F.col("_fx"), F.col("zx"), tile_px)
+    py = cells.tile_pixel(F.col("_fy"), F.col("zy"), tile_px)
+    counts = (
+        keyed.select("zx", "zy", px.alias("px"), py.alias("py"))
+        .groupBy("zx", "zy", "px", "py")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    schema = (
+        "zx long, zy long, bytes binary, w int, h int, fmt string, "
+        "n_pts long, nonzero_px long, max_count long, sum_clipped long"
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros(tile_px * tile_px, dtype=np.uint8)
+        cnt = pdf["cnt"].to_numpy()
+        clipped = np.minimum(cnt, 255)
+        img[pdf["py"].to_numpy() * tile_px + pdf["px"].to_numpy()] = clipped
+        return pd.DataFrame(
+            {
+                "zx": [int(pdf["zx"].iloc[0])],
+                "zy": [int(pdf["zy"].iloc[0])],
+                "bytes": [img.tobytes()],
+                "w": [tile_px],
+                "h": [tile_px],
+                "fmt": ["gray8"],
+                "n_pts": [int(cnt.sum())],
+                "nonzero_px": [len(pdf)],
+                "max_count": [int(cnt.max())],
+                "sum_clipped": [int(clipped.sum())],
+            }
+        )
+
+    return counts.groupBy("zx", "zy").applyInPandas(render, schema)

@@ -34,6 +34,7 @@ DBSCAN_SCALE = 8192  # eps = 2^-13 — 4-connects the 1e-4 fixture lattice
 DBSCAN_MIN_PTS = 2  # core iff >= 2 in-range neighbors (excluding self)
 MERCATOR_ZOOM = 12  # 4096x4096 slippy grid — ~0.088 deg/tile
 MERCATOR_PARENT = 9  # rollup level: quadkey prefix length of the parent key
+DENSITY_TILE_PX = 64  # density render: 64x64 gray8 pixels per zoom-12 tile
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,6 +96,17 @@ def q_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("qk_parent", F.substring("quadkey", 1, MERCATOR_PARENT))
     )
+
+
+def q_density_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector -> raster density-tile render (geo_misc.density_tiles) at
+    zoom 12, 64px tiles: the oracle checks the exact integer render stats
+    (n_pts / nonzero_px / max_count / sum_clipped); the payload bytes are
+    pinned to the stats by test_density_tiles_payload."""
+    pts = derive_points(_events(spark, sf_dir))
+    return geo_misc.density_tiles(
+        pts, zoom=MERCATOR_ZOOM, tile_px=DENSITY_TILE_PX
+    ).select("zx", "zy", "n_pts", "nonzero_px", "max_count", "sum_clipped")
 
 
 def q_radius_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,6 +203,36 @@ SELECT zx, zy, quadkey, count(*) AS n_pts,
   min(event_id) AS min_event, max(event_id) AS max_event,
   substr(quadkey, 1, {parent}) AS qk_parent
 FROM qk GROUP BY zx, zy, quadkey
+"""
+
+
+def _density_oracle_sql(
+    zoom: int = MERCATOR_ZOOM, tile_px: int = DENSITY_TILE_PX
+) -> str:
+    """Mirror generated from the same cells.mercator_fractional /
+    tile_pixel renderings the operator uses. DuckDB sums BIGINT into
+    HUGEINT, hence the explicit casts back."""
+    fx_sql, fy_sql = cells.mercator_fractional_sql(zoom)
+    hi = (1 << zoom) - 1
+    px_sql = cells.tile_pixel_sql("fx", "zx", tile_px)
+    py_sql = cells.tile_pixel_sql("fy", "zy", tile_px)
+    return f"""
+{_SQL_PTS.strip()},
+frac AS (SELECT event_id, {fx_sql} AS fx, {fy_sql} AS fy FROM pts),
+tkeys AS (
+  SELECT greatest(least(CAST(floor(fx) AS BIGINT), {hi}), 0) AS zx,
+         greatest(least(CAST(floor(fy) AS BIGINT), {hi}), 0) AS zy,
+         fx, fy
+  FROM frac
+),
+pix AS (SELECT zx, zy, {px_sql} AS px, {py_sql} AS py FROM tkeys),
+cnts AS (SELECT zx, zy, px, py, count(*) AS cnt FROM pix GROUP BY zx, zy, px, py)
+SELECT zx, zy,
+  CAST(sum(cnt) AS BIGINT) AS n_pts,
+  count(*) AS nonzero_px,
+  CAST(max(cnt) AS BIGINT) AS max_count,
+  CAST(sum(least(cnt, 255)) AS BIGINT) AS sum_clipped
+FROM cnts GROUP BY zx, zy
 """
 
 
@@ -397,6 +439,7 @@ def queries():
     return {
         "geohash_cells": q_geohash_cells,
         "mercator_tiles": q_mercator_tiles,
+        "density_tiles": q_density_tiles,
         "radius_neighbors": q_radius_neighbors,
         "idw_grid": q_idw_grid,
         "trajectory_segments": q_trajectory_segments,
@@ -409,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "geohash_cells": _geohash_oracle_sql(),
         "mercator_tiles": _mercator_oracle_sql(),
+        "density_tiles": _density_oracle_sql(),
         "radius_neighbors": _radius_oracle_sql(),
         "idw_grid": _idw_oracle_sql(),
         "trajectory_segments": _trajectory_oracle_sql(),

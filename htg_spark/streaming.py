@@ -220,3 +220,55 @@ def stream_tile_running_stats(enriched_stream: DataFrame) -> DataFrame:
     return enriched_stream.groupBy("tile_lat", "tile_lon").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def incremental_dedup_sink(
+    corpus_path: str,
+    verdicts_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    admit_novel: bool = True,
+):
+    """The continuous-ingestion loop as a foreachBatch sink: every
+    micro-batch is verdicted against the ON-STORAGE corpus with
+    dedup.incremental_dedup (exact md5 / LSH+Jaccard near / novel), the
+    verdicts append to `verdicts_path`, and — with admit_novel — the
+    batch's novel docs are ADMITTED into `corpus_path`, so a copy arriving
+    in a later micro-batch is flagged as a duplicate of the earlier
+    batch's admission. This is the production crawl-ingestion shape:
+    corpus state lives on storage between batches, each batch pays
+    batch-sized work against it.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            incremental_dedup_sink(corpus_dir, verdicts_dir)
+        ).option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+
+    Exactly-once caveat (documented, inherent to foreachBatch + parquet
+    append): a batch REPLAYED after a failure re-appends its verdict rows.
+    With an ACID table format the two writes become idempotent MERGEs; on
+    plain parquet, readers should dedupe on (batch_id, id). At 100-TB
+    scale the stored corpus state would be the md5 + LSH band INDEX tables
+    (bucketed on their join keys, points_store.write_bucketed) rather than
+    raw text — incremental_dedup's corpus-side stages are exactly the
+    frames a deployment would persist."""
+    from .operators import dedup as _dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
+        out = _dedup.incremental_dedup(
+            corpus, batch, id_col=id_col, text_col=text_col, threshold=threshold
+        ).withColumn("batch_id", F.lit(batch_id))
+        out = out.localCheckpoint(eager=True)  # verdicts feed two writes
+        out.write.mode("append").parquet(verdicts_path)
+        if admit_novel:
+            novel = out.where(F.col("is_novel")).select(id_col)
+            batch.join(novel, id_col, "leftsemi").write.mode("append").parquet(
+                corpus_path
+            )
+
+    return process

@@ -736,6 +736,50 @@ def main():
         )
         sys.exit(1)
 
+    # mercator tile rollup: zero-shuffle projection + exactly ONE hash-agg
+    # Exchange (the tile-key groupBy); no Python workers anywhere
+    from htg_spark import spatial_queries as sq
+
+    merc = sq.q_mercator_tiles(spark, sf_dir)
+    merc_plan = plan_of(merc)
+    n_merc_ex = merc_plan.count("Exchange")
+    sections.append(
+        (
+            "Web-mercator tile rollup (mercator_tiles)",
+            "Expected: events scan -> pure codegen projection (sin/ln/floor + "
+            "integer bit interleave, no Python) -> exactly ONE hashpartitioning "
+            "Exchange for the tile-key aggregation.",
+            merc_plan,
+        )
+    )
+    if n_merc_ex != 1 or "ArrowEvalPython" in merc_plan or "MapInPandas" in merc_plan:
+        print(
+            f"FATAL: mercator plan has {n_merc_ex} Exchanges (expected 1) "
+            "or a Python worker in a pure-expression pipeline",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    # incremental dedup: candidate generation must be index-joins only —
+    # no cartesian product, and no corpus-side band self-join
+    from htg_spark import pipeline_queries as pq2
+
+    inc = pq2.q_incremental_dedup(spark, sf_dir)
+    inc_plan = plan_of(inc)
+    sections.append(
+        (
+            "Incremental corpus dedup (incremental_dedup)",
+            "Expected: batch bands equi-join the corpus band index; exact "
+            "verify joins shingle-array tables by id with the corpus side "
+            "semi-join-pruned to candidates; md5 exact index left-joined. "
+            "NEVER a cartesian product or corpus x corpus join.",
+            inc_plan,
+        )
+    )
+    if "CartesianProduct" in inc_plan:
+        print("FATAL: incremental-dedup plan contains a cartesian product", file=sys.stderr)
+        sys.exit(1)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — .explain('formatted') audit of the key plan shapes\n")
         for title, expect, plan in sections:

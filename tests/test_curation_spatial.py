@@ -10,6 +10,7 @@ import hashlib
 import math
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -608,3 +609,49 @@ def test_quadkey_nesting_and_sql_mirror(spark):
     )
     for r in child.collect():
         assert duck[r["zx"] * 10000 + r["zy"]] == r["qk"]
+
+
+def test_density_tiles_payload_and_reference(spark):
+    """Density-tile render: payload bytes must equal the per-pixel clipped
+    counts of an independent NumPy reference, and the stats columns must
+    equal what the bytes say."""
+    from collections import defaultdict
+
+    from htg_spark.operators.geo_misc import density_tiles
+
+    rng = np.random.default_rng(31)
+    zoom, tpx = 6, 16
+    lat = np.concatenate([rng.uniform(-70, 70, 400), np.full(300, 35.5)])
+    lon = np.concatenate([rng.uniform(-179, 179, 400), np.full(300, 138.25)])
+    df = spark.createDataFrame(
+        pd.DataFrame({"lat": lat, "lon": lon})
+    )
+    out = density_tiles(df, zoom=zoom, tile_px=tpx).collect()
+
+    # reference binning with the operator's formula
+    n = 1 << zoom
+    ref = defaultdict(lambda: np.zeros(tpx * tpx, dtype=np.int64))
+    for la, lo in zip(lat, lon):
+        fx = (lo + 180.0) / 360.0 * float(n)
+        lc = max(min(la, cells.WEB_MERCATOR_MAX_LAT), -cells.WEB_MERCATOR_MAX_LAT)
+        s = math.sin(lc * math.pi / 180.0)
+        fy = (0.5 - math.log((1.0 + s) / (1.0 - s)) / (4.0 * math.pi)) * float(n)
+        zx = min(max(int(math.floor(fx)), 0), n - 1)
+        zy = min(max(int(math.floor(fy)), 0), n - 1)
+        px = min(max(int(math.floor(fx * float(tpx))) - zx * tpx, 0), tpx - 1)
+        py = min(max(int(math.floor(fy * float(tpx))) - zy * tpx, 0), tpx - 1)
+        ref[(zx, zy)][py * tpx + px] += 1
+
+    assert {(r["zx"], r["zy"]) for r in out} == set(ref)
+    for r in out:
+        want = ref[(r["zx"], r["zy"])]
+        got = np.frombuffer(r["bytes"], dtype=np.uint8).astype(np.int64)
+        assert len(got) == tpx * tpx and r["w"] == tpx and r["h"] == tpx
+        assert np.array_equal(got, np.minimum(want, 255))
+        # stats == what the reference counts say
+        assert r["n_pts"] == int(want.sum())
+        assert r["nonzero_px"] == int((want > 0).sum())
+        assert r["max_count"] == int(want.max())
+        assert r["sum_clipped"] == int(np.minimum(want, 255).sum())
+    # the 300-point stack must have clipped (max_count > 255 on one tile)
+    assert max(r["max_count"] for r in out) == 300

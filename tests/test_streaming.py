@@ -354,3 +354,64 @@ def test_stream_terrain_join_matches_batch(spark, tmp_path):
     )
     assert got == expected
     assert len(got) == len(pts)
+
+
+def test_incremental_dedup_sink_admits_novels(spark, tmp_path):
+    """Continuous-ingestion loop: batch 1's novel doc is ADMITTED into the
+    on-storage corpus, so batch 2's copy of it is flagged as its duplicate;
+    corpus dups flag against the seed corpus; verdicts carry batch ids."""
+    from htg_spark.streaming import incremental_dedup_sink
+
+    corpus_dir = str(tmp_path / "corpus")
+    verdicts_dir = str(tmp_path / "verdicts")
+    src = tmp_path / "docs"
+    src.mkdir()
+    seed = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["alpha bravo charlie delta", "echo foxtrot golf hotel"]}
+    )
+    spark.createDataFrame(seed).write.parquet(corpus_dir)
+
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "text": ["alpha bravo charlie delta", "india juliet kilo lima"],  # dup, novel
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [20, 21],
+            "text": ["india juliet kilo lima", "mike november oscar papa"],  # dup-of-11, novel
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "b1"))
+    import time as _time
+
+    _time.sleep(1.1)  # file-source orders batches by modification time
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_dedup_sink(corpus_dir, verdicts_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    v = spark.read.parquet(verdicts_dir).toPandas().set_index("doc_id")
+    assert len(v) == 4
+    assert v.loc[10, "exact_dup_of"] == 1 and not v.loc[10, "is_novel"]
+    assert bool(v.loc[11, "is_novel"])
+    # batch 2's copy resolves to batch 1's ADMITTED novel, not to a seed doc
+    assert v.loc[20, "exact_dup_of"] == 11 and not v.loc[20, "is_novel"]
+    assert bool(v.loc[21, "is_novel"])
+    assert v.loc[20, "batch_id"] > v.loc[11, "batch_id"]
+    # the corpus grew by exactly the two admitted novels
+    corpus = spark.read.parquet(corpus_dir).toPandas()
+    assert sorted(corpus["doc_id"]) == [1, 2, 11, 21]
