@@ -752,9 +752,11 @@ def main():
             merc_plan,
         )
     )
-    if n_merc_ex != 1 or "ArrowEvalPython" in merc_plan or "MapInPandas" in merc_plan:
+    # formatted explain names each node twice (tree + details): one
+    # Exchange counts as 2
+    if n_merc_ex > 2 or "ArrowEvalPython" in merc_plan or "MapInPandas" in merc_plan:
         print(
-            f"FATAL: mercator plan has {n_merc_ex} Exchanges (expected 1) "
+            f"FATAL: mercator plan has {n_merc_ex // 2} Exchanges (expected 1) "
             "or a Python worker in a pure-expression pipeline",
             file=sys.stderr,
         )
