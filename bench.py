@@ -184,6 +184,7 @@ def main():
         ("mixture_weights", _cq.q_mixture_weights),
         ("sequence_pack", _cq.q_sequence_pack),
         ("sequence_fill", _cq.q_sequence_fill),
+        ("length_percentiles", _cq.q_length_percentiles),
         ("cell_heatmap", _dq.q_cell_heatmap),
         ("knn_poi_join", _dq.q_knn_poi_join),
         ("geohash_cells", _sq.q_geohash_cells),

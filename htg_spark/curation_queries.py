@@ -63,6 +63,41 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.mixture_weights(_docs(spark, sf_dir), stratum_col="lang")
 
 
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide percentiles (p25/p50/p75/p90/p99) of the documents'
+    whitespace token count — the distribution audit every curation run
+    starts from, via curation.exact_percentiles (pure-integer order-statistic
+    indices, no sketch, no interpolation)."""
+    from pyspark.sql import functions as F
+
+    toks = _docs(spark, sf_dir).select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return curation.exact_percentiles(toks, "n_tokens")
+
+
+_SQL_LENGTH_PERCENTILES = """
+WITH toks AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS value FROM documents
+),
+cnts AS (SELECT value, count(*) AS cnt FROM toks GROUP BY value),
+cum AS (
+  SELECT value, cnt,
+    CAST(sum(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(sum(cnt) OVER () AS BIGINT) AS n_rows
+  FROM cnts
+),
+fr AS (
+  SELECT unnest([1, 1, 3, 9, 99]) AS num, unnest([4, 2, 4, 10, 100]) AS den
+)
+SELECT fr.num, fr.den, (cum.n_rows - 1) * fr.num // fr.den AS idx,
+  cum.value, cum.n_rows
+FROM fr, cum
+WHERE (cum.n_rows - 1) * fr.num // fr.den >= cum.cum - cum.cnt
+  AND (cum.n_rows - 1) * fr.num // fr.den < cum.cum
+"""
+
+
 # --- DuckDB oracles ---------------------------------------------------------
 
 
@@ -193,6 +228,7 @@ def queries():
         "mixture_weights": q_mixture_weights,
         "sequence_pack": q_sequence_pack,
         "sequence_fill": q_sequence_fill,
+        "length_percentiles": q_length_percentiles,
     }
 
 
@@ -203,4 +239,5 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": _SQL_MIXTURE,
         "sequence_pack": _SQL_SEQUENCE_PACK,
         "sequence_fill": _SQL_SEQUENCE_FILL,
+        "length_percentiles": _SQL_LENGTH_PERCENTILES,
     }

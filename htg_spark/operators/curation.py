@@ -279,3 +279,61 @@ def decontaminate(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    col: str,
+    fractions: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (3, 4), (9, 10), (99, 100)),
+) -> DataFrame:
+    """EXACT corpus-wide order statistics — the distribution audit behind
+    every "p50/p99 document length" dashboard, without approx_percentile's
+    engine-specific sketch: percentile (num, den) is the element at sorted
+    index ((n-1) * num) // den, the same pure-integer definition as
+    terrain.tile_quantiles, so Spark and DuckDB can never disagree on
+    interpolation or rounding.
+
+    Scale shape: the corpus collapses FIRST to (value, count) — ONE
+    map-side-combined shuffle bounded by the number of DISTINCT values,
+    not rows (doc-length-like columns have at most ~10^6 distinct values
+    at any corpus size). The cumulative walk then runs over that bounded
+    frame; its single-partition window is over distinct values only — the
+    mixture_weights precedent, justified the same way — and emits one row
+    per requested fraction via a range join on the cumulative bounds.
+
+    Output: (num, den, idx, value) with n_rows carried on every row."""
+    counts = df.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "value",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("value").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_rows"),
+    )
+    fr = df.sparkSession.createDataFrame(
+        [(num, den) for num, den in fractions], "num int, den int"
+    )
+    # idx = ((n-1)*num) div den; the percentile value is the unique distinct
+    # value whose cumulative range [cum-cnt, cum) contains idx
+    j = fr.crossJoin(cum)  # |fractions| x |distinct values| — both bounded
+    # exact int64 `div` (the sequence_pack convention) — a double divide +
+    # floor would misround once (n-1)*num grows past the 2^53 mantissa
+    idx = F.expr("(n_rows - 1) * num div den").cast("long")
+    return (
+        j.where((idx >= F.col("cum") - F.col("cnt")) & (idx < F.col("cum")))
+        .select(
+            "num",
+            "den",
+            idx.alias("idx"),
+            "value",
+            "n_rows",
+        )
+    )

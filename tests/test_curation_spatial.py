@@ -655,3 +655,22 @@ def test_density_tiles_payload_and_reference(spark):
         assert r["sum_clipped"] == int(np.minimum(want, 255).sum())
     # the 300-point stack must have clipped (max_count > 255 on one tile)
     assert max(r["max_count"] for r in out) == 300
+
+
+def test_exact_percentiles_matches_numpy(spark):
+    """Exact order statistics at ((n-1)*num)//den against a NumPy sort,
+    including duplicates, skew, and a fraction landing inside a run."""
+    rng = np.random.default_rng(5)
+    vals = np.concatenate(
+        [rng.integers(0, 50, 500), np.full(300, 7), rng.integers(1000, 1010, 7)]
+    ).astype(np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    fracs = ((1, 4), (1, 2), (3, 4), (99, 100), (0, 1), (1, 1))
+    out = curation.exact_percentiles(df, "v", fractions=fracs).toPandas()
+    assert len(out) == len(fracs)
+    s = np.sort(vals)
+    n = len(vals)
+    for _, r in out.iterrows():
+        idx = ((n - 1) * r["num"]) // r["den"]
+        assert r["idx"] == idx and r["n_rows"] == n
+        assert r["value"] == s[idx], (r["num"], r["den"])
