@@ -601,3 +601,101 @@ def density_tiles(
         )
 
     return counts.groupBy("zx", "zy").applyInPandas(render, schema)
+
+
+def snap_to_segments(
+    pts: DataFrame,
+    segments: DataFrame,
+    scale: int = 256,
+    id_col: str = "event_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Point -> nearest-segment snapping within radius r = 1/scale (the
+    map-matching / road-snapping primitive): for every point, the closest
+    segment among (seg_id, ax, ay, bx, by) whose point-to-segment distance
+    is <= r, with the squared distance and the projection parameter t
+    (0 = at A, 1 = at B, clamped).
+
+    Scale shape: cell size exactly r. Points keep their home cell; each
+    SEGMENT explodes to its r-padded bbox cover (floor(min*scale)-1 ..
+    floor(max*scale)+1 per axis — a superset of every cell within r of the
+    segment, so candidate generation is COMPLETE). One (gx, gy) equi-join
+    yields candidates; the exact distance runs inside the join stage; only
+    qualifying (point, seg, d2, t) rows reach the min-struct aggregation.
+    Never points x segments. Long polylines must be pre-split into
+    cell-scale segments or their bbox cover fans out quadratically — the
+    standard chunking rule for spatial joins on linear features.
+
+    Float parity: +,-,*,/ on doubles only, in THIS op order (mirrored by
+    the SQL oracle): vx=bx-ax, len2=vx*vx+vy*vy, dot=(px-ax)*vx+(py-ay)*vy,
+    t=clamp(dot/len2), qx=ax+t*vx, d2=(px-qx)^2+(py-qy)^2. `scale` must be
+    a power of two so x*scale and r*r are exact. Zero-length segments get
+    t=0 (pure point distance) instead of a 0/0 NaN.
+
+    Ties (equal d2 to two segments) resolve to the LOWEST seg_id via the
+    (d2, seg_id) struct-min — visit-order-free on every engine.
+
+    Output: one row per point — (id, seg_id, snap_d2, snap_t), NULLs when
+    nothing is in range."""
+    if scale & (scale - 1) != 0:
+        raise ValueError(f"scale must be a power of two, got {scale}")
+    r = 1.0 / scale
+    s = float(scale)
+    x, y = F.col(x_col), F.col(y_col)
+    base = pts.select(
+        id_col,
+        x.alias("px"),
+        y.alias("py"),
+        F.floor(x * F.lit(s)).cast("long").alias("gx"),
+        F.floor(y * F.lit(s)).cast("long").alias("gy"),
+    ).localCheckpoint(eager=False)
+
+    seg = segments.select(
+        "seg_id",
+        "ax",
+        "ay",
+        "bx",
+        "by",
+        F.explode(
+            F.sequence(
+                F.floor(F.least("ax", "bx") * F.lit(s)).cast("long") - 1,
+                F.floor(F.greatest("ax", "bx") * F.lit(s)).cast("long") + 1,
+            )
+        ).alias("gx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.least("ay", "by") * F.lit(s)).cast("long") - 1,
+                F.floor(F.greatest("ay", "by") * F.lit(s)).cast("long") + 1,
+            )
+        ).alias("gy"),
+    )
+
+    j = base.join(seg, ["gx", "gy"])
+    vx = F.col("bx") - F.col("ax")
+    vy = F.col("by") - F.col("ay")
+    len2 = vx * vx + vy * vy
+    dot = (F.col("px") - F.col("ax")) * vx + (F.col("py") - F.col("ay")) * vy
+    t = F.when(
+        len2 > F.lit(0.0), F.greatest(F.least(dot / len2, F.lit(1.0)), F.lit(0.0))
+    ).otherwise(F.lit(0.0))
+    cand = j.select(id_col, "seg_id", t.alias("t"), "px", "py", "ax", "ay", "bx", "by")
+    qx = F.col("ax") + F.col("t") * (F.col("bx") - F.col("ax"))
+    qy = F.col("ay") + F.col("t") * (F.col("by") - F.col("ay"))
+    dx = F.col("px") - qx
+    dy = F.col("py") - qy
+    d2 = dx * dx + dy * dy
+    hits = (
+        cand.select(id_col, "seg_id", "t", d2.alias("d2"))
+        .where(F.col("d2") <= F.lit(r * r))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d2", "seg_id", "t")).alias("_m"))
+    )
+    return base.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.col("_m.seg_id").alias("seg_id"),
+        F.col("_m.d2").alias("snap_d2"),
+        F.col("_m.t").alias("snap_t"),
+    )

@@ -35,6 +35,7 @@ DBSCAN_MIN_PTS = 2  # core iff >= 2 in-range neighbors (excluding self)
 MERCATOR_ZOOM = 12  # 4096x4096 slippy grid — ~0.088 deg/tile
 MERCATOR_PARENT = 9  # rollup level: quadkey prefix length of the parent key
 DENSITY_TILE_PX = 64  # density render: 64x64 gray8 pixels per zoom-12 tile
+SNAP_SCALE = 256  # segment snapping radius r = 2^-8 deg (exact double)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,6 +114,30 @@ def q_radius_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = derive_points(_events(spark, sf_dir))
     return geo_misc.radius_neighbors(
         pts, scale=RADIUS_SCALE, id_col="event_id", x_col="lon", y_col="lat"
+    )
+
+
+def _snap_segments(spark: SparkSession) -> DataFrame:
+    """64 deterministic road segments gridded over the dense fixture
+    cluster — every coordinate an exact dyadic double (0.25 / 0.1875 /
+    0.125 steps), mirrored literally by the oracle CTE."""
+    i = F.col("id")
+    return spark.range(64).select(
+        i.alias("seg_id"),
+        (F.lit(138.0) + (i % 8).cast("double") * F.lit(0.25)).alias("ax"),
+        (F.lit(35.0) + F.expr("id div 8").cast("double") * F.lit(0.25)).alias("ay"),
+        (F.lit(138.0) + (i % 8).cast("double") * F.lit(0.25) + F.lit(0.1875)).alias("bx"),
+        (F.lit(35.0) + F.expr("id div 8").cast("double") * F.lit(0.25) + F.lit(0.125)).alias("by"),
+    )
+
+
+def q_segment_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching: snap every derived point to its nearest road segment
+    within r = 2^-8 deg (geo_misc.snap_to_segments). The far clusters
+    (lat 50/75) have no segments in range and exercise the NULL rows."""
+    pts = derive_points(_events(spark, sf_dir))
+    return geo_misc.snap_to_segments(
+        pts, _snap_segments(spark), scale=SNAP_SCALE, id_col="event_id"
     )
 
 
@@ -233,6 +258,48 @@ SELECT zx, zy,
   CAST(max(cnt) AS BIGINT) AS max_count,
   CAST(sum(least(cnt, 255)) AS BIGINT) AS sum_clipped
 FROM cnts GROUP BY zx, zy
+"""
+
+
+def _segment_snap_oracle_sql(scale: int = SNAP_SCALE) -> str:
+    """INDEPENDENT quadratic oracle (points x segments, no grid cells) —
+    a covering-cell bug in snap_to_segments mismatches instead of hiding.
+    The distance math mirrors the operator's op order token-for-token."""
+    r2 = (1.0 / scale) * (1.0 / scale)
+    return f"""
+{_SQL_PTS.strip()},
+segs AS (
+  SELECT id AS seg_id,
+    138.0 + CAST(id % 8 AS DOUBLE) * 0.25 AS ax,
+    35.0 + CAST(id // 8 AS DOUBLE) * 0.25 AS ay,
+    138.0 + CAST(id % 8 AS DOUBLE) * 0.25 + 0.1875 AS bx,
+    35.0 + CAST(id // 8 AS DOUBLE) * 0.25 + 0.125 AS by
+  FROM (SELECT unnest(generate_series(0, 63)) AS id)
+),
+cand AS (
+  SELECT p.event_id, s.seg_id,
+    CASE WHEN (s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay) > 0.0
+      THEN greatest(least(
+        ((p.lon - s.ax) * (s.bx - s.ax) + (p.lat - s.ay) * (s.by - s.ay))
+          / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)),
+        1.0), 0.0)
+      ELSE 0.0 END AS t,
+    p.lon AS px, p.lat AS py, s.ax, s.ay, s.bx, s.by
+  FROM pts p, segs s
+),
+d AS (
+  SELECT event_id, seg_id, t,
+    (px - (ax + t * (bx - ax))) * (px - (ax + t * (bx - ax)))
+    + (py - (ay + t * (by - ay))) * (py - (ay + t * (by - ay))) AS d2
+  FROM cand
+),
+q AS (
+  SELECT event_id, seg_id, t, d2,
+    row_number() OVER (PARTITION BY event_id ORDER BY d2, seg_id) AS rn
+  FROM d WHERE d2 <= {r2!r}
+)
+SELECT p.event_id, q.seg_id, q.d2 AS snap_d2, q.t AS snap_t
+FROM pts p LEFT JOIN q ON q.event_id = p.event_id AND q.rn = 1
 """
 
 
@@ -440,6 +507,7 @@ def queries():
         "geohash_cells": q_geohash_cells,
         "mercator_tiles": q_mercator_tiles,
         "density_tiles": q_density_tiles,
+        "segment_snap": q_segment_snap,
         "radius_neighbors": q_radius_neighbors,
         "idw_grid": q_idw_grid,
         "trajectory_segments": q_trajectory_segments,
@@ -453,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": _geohash_oracle_sql(),
         "mercator_tiles": _mercator_oracle_sql(),
         "density_tiles": _density_oracle_sql(),
+        "segment_snap": _segment_snap_oracle_sql(),
         "radius_neighbors": _radius_oracle_sql(),
         "idw_grid": _idw_oracle_sql(),
         "trajectory_segments": _trajectory_oracle_sql(),

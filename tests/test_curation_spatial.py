@@ -674,3 +674,63 @@ def test_exact_percentiles_matches_numpy(spark):
         idx = ((n - 1) * r["num"]) // r["den"]
         assert r["idx"] == idx and r["n_rows"] == n
         assert r["value"] == s[idx], (r["num"], r["den"])
+
+
+def test_snap_to_segments_matches_quadratic(spark):
+    """Grid-bucketed snapping vs an all-pairs NumPy scan: distances bit-
+    equal, nearest pick (d2, seg_id)-min, NULLs for out-of-range points,
+    zero-length segment handled as a point, endpoint clamping exact."""
+    rng = np.random.default_rng(17)
+    scale = 64
+    r = 1.0 / scale
+    px = np.concatenate([10.0 + rng.uniform(-0.2, 0.4, 120), [50.0, 10.1, 10.1]])
+    py = np.concatenate([5.0 + rng.uniform(-0.2, 0.3, 120), [50.0, 5.05, 5.0503]])
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(len(px), dtype=np.int64), "x": px, "y": py})
+    )
+    segs_rows = [
+        (0, 10.0, 5.0, 10.25, 5.0),        # horizontal
+        (1, 10.0, 5.05, 10.25, 5.0503),    # near-horizontal, close to seg 0's band
+        (2, 10.1, 4.9, 10.1, 5.2),         # vertical
+        (3, 10.05, 5.05, 10.05, 5.05),     # zero-length (a point)
+        (4, 9.9, 5.1, 10.3, 4.95),         # diagonal
+    ]
+    segs = spark.createDataFrame(
+        pd.DataFrame(segs_rows, columns=["seg_id", "ax", "ay", "bx", "by"])
+    )
+    out = {
+        row["pid"]: row
+        for row in geo_misc.snap_to_segments(
+            pts, segs, scale=scale, id_col="pid", x_col="x", y_col="y"
+        ).collect()
+    }
+    assert set(out) == set(range(len(px)))
+    for i in range(len(px)):
+        best = None
+        for seg_id, ax, ay, bx, by in segs_rows:
+            vx, vy = bx - ax, by - ay
+            len2 = vx * vx + vy * vy
+            if len2 > 0.0:
+                t = max(min(((px[i] - ax) * vx + (py[i] - ay) * vy) / len2, 1.0), 0.0)
+            else:
+                t = 0.0
+            qx, qy = ax + t * (bx - ax), ay + t * (by - ay)
+            d2 = (px[i] - qx) * (px[i] - qx) + (py[i] - qy) * (py[i] - qy)
+            if d2 <= r * r and (best is None or (d2, seg_id) < best[:2]):
+                best = (d2, seg_id, t)
+        row = out[i]
+        if best is None:
+            assert row["seg_id"] is None and row["snap_d2"] is None, i
+        else:
+            assert row["seg_id"] == best[1], i
+            assert row["snap_d2"] == best[0], i  # bit-equal doubles
+            assert row["snap_t"] == best[2], i
+    # the far point is unsnapped and at least one point hit each segment class
+    assert out[120]["seg_id"] is None
+    snapped_to = {out[i]["seg_id"] for i in range(len(px)) if out[i]["seg_id"] is not None}
+    assert len(snapped_to) >= 3
+
+
+def test_snap_rejects_non_power_of_two(spark):
+    with pytest.raises(ValueError):
+        geo_misc.snap_to_segments(None, None, scale=100)
