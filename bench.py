@@ -191,6 +191,7 @@ def main():
         ("mercator_tiles", _sq.q_mercator_tiles),
         ("density_tiles", _sq.q_density_tiles),
         ("segment_snap", _sq.q_segment_snap),
+        ("mercator_warp", _dq.q_mercator_warp),
         ("radius_neighbors", _sq.q_radius_neighbors),
         ("idw_grid", _sq.q_idw_grid),
         ("trajectory_segments", _sq.q_trajectory_segments),

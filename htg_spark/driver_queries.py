@@ -244,6 +244,158 @@ def q_elevation_bilinear(spark, sf_dir):
     return out.select("event_id", F.col("elevation").cast("double").alias("elevation"))
 
 
+WARP_ZOOM = 10  # mercator warp: 1024x1024 slippy grid (~0.35 deg/tile)
+WARP_TILE_PX = 32  # 32x32 sample pixels per output tile
+_DEG_PER_RAD = 57.29577951308232  # double(180/pi), inlined VERBATIM in SQL
+
+
+def _warp_tile_ranges() -> tuple[int, int, int, int]:
+    """Inclusive (zx_lo, zx_hi, zy_lo, zy_hi) of the zoom-10 mercator tiles
+    intersecting the catalog bbox lat [35, 37) x lon [138, 140]. Computed
+    ONCE in Python and inlined as integer literals on both engines, so the
+    range itself carries no cross-engine float surface."""
+    import math
+
+    n = 1 << WARP_ZOOM
+    zx_lo = int(math.floor((138.0 + 180.0) / 360.0 * n))
+    zx_hi = int(math.floor((140.0 + 180.0) / 360.0 * n))
+
+    def merc(lat):
+        s = math.sin(lat * math.pi / 180.0)
+        return 0.5 - math.log((1.0 + s) / (1.0 - s)) / (4.0 * math.pi)
+
+    zy_lo = int(math.floor(merc(37.0) * n))  # north edge -> smallest row
+    zy_hi = int(math.floor(merc(35.0) * n))
+    return zx_lo, zx_hi, zy_lo, zy_hi
+
+
+def warp_pixel_grid(spark) -> DataFrame:
+    """The mercator-warp sample grid: one row per output pixel with its
+    tile key (zx, zy) and the pixel center's (lat, lon) via the inverse
+    mercator lat = atan(sinh(pi*(1-2*merc))) written with exp only —
+    sinh(a) = (exp(a) - exp(0.0 - a)) / 2.0 — in an op order the SQL
+    oracle mirrors token-for-token."""
+    zx_lo, zx_hi, zy_lo, zy_hi = _warp_tile_ranges()
+    tp = WARP_TILE_PX
+    ncols = zx_hi - zx_lo + 1
+    nrows = zy_hi - zy_lo + 1
+    total = ncols * nrows * tp * tp
+    per_tile = tp * tp
+    base = spark.range(total).select(
+        F.col("id").alias("pixel_id"),
+        (F.lit(zx_lo) + F.expr(f"id div {per_tile}") % F.lit(ncols)).alias("zx"),
+        (F.lit(zy_lo) + F.expr(f"(id div {per_tile}) div {ncols}")).alias("zy"),
+        (F.col("id") % per_tile % tp).alias("i"),
+        F.expr(f"(id % {per_tile}) div {tp}").alias("j"),
+    )
+    n_f = float(1 << WARP_ZOOM)
+    lon = (
+        (F.col("zx").cast("double") + (F.col("i").cast("double") + F.lit(0.5)) / F.lit(float(tp)))
+        / F.lit(n_f)
+    ) * F.lit(360.0) - F.lit(180.0)
+    my = (
+        F.col("zy").cast("double") + (F.col("j").cast("double") + F.lit(0.5)) / F.lit(float(tp))
+    ) / F.lit(n_f)
+    g2 = base.select("pixel_id", "zx", "zy", lon.alias("lon"), my.alias("my"))
+    aa = F.lit(3.141592653589793) * (F.lit(1.0) - F.lit(2.0) * F.col("my"))
+    g3 = g2.select("pixel_id", "zx", "zy", "lon", aa.alias("aa"))
+    lat = F.atan((F.exp(F.col("aa")) - F.exp(F.lit(0.0) - F.col("aa"))) / F.lit(2.0)) * F.lit(
+        _DEG_PER_RAD
+    )
+    return g3.select("pixel_id", "zx", "zy", "lon", lat.alias("lat"))
+
+
+def q_mercator_warp(spark, sf_dir):
+    """Raster reprojection: warp the SRTM catalog onto the web-mercator
+    z/x/y grid (the tile-server product every slippy map consumes) —
+    sample each zoom-10 output tile at 32x32 pixel centers, inverse-
+    project to (lat, lon), nearest-lookup the REAL decoded HGT grids
+    through the broadcast engine, and roll up exact per-tile integer
+    stats. Pixels outside catalog coverage count as invalid (the mosaic
+    edge). The sample grid is a pure projection (spark.range, no source
+    scan); the elevation join is the zero-Exchange broadcast map; the
+    rollup is ONE hash aggregation on the output tile key."""
+    eng = get_engine(spark)
+    pixels = warp_pixel_grid(spark)
+    out = eng.elevation_join(
+        pixels, mode="nearest", strategy="broadcast", id_col="pixel_id"
+    )
+    e = F.col("elevation").cast("int")
+    return out.groupBy("zx", "zy").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.count("elevation").alias("n_valid"),
+        F.sum(e.cast("long")).alias("sum_elev"),
+        F.min(e).alias("min_elev"),
+        F.max(e).alias("max_elev"),
+    )
+
+
+def _mercator_warp_sql() -> str:
+    """Closed-form oracle: the same pixel grid rebuilt with generate_series
+    + integer div/mod, the same inverse-mercator op order, then the shared
+    keyed/pos/rc/nearest closed-form elevation fragments."""
+    zx_lo, zx_hi, zy_lo, zy_hi = _warp_tile_ranges()
+    tp = WARP_TILE_PX
+    ncols = zx_hi - zx_lo + 1
+    nrows = zy_hi - zy_lo + 1
+    total = ncols * nrows * tp * tp
+    per_tile = tp * tp
+    n_f = float(1 << WARP_ZOOM)
+    return f"""
+WITH grid AS (
+  SELECT id AS pixel_id,
+    {zx_lo} + (id // {per_tile}) % {ncols} AS zx,
+    {zy_lo} + (id // {per_tile}) // {ncols} AS zy,
+    id % {per_tile} % {tp} AS i,
+    (id % {per_tile}) // {tp} AS j
+  FROM (SELECT unnest(generate_series(0, {total - 1})) AS id)
+),
+g2 AS (
+  SELECT pixel_id, zx, zy,
+    ((CAST(zx AS DOUBLE) + (CAST(i AS DOUBLE) + 0.5) / {float(tp)!r}) / {n_f!r}) * 360.0 - 180.0 AS lon,
+    (CAST(zy AS DOUBLE) + (CAST(j AS DOUBLE) + 0.5) / {float(tp)!r}) / {n_f!r} AS my
+  FROM grid
+),
+g3 AS (
+  SELECT pixel_id, zx, zy, lon,
+    3.141592653589793 * (1.0 - 2.0 * my) AS aa
+  FROM g2
+),
+pts AS (
+  SELECT pixel_id, zx, zy, lon,
+    atan((exp(aa) - exp(0.0 - aa)) / 2.0) * {_DEG_PER_RAD!r} AS lat
+  FROM g3
+),
+keyed AS (
+  SELECT *,
+    CAST(floor(lat) AS INTEGER) AS tile_lat,
+    CAST(floor(lon) AS INTEGER) AS tile_lon,
+    (lat >= -60.0 AND lat <= 60.0 AND lon >= -180.0 AND lon <= 180.0) AS in_coverage,
+    ((CAST(floor(lat) AS INTEGER) = 35 AND CAST(floor(lon) AS INTEGER) = 138)
+     OR (CAST(floor(lat) AS INTEGER) = 35 AND CAST(floor(lon) AS INTEGER) = 139)
+     OR (CAST(floor(lat) AS INTEGER) = 36 AND CAST(floor(lon) AS INTEGER) = 138)) AS has_tile
+  FROM pts
+),
+pos AS (
+  SELECT *,
+    (1.0 - (lat - floor(lat))) * 1200.0 AS rp,
+    (lon - floor(lon)) * 1200.0 AS cp
+  FROM keyed
+),
+{_SQL_ROUND_RC.strip().rstrip()},
+ev AS (
+  SELECT zx, zy, {_SQL_NEAREST_ELEV.strip()} AS elevation FROM rc
+)
+SELECT zx, zy,
+  count(*) AS n_px,
+  count(elevation) AS n_valid,
+  CAST(sum(CAST(elevation AS BIGINT)) AS BIGINT) AS sum_elev,
+  min(elevation) AS min_elev,
+  max(elevation) AS max_elev
+FROM ev GROUP BY zx, zy
+"""
+
+
 def q_elevation_default_fill(spark, sf_dir):
     eng = get_engine(spark)
     pts = derive_points(_events(spark, sf_dir))
@@ -1430,6 +1582,7 @@ FROM r WHERE rank <= 3
     return {
         "continent_route": continent,
         "elevation_nearest": nearest,
+        "mercator_warp": _mercator_warp_sql(),
         "elevation_floor": floor_q,
         "elevation_bilinear": bilinear,
         "elevation_default_fill": default_fill,
@@ -1515,6 +1668,7 @@ def queries():
     return {
         "continent_route": q_continent_route,
         "elevation_nearest": q_elevation_nearest,
+        "mercator_warp": q_mercator_warp,
         "elevation_floor": q_elevation_floor,
         "elevation_bilinear": q_elevation_bilinear,
         "elevation_default_fill": q_elevation_default_fill,
