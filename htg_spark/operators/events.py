@@ -375,3 +375,92 @@ def props_stats(
             F.max("k").alias("max_k"),
         )
     )
+
+
+def simplify_trajectories(
+    pings: DataFrame,
+    epsilon2: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Douglas-Peucker polyline simplification per trajectory: keep the
+    minimal point subset such that every dropped point lies within
+    sqrt(epsilon2) (planar perpendicular distance to the kept chord) of
+    the simplified line — the standard pre-storage reducer for GPS tracks
+    and vector features (a 1 Hz track at walking speed typically drops
+    >90% of points at a few-meter epsilon).
+
+    Implementation: the classic stack-based DP (no recursion) inside ONE
+    applyInPandas over the user key — DP is inherently sequential per
+    polyline, so per-group Python is the honest kernel; the squared
+    perpendicular distance d2 = cross^2 / len2 avoids the sqrt entirely
+    (epsilon2 compares in squared units). Anchor==endpoint degeneracy
+    (closed loop chord, len2 = 0) falls back to point-to-anchor distance.
+    First and last points are always kept; single-point groups pass
+    through.
+
+    Scale shape: one hash Exchange on the user key; group size is a
+    trajectory, which real pipelines BOUND by sessionizing first
+    (trajectory_segments) — compose as segment-then-simplify and the key
+    becomes (user, segment_id), never an unbounded whole-history group.
+    Ordering inside a group is the deterministic (ts, id) total order.
+
+    Output: the kept pings (user, id, ts, lat, lon) plus n_in (group input
+    size) and pt_rank (0-based kept order along the trajectory)."""
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        f"{user_col} long, {id_col} long, {ts_col} timestamp_ntz, "
+        f"{lat_col} double, {lon_col} double, n_in long, pt_rank long"
+    )
+
+    def simplify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        xs = pdf[lon_col].to_numpy()
+        ys = pdf[lat_col].to_numpy()
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)] if n > 2 else []
+        while stack:
+            a, b = stack.pop()
+            if b - a < 2:
+                continue
+            ax, ay, bx, by = xs[a], ys[a], xs[b], ys[b]
+            vx, vy = bx - ax, by - ay
+            len2 = vx * vx + vy * vy
+            seg_x = xs[a + 1 : b]
+            seg_y = ys[a + 1 : b]
+            if len2 > 0.0:
+                cross = vx * (seg_y - ay) - vy * (seg_x - ax)
+                d2 = (cross * cross) / len2
+            else:
+                dx = seg_x - ax
+                dy = seg_y - ay
+                d2 = dx * dx + dy * dy
+            k = int(np.argmax(d2))
+            if d2[k] > epsilon2:
+                m = a + 1 + k
+                keep[m] = True
+                stack.append((a, m))
+                stack.append((m, b))
+        out = pdf.loc[keep, [user_col, id_col, ts_col, lat_col, lon_col]].copy()
+        out["n_in"] = n
+        out["pt_rank"] = np.arange(keep.sum(), dtype=np.int64)
+        return out
+
+    # explicit-count repartition on the group key: AQE sizes the Exchange
+    # by shuffle BYTES and coalesces this small-but-compute-heavy stage to
+    # ~2 tasks (measured 6.9 s at sf0.1); the pinned hash partitioning
+    # satisfies the groupBy's ClusteredDistribution, so no second shuffle
+    sess = pings.sparkSession
+    n_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        pings.repartition(n_parts, user_col)
+        .groupBy(user_col)
+        .applyInPandas(simplify, schema)
+    )

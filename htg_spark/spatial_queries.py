@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from . import cells
 from .driver_queries import _SQL_PTS, derive_points
 from .operators import geo_misc
-from .operators.events import trajectory_segments
+from .operators.events import simplify_trajectories, trajectory_segments
 
 GEOHASH_PRECISION = 6
 RADIUS_SCALE = 2048  # r = 2^-11 deg — ~4.9 steps of the fixture's 1e-4 lattice
@@ -36,6 +36,7 @@ MERCATOR_ZOOM = 12  # 4096x4096 slippy grid — ~0.088 deg/tile
 MERCATOR_PARENT = 9  # rollup level: quadkey prefix length of the parent key
 DENSITY_TILE_PX = 64  # density render: 64x64 gray8 pixels per zoom-12 tile
 SNAP_SCALE = 256  # segment snapping radius r = 2^-8 deg (exact double)
+SIMPLIFY_EPS2 = 0.0625  # Douglas-Peucker tolerance^2 = 2^-4 (exact double)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,6 +160,15 @@ def q_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_trajectory_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id", "ts"))
     return trajectory_segments(pts, cut_d2=TRAJ_CUT_D2)
+
+
+def q_simplify_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker per-user track simplification at eps^2 = 2^-4
+    (events.simplify_trajectories). The oracle replays the subdivision as
+    a recursive interval CTE — pivots are exactly the interval endpoints
+    the closure accumulates."""
+    pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id", "ts"))
+    return simplify_trajectories(pts, epsilon2=SIMPLIFY_EPS2)
 
 
 def q_cell_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,6 +418,85 @@ FROM g GROUP BY user_id, grp
 """
 
 
+def _dp_d2_sql(p: str) -> str:
+    """Squared perpendicular distance of point alias `p` to the chord
+    pa->pb — token-mirrors the operator's NumPy kernel (cross^2 / len2,
+    point-to-anchor fallback when the chord endpoints coincide)."""
+    vx = "(pb.lon - pa.lon)"
+    vy = "(pb.lat - pa.lat)"
+    len2 = f"({vx} * {vx} + {vy} * {vy})"
+    cross = f"({vx} * ({p}.lat - pa.lat) - {vy} * ({p}.lon - pa.lon))"
+    pt = (
+        f"(({p}.lon - pa.lon) * ({p}.lon - pa.lon) "
+        f"+ ({p}.lat - pa.lat) * ({p}.lat - pa.lat))"
+    )
+    return f"CASE WHEN {len2} > 0.0 THEN ({cross} * {cross}) / {len2} ELSE {pt} END"
+
+
+def _simplify_oracle_sql(eps2: float = SIMPLIFY_EPS2) -> str:
+    """Recursive-CTE replay of the Douglas-Peucker subdivision: the
+    working set is the interval tree; each interval's pivot is the
+    strictly-farthest interior point (tie -> lowest index, the np.argmax
+    rule) found via a NOT-EXISTS argmax (aggregates are not allowed in a
+    recursive term); children intervals are emitted UNFILTERED so every
+    pivot appears as an interval endpoint — the kept set is exactly the
+    distinct endpoints of the closure plus each track's first/last point.
+    ix is MATERIALIZED per the dbscan-oracle precedent (DuckDB otherwise
+    re-evaluates it every recursion step)."""
+    d2p, d2q = _dp_d2_sql("p"), _dp_d2_sql("q")
+    pts = _SQL_PTS.strip().replace("WITH pts AS (", "WITH RECURSIVE pts AS (", 1)
+    return f"""
+{pts},
+j AS (
+  SELECT e.user_id, p.event_id, e.ts, p.lat, p.lon
+  FROM pts p JOIN events e USING (event_id)
+),
+ix AS MATERIALIZED (
+  SELECT user_id, event_id, ts, lat, lon,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - 1 AS idx,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM j
+),
+iv(user_id, a, b) AS (
+  SELECT user_id, CAST(0 AS BIGINT), CAST(n - 1 AS BIGINT)
+  FROM (SELECT DISTINCT user_id, n FROM ix) roots WHERE n > 2
+  UNION
+  SELECT s.user_id,
+    CASE WHEN sd.side = 0 THEN s.a ELSE p.idx END,
+    CASE WHEN sd.side = 0 THEN p.idx ELSE s.b END
+  FROM iv s
+  JOIN ix pa ON pa.user_id = s.user_id AND pa.idx = s.a
+  JOIN ix pb ON pb.user_id = s.user_id AND pb.idx = s.b
+  JOIN ix p ON p.user_id = s.user_id AND p.idx > s.a AND p.idx < s.b
+  CROSS JOIN (SELECT unnest([0, 1]) AS side) sd
+  WHERE {d2p} > {eps2!r}
+    AND NOT EXISTS (
+      SELECT 1 FROM ix q
+      WHERE q.user_id = s.user_id AND q.idx > s.a AND q.idx < s.b
+        AND ({d2q} > {d2p} OR ({d2q} = {d2p} AND q.idx < p.idx))
+    )
+),
+kept_idx AS (
+  -- explicit outer DISTINCT: DuckDB 1.0 does not reliably set-dedupe a
+  -- UNION whose branches reference the recursive CTE more than once
+  -- (measured: one duplicate endpoint row per track without it)
+  SELECT DISTINCT user_id, idx FROM (
+    SELECT user_id, a AS idx FROM iv
+    UNION ALL SELECT user_id, b AS idx FROM iv
+    UNION ALL SELECT user_id, 0 AS idx FROM (SELECT DISTINCT user_id FROM ix) u1
+    UNION ALL SELECT user_id, n - 1 AS idx FROM (SELECT DISTINCT user_id, n FROM ix) u2
+  ) z
+),
+kept AS (
+  SELECT i.user_id, i.event_id, i.ts, i.lat, i.lon, i.n AS n_in, i.idx
+  FROM ix i JOIN kept_idx k ON k.user_id = i.user_id AND k.idx = i.idx
+)
+SELECT user_id, event_id, ts, lat, lon, CAST(n_in AS BIGINT) AS n_in,
+  row_number() OVER (PARTITION BY user_id ORDER BY idx ASC) - 1 AS pt_rank
+FROM kept
+"""
+
+
 def _cell_smooth_oracle_sql() -> str:
     """Level-4 fine-grid coordinates via the same tile+subcell decomposition
     the cell_heatmap oracle pins (identical IEEE ops), then the all-integer
@@ -511,6 +600,7 @@ def queries():
         "radius_neighbors": q_radius_neighbors,
         "idw_grid": q_idw_grid,
         "trajectory_segments": q_trajectory_segments,
+        "simplify_track": q_simplify_track,
         "cell_smooth": q_cell_smooth,
         "dbscan_clusters": q_dbscan_clusters,
     }
@@ -525,6 +615,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_neighbors": _radius_oracle_sql(),
         "idw_grid": _idw_oracle_sql(),
         "trajectory_segments": _trajectory_oracle_sql(),
+        "simplify_track": _simplify_oracle_sql(),
         "cell_smooth": _cell_smooth_oracle_sql(),
         "dbscan_clusters": _dbscan_oracle_sql(),
     }

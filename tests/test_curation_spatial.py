@@ -734,3 +734,83 @@ def test_snap_to_segments_matches_quadratic(spark):
 def test_snap_rejects_non_power_of_two(spark):
     with pytest.raises(ValueError):
         geo_misc.snap_to_segments(None, None, scale=100)
+
+
+# --- Douglas-Peucker simplification ------------------------------------------
+
+
+def dp_reference(xs, ys, eps2):
+    """Independent RECURSIVE Douglas-Peucker (vs the operator's stack form)."""
+    n = len(xs)
+    if n <= 2:
+        return set(range(n))
+    keep = {0, n - 1}
+
+    def rec(a, b):
+        if b - a < 2:
+            return
+        ax, ay, bx, by = xs[a], ys[a], xs[b], ys[b]
+        vx, vy = bx - ax, by - ay
+        len2 = vx * vx + vy * vy
+        best_k, best_d2 = None, -1.0
+        for m in range(a + 1, b):
+            if len2 > 0.0:
+                cross = vx * (ys[m] - ay) - vy * (xs[m] - ax)
+                d2 = (cross * cross) / len2
+            else:
+                d2 = (xs[m] - ax) ** 2 + (ys[m] - ay) ** 2
+            if d2 > best_d2:
+                best_k, best_d2 = m, d2
+        if best_d2 > eps2:
+            keep.add(best_k)
+            rec(a, best_k)
+            rec(best_k, b)
+
+    rec(0, n - 1)
+    return keep
+
+
+def test_simplify_trajectories_matches_recursive_reference(spark):
+    import datetime as dt
+
+    from htg_spark.operators.events import simplify_trajectories
+
+    rng = np.random.default_rng(41)
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    paths = {}
+    for user in range(6):
+        n = int(rng.integers(2, 60))
+        xs = np.cumsum(rng.uniform(-0.01, 0.012, n)) + 138.0
+        ys = np.cumsum(rng.uniform(-0.008, 0.01, n)) + 35.0
+        paths[user] = (xs, ys)
+        for k in range(n):
+            rows.append((user, user * 1000 + k, base + dt.timedelta(seconds=k), float(ys[k]), float(xs[k])))
+    # degenerate groups: single point; straight line; closed loop (len2=0)
+    paths[6] = (np.array([10.0]), np.array([5.0]))
+    rows.append((6, 6000, base, 5.0, 10.0))
+    line_x = 20.0 + np.arange(10) * 0.001
+    paths[7] = (line_x, np.full(10, 7.0))
+    rows += [(7, 7000 + k, base + dt.timedelta(seconds=k), 7.0, float(line_x[k])) for k in range(10)]
+    loop_x = np.array([30.0, 30.01, 30.005, 30.0])
+    loop_y = np.array([8.0, 8.0, 8.02, 8.0])
+    paths[8] = (loop_x, loop_y)
+    rows += [(8, 8000 + k, base + dt.timedelta(seconds=k), float(loop_y[k]), float(loop_x[k])) for k in range(4)]
+
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lat double, lon double"
+    )
+    eps2 = (0.002) ** 2
+    out = simplify_trajectories(df, epsilon2=eps2).toPandas()
+    for user, (xs, ys) in paths.items():
+        want = dp_reference(xs, ys, eps2)
+        got_rows = out[out.user_id == user].sort_values("pt_rank")
+        got = set(got_rows["event_id"] - user * 1000)
+        assert got == want, user
+        assert (got_rows["n_in"] == len(xs)).all()
+        # kept order follows the trajectory order
+        assert got_rows["event_id"].is_monotonic_increasing
+    # the straight line simplifies to its endpoints
+    assert set(out[out.user_id == 7]["event_id"]) == {7000, 7009}
+    # the closed loop keeps its off-chord spike via the len2=0 fallback
+    assert 8002 in set(out[out.user_id == 8]["event_id"])
