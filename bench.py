@@ -196,6 +196,7 @@ def main():
         ("idw_grid", _sq.q_idw_grid),
         ("trajectory_segments", _sq.q_trajectory_segments),
         ("simplify_track", _sq.q_simplify_track),
+        ("resample_track", _sq.q_resample_track),
         ("cell_smooth", _sq.q_cell_smooth),
         ("dbscan_clusters", _sq.q_dbscan_clusters),
         ("point_in_polygon", _polyq.q_point_in_polygon),

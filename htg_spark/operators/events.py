@@ -464,3 +464,100 @@ def simplify_trajectories(
         .groupBy(user_col)
         .applyInPandas(simplify, schema)
     )
+
+
+def resample_tracks(
+    pings: DataFrame,
+    step_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Time-regular track resampling: per user, emit one linearly
+    interpolated position every `step_us` microseconds on the grid
+    t0 + k*step anchored at the user's FIRST ping, from t0 through the
+    last ping. The standard normalizer before any fixed-rate trajectory
+    model (speed/heading features, map matching, sequence models) —
+    irregular GPS pings in, a constant-rate track out.
+
+    Semantics: each grid instant t binds to the unique ping interval
+    [t_i, t_{i+1}) containing it under the (ts, id) total order;
+    frac = (t - t_i) / (t_{i+1} - t_i) as the ONE double division of two
+    exact integer-microsecond deltas, then lat = lat_i + (lat_{i+1} -
+    lat_i) * frac (same op order as the DuckDB oracle — bit-exact). A
+    grid instant landing exactly on a ping takes that ping's coordinates
+    (frac = 0); duplicate-timestamp pings form empty intervals, so the
+    instant binds to the LAST tie — deterministic on both engines. The
+    final ping emits a sample iff it falls on the grid.
+
+    Scale shape: ONE hash Exchange on the user key serves the lead/first
+    window pass; grid emission is a map-side integer `sequence` explode
+    over each interval (never a time-grid join, never a per-group
+    collect); interval grid indices are exact BIGINT ceil-divisions. Row
+    explosion is bounded by duration/step per user — pick step_us at the
+    target rate, or sessionize first to bound trajectory spans.
+
+    Output: (user_id, grid_idx, ts = t0 + grid_idx*step as timestamp_ntz,
+    lat, lon)."""
+    step = int(step_us)
+    if step <= 0:
+        raise ValueError(f"step_us must be positive, got {step_us}")
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    staged = pings.select(
+        user_col, id_col, lat_col, lon_col, us.alias("_us")
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    )
+    iv = staged.select(
+        user_col,
+        F.col(lat_col).alias("_lat"),
+        F.col(lon_col).alias("_lon"),
+        "_us",
+        F.first("_us").over(w).alias("_t0"),
+        F.lead("_us").over(w).alias("_nus"),
+        F.lead(lat_col).over(w).alias("_nlat"),
+        F.lead(lon_col).over(w).alias("_nlon"),
+    )
+    st = F.lit(step).cast("long")
+    # exact BIGINT ceil((t - t0)/step) via `div` — never a double divide
+    # (epoch-micros deltas can exceed 2^53 on long-span data)
+    k_start = F.expr(f"(_us - _t0 + {step - 1}) div {step}")
+    k_end = F.expr(f"(_nus - _t0 + {step - 1}) div {step}")
+    ks = F.when(
+        F.col("_nus").isNotNull() & (k_end > k_start),
+        F.sequence(k_start, k_end - F.lit(1)),
+    ).when(
+        # last ping: emit iff it sits exactly on the grid
+        F.col("_nus").isNull() & ((F.col("_us") - F.col("_t0")) % st == 0),
+        F.array(k_start),
+    )
+    expl = iv.select(
+        user_col, "_lat", "_lon", "_us", "_t0", "_nus", "_nlat", "_nlon",
+        F.explode(ks).alias("grid_idx"),
+    )
+    t = F.col("_t0") + F.col("grid_idx") * st
+    frac = (t - F.col("_us")).cast("double") / (
+        F.col("_nus") - F.col("_us")
+    ).cast("double")
+    lat_o = F.when(t == F.col("_us"), F.col("_lat")).otherwise(
+        F.col("_lat") + (F.col("_nlat") - F.col("_lat")) * frac
+    )
+    lon_o = F.when(t == F.col("_us"), F.col("_lon")).otherwise(
+        F.col("_lon") + (F.col("_nlon") - F.col("_lon")) * frac
+    )
+    return expl.select(
+        user_col,
+        "grid_idx",
+        F.timestamp_add(
+            "MICROSECOND", t, F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        ).alias(ts_col),
+        lat_o.alias(lat_col),
+        lon_o.alias(lon_col),
+    )

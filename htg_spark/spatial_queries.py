@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 from . import cells
 from .driver_queries import _SQL_PTS, derive_points
 from .operators import geo_misc
-from .operators.events import simplify_trajectories, trajectory_segments
+from .operators.events import (
+    resample_tracks,
+    simplify_trajectories,
+    trajectory_segments,
+)
 
 GEOHASH_PRECISION = 6
 RADIUS_SCALE = 2048  # r = 2^-11 deg — ~4.9 steps of the fixture's 1e-4 lattice
@@ -37,6 +41,7 @@ MERCATOR_PARENT = 9  # rollup level: quadkey prefix length of the parent key
 DENSITY_TILE_PX = 64  # density render: 64x64 gray8 pixels per zoom-12 tile
 SNAP_SCALE = 256  # segment snapping radius r = 2^-8 deg (exact double)
 SIMPLIFY_EPS2 = 0.0625  # Douglas-Peucker tolerance^2 = 2^-4 (exact double)
+RESAMPLE_STEP_US = 3_600_000_000  # 1-hour grid (exact integer microseconds)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,6 +174,17 @@ def q_simplify_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     the closure accumulates."""
     pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id", "ts"))
     return simplify_trajectories(pts, epsilon2=SIMPLIFY_EPS2)
+
+
+
+def q_resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-regular track resampling on a 1-hour grid anchored at each
+    user's first ping (events.resample_tracks): linear interpolation
+    between bracketing pings, one window pass + map-side sequence
+    explode, one Exchange. ~10 grid samples per ping interval at the
+    fixture cadence."""
+    pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id", "ts"))
+    return resample_tracks(pts, step_us=RESAMPLE_STEP_US)
 
 
 def q_cell_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,6 +513,54 @@ FROM kept
 """
 
 
+
+def _resample_oracle_sql(step: int = RESAMPLE_STEP_US) -> str:
+    """Token-mirror of resample_tracks: identical (ts, id) windows, exact
+    BIGINT ceil-division grid indices (`//` = DuckDB integer division),
+    the same single double-division frac and interpolation op order, and
+    the same last-ping-on-grid rule. epoch_us matches Spark's
+    TIMESTAMP_NTZ microsecond diff bit-exactly (CLAUDE.md); the grid
+    instants come back via make_timestamp(micros) (naive)."""
+    return f"""
+{_SQL_PTS.strip()},
+j AS (
+  SELECT e.user_id, p.event_id, epoch_us(e.ts) AS us, p.lat, p.lon
+  FROM pts p JOIN events e USING (event_id)
+),
+iv AS (
+  SELECT user_id, lat, lon, us,
+    first_value(us) OVER w AS t0,
+    lead(us) OVER w AS nus,
+    lead(lat) OVER w AS nlat,
+    lead(lon) OVER w AS nlon
+  FROM j
+  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+),
+expl AS (
+  SELECT user_id, lat, lon, us, t0, nus, nlat, nlon,
+    unnest(CASE
+      WHEN nus IS NOT NULL
+           AND (nus - t0 + {step - 1}) // {step} > (us - t0 + {step - 1}) // {step}
+        THEN generate_series((us - t0 + {step - 1}) // {step},
+                             (nus - t0 + {step - 1}) // {step} - 1)
+      WHEN nus IS NULL AND (us - t0) % {step} = 0
+        THEN [(us - t0 + {step - 1}) // {step}]
+      ELSE []
+    END) AS grid_idx
+  FROM iv
+)
+SELECT user_id, grid_idx,
+  make_timestamp(t0 + grid_idx * {step}) AS ts,
+  CASE WHEN t0 + grid_idx * {step} = us THEN lat
+       ELSE lat + (nlat - lat) * (CAST(t0 + grid_idx * {step} - us AS DOUBLE)
+                                  / CAST(nus - us AS DOUBLE)) END AS lat,
+  CASE WHEN t0 + grid_idx * {step} = us THEN lon
+       ELSE lon + (nlon - lon) * (CAST(t0 + grid_idx * {step} - us AS DOUBLE)
+                                  / CAST(nus - us AS DOUBLE)) END AS lon
+FROM expl
+"""
+
+
 def _cell_smooth_oracle_sql() -> str:
     """Level-4 fine-grid coordinates via the same tile+subcell decomposition
     the cell_heatmap oracle pins (identical IEEE ops), then the all-integer
@@ -601,6 +665,7 @@ def queries():
         "idw_grid": q_idw_grid,
         "trajectory_segments": q_trajectory_segments,
         "simplify_track": q_simplify_track,
+        "resample_track": q_resample_track,
         "cell_smooth": q_cell_smooth,
         "dbscan_clusters": q_dbscan_clusters,
     }
@@ -616,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         "idw_grid": _idw_oracle_sql(),
         "trajectory_segments": _trajectory_oracle_sql(),
         "simplify_track": _simplify_oracle_sql(),
+        "resample_track": _resample_oracle_sql(),
         "cell_smooth": _cell_smooth_oracle_sql(),
         "dbscan_clusters": _dbscan_oracle_sql(),
     }

@@ -814,3 +814,82 @@ def test_simplify_trajectories_matches_recursive_reference(spark):
     assert set(out[out.user_id == 7]["event_id"]) == {7000, 7009}
     # the closed loop keeps its off-chord spike via the len2=0 fallback
     assert 8002 in set(out[out.user_id == 8]["event_id"])
+
+
+# --- time-regular track resampling -------------------------------------------
+
+
+def resample_reference(pings, step):
+    """Independent per-user reference: explicit grid scan with bisect
+    bracket search (vs the operator's interval-explode form). pings =
+    sorted [(us, lat, lon)] by (us, id)."""
+    t0 = pings[0][0]
+    t_last = pings[-1][0]
+    out = []
+    k = 0
+    while t0 + k * step <= t_last:
+        t = t0 + k * step
+        # bind to the interval [t_i, t_{i+1}) containing t; ties -> last
+        i = max(j for j in range(len(pings)) if pings[j][0] <= t)
+        us, lat, lon = pings[i]
+        if t == us:
+            out.append((k, t, lat, lon))
+        else:
+            nus, nlat, nlon = pings[i + 1]
+            frac = float(t - us) / float(nus - us)
+            out.append((k, t, lat + (nlat - lat) * frac, lon + (nlon - lon) * frac))
+        k += 1
+    return out
+
+
+def test_resample_tracks_matches_reference(spark):
+    import datetime as dt
+
+    from htg_spark.operators.events import resample_tracks
+
+    base = dt.datetime(2026, 1, 1)
+    step = 60_000_000  # 1 minute
+    rows, expect = [], {}
+    rng = np.random.default_rng(43)
+    specs = {
+        0: [0, 37, 95, 181, 240],          # irregular; ends on-grid (240 s)
+        1: [0, 50, 130],                   # ends off-grid (130 s)
+        2: [0],                            # single ping -> one sample
+        3: [0, 60, 60, 60, 200],           # duplicate timestamps (tie -> last)
+    }
+    for user, secs in specs.items():
+        pings = []
+        for k, sec in enumerate(secs):
+            lat = float(rng.uniform(35, 36))
+            lon = float(rng.uniform(138, 139))
+            rows.append((user, user * 100 + k, base + dt.timedelta(seconds=sec), lat, lon))
+            pings.append((sec * 1_000_000, lat, lon))
+        # duplicate-ts ties: reference keeps them in id order (stable)
+        expect[user] = resample_reference(pings, step)
+
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lat double, lon double"
+    )
+    out = resample_tracks(df, step_us=step).toPandas()
+    for user, want in expect.items():
+        got = out[out.user_id == user].sort_values("grid_idx")
+        assert list(got["grid_idx"]) == [w[0] for w in want], user
+        assert list(got["lat"]) == [w[2] for w in want], user
+        assert list(got["lon"]) == [w[3] for w in want], user
+        ts_us = [
+            int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+            for t in got["ts"]
+        ]
+        base_us = int((base - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        assert ts_us == [base_us + w[1] for w in want], user
+    # user 1 ends off-grid: last sample at 120 s, not 130
+    assert out[out.user_id == 1]["grid_idx"].max() == 2
+    # user 2: exactly the single ping back
+    assert len(out[out.user_id == 2]) == 1
+
+
+def test_resample_tracks_rejects_bad_step():
+    from htg_spark.operators.events import resample_tracks
+
+    with pytest.raises(ValueError):
+        resample_tracks(None, step_us=0)
