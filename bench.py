@@ -204,6 +204,7 @@ def main():
         ("polygon_zonal_stats", _polyq.q_polygon_zonal_stats),
         ("images_in_polygon", _polyq.q_images_in_polygon),
         ("geojson_containment", _polyq.q_geojson_containment),
+        ("geofence_dwell", _polyq.q_geofence_dwell),
         ("terrain_horn", _tq.q_terrain_horn),
         ("terrain_cogroup", _tq.q_terrain_cogroup),
         ("tile_hillshade_stats", _tq.q_tile_hillshade_stats),

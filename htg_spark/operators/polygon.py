@@ -437,3 +437,92 @@ def polygon_metrics(polygons: DataFrame, ring_col: str = "ring") -> DataFrame:
         F.when(a2 != 0.0, acc["sy"] / (a2 * F.lit(3.0))).alias("cy"),
         acc["pl"].alias("perimeter"),
     )
+
+
+def geofence_dwell(
+    pings: DataFrame,
+    polygons: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    x_col: str = "px",
+    y_col: str = "py",
+    poly_id: str = "poly_id",
+    ring_col: str = "ring",
+    level: int = 1,
+) -> DataFrame:
+    """Geofence dwell analytics: per (user, polygon), how long the user's
+    piecewise-constant position state sat inside the fence and how many
+    distinct visits that was — the store-visit / zone-occupancy rollup
+    run over every location stream at scale. Composes point_in_polygon_join
+    (the map-only broadcast PNPOLY join) with the sessionization window
+    machinery.
+
+    Semantics: a ping's state holds until the NEXT ping (the standard
+    last-observation-carried-forward model), so each inside-ping whose
+    user has a later ping contributes (next_ts - ts) microseconds of
+    dwell; the user's last ping contributes 0 (unknown horizon, counted
+    in n_inside but not dwell). A visit (entry) starts at any inside-ping
+    whose immediate predecessor on the user's FULL timeline was not
+    inside the same fence. Overlapping fences accrue independently.
+    Ordering ties break by event id — total and reproducible.
+
+    Scale shape: window 1 (row_number + lead over the user key) is ONE
+    hash Exchange; the PNPOLY join stays map-only broadcast; window 2 and
+    the final rollup share ONE (user, poly) Exchange (grouping keys
+    prefix the partition key). Exact integer-microsecond sums — no float
+    time math, bit-reproducible at any partitioning.
+
+    Output: (user_id, poly_id, n_inside, n_entries, dwell_us).
+    """
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    from pyspark.sql.window import Window
+
+    staged = pings.select(user_col, id_col, x_col, y_col, us.alias("_us"))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    )
+    timeline = staged.select(
+        user_col,
+        x_col,
+        y_col,
+        "_us",
+        F.row_number().over(w).alias("_rn"),
+        F.lead("_us").over(w).alias("_nus"),
+    )
+    inside = point_in_polygon_join(
+        timeline,
+        polygons,
+        x_col=x_col,
+        y_col=y_col,
+        poly_id=poly_id,
+        ring_col=ring_col,
+        level=level,
+        strategy="broadcast",
+        exact="fold",
+    )
+    w2 = Window.partitionBy(user_col, poly_id).orderBy(F.col("_rn").asc())
+    prev_rn = F.lag("_rn").over(w2)
+    flagged = inside.select(
+        user_col,
+        poly_id,
+        "_us",
+        "_nus",
+        (prev_rn.isNull() | (prev_rn != F.col("_rn") - F.lit(1)))
+        .cast("long")
+        .alias("_entry"),
+    )
+    return flagged.groupBy(user_col, poly_id).agg(
+        F.count(F.lit(1)).alias("n_inside"),
+        F.sum("_entry").alias("n_entries"),
+        F.sum(
+            F.when(F.col("_nus").isNotNull(), F.col("_nus") - F.col("_us")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("dwell_us"),
+    )

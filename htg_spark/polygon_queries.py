@@ -57,7 +57,9 @@ def derive_polygons(nation: DataFrame) -> DataFrame:
     return base.select("poly_id", ring.alias("ring"))
 
 
-def derive_pip_points(events: DataFrame) -> DataFrame:
+def derive_pip_points(
+    events: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(event_id, px, py) — half clustered at the star of event_id%25
     (within +-2 deg of its center), half spread globally. Mirrors _SQL_PTS."""
     e = F.col("event_id")
@@ -77,7 +79,7 @@ def derive_pip_points(events: DataFrame) -> DataFrame:
     ).otherwise(
         F.lit(-58.0) + ((e * 13 + u) % 116000).cast("double") / F.lit(1000.0)
     )
-    return events.select("event_id", px.alias("px"), py.alias("py"))
+    return events.select("event_id", *extra_cols, px.alias("px"), py.alias("py"))
 
 
 def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,6 +535,74 @@ FROM folds
 """
 
 
+
+def q_geofence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, fence) dwell time + visit count over the pip fixture
+    (poly_op.geofence_dwell): PNPOLY broadcast join composed with the
+    sessionization windows; exact integer-microsecond dwell."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pts = derive_pip_points(events, extra_cols=("user_id", "ts"))
+    return poly_op.geofence_dwell(
+        pts, derive_polygons(nation), level=PIP_LEVEL
+    )
+
+
+
+def _dwell_oracle_sql() -> str:
+    """Token-mirror of geofence_dwell: the user timeline (row_number +
+    lead on exact epoch micros, ties by event id) built BEFORE the PNPOLY
+    parity test; entry = predecessor-on-full-timeline not inside the same
+    fence; all sums exact BIGINT."""
+    return f"""
+WITH {_SQL_POLYS.strip()},
+{_SQL_PTS.strip()},
+tl AS (
+  SELECT e.user_id, p.event_id, p.px, p.py,
+    epoch_us(e.ts) AS us,
+    row_number() OVER w AS rn,
+    lead(epoch_us(e.ts)) OVER w AS nus
+  FROM pts p JOIN events e USING (event_id)
+  WINDOW w AS (PARTITION BY e.user_id ORDER BY epoch_us(e.ts) ASC, e.event_id ASC)
+),
+edges AS (
+  SELECT poly_id, cx, cy, r,
+         cx + o.dx1 * r AS x1, cy + o.dy1 * r AS y1,
+         cx + o.dx2 * r AS x2, cy + o.dy2 * r AS y2
+  FROM polys
+  CROSS JOIN (VALUES {_edges_values_sql()}) AS o(dx1, dy1, dx2, dy2)
+),
+cand AS (
+  SELECT t.user_id, t.rn, t.us, t.nus, t.px, t.py,
+         e.poly_id, e.x1, e.y1, e.x2, e.y2
+  FROM tl t JOIN edges e
+    ON t.px >= e.cx - e.r AND t.px <= e.cx + e.r
+   AND t.py >= e.cy - e.r AND t.py <= e.cy + e.r
+),
+hits AS (
+  SELECT user_id, rn, us, nus, poly_id,
+         SUM(CASE WHEN (y1 > py) <> (y2 > py)
+                  THEN CASE WHEN px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                            THEN 1 ELSE 0 END
+                  ELSE 0 END) AS crossings
+  FROM cand
+  GROUP BY user_id, rn, us, nus, poly_id, px, py
+),
+flagged AS (
+  SELECT user_id, poly_id, us, nus,
+    CASE WHEN lag(rn) OVER w2 IS NULL OR lag(rn) OVER w2 <> rn - 1
+         THEN 1 ELSE 0 END AS entry
+  FROM hits WHERE crossings % 2 = 1
+  WINDOW w2 AS (PARTITION BY user_id, poly_id ORDER BY rn ASC)
+)
+SELECT user_id, poly_id,
+  count(*) AS n_inside,
+  CAST(sum(entry) AS BIGINT) AS n_entries,
+  CAST(sum(CASE WHEN nus IS NOT NULL THEN nus - us ELSE 0 END) AS BIGINT) AS dwell_us
+FROM flagged GROUP BY user_id, poly_id
+"""
+
+
 def queries():
     return {
         "point_in_polygon": q_point_in_polygon,
@@ -540,6 +610,7 @@ def queries():
         "polygon_zonal_stats": q_polygon_zonal_stats,
         "images_in_polygon": q_images_in_polygon,
         "geojson_containment": q_geojson_containment,
+        "geofence_dwell": q_geofence_dwell,
     }
 
 
@@ -550,4 +621,5 @@ def oracle_sql():
         "polygon_zonal_stats": _zonal_oracle_sql(),
         "images_in_polygon": _images_pip_oracle_sql(),
         "geojson_containment": _geojson_oracle_sql(),
+        "geofence_dwell": _dwell_oracle_sql(),
     }

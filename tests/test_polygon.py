@@ -430,3 +430,52 @@ def test_polygon_metrics_exact_and_plan(spark):
     )
     d = polygon_metrics(degen).collect()[0]
     assert d.area == 0.0 and d.cx is None and d.cy is None  # no IEEE inf leak
+
+
+# --- geofence dwell -----------------------------------------------------------
+
+
+def test_geofence_dwell_semantics(spark):
+    import datetime as dt
+
+    from htg_spark.operators.polygon import geofence_dwell
+
+    # two unit squares; square 1 overlaps square 0 on its right half
+    polys = spark.createDataFrame(
+        [
+            (0, [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]),
+            (1, [(1.0, 0.0), (3.0, 0.0), (3.0, 2.0), (1.0, 2.0)]),
+        ],
+        POLY_SCHEMA,
+    )
+    base = dt.datetime(2026, 1, 1)
+    # user 0 walk (seconds, x, y):
+    #   0s  (0.5, 1.0)  in 0 only
+    #  10s  (1.5, 1.0)  in both           (entry into 1)
+    #  25s  (5.0, 5.0)  outside           (exit both)
+    #  40s  (0.5, 0.5)  in 0 only         (re-entry into 0)
+    #  60s  (0.5, 1.5)  in 0 only         (continuation; last ping -> 0 dwell)
+    # user 1: single ping inside 1 only -> n_inside 1, dwell 0, 1 entry
+    rows = [
+        (0, 1, base, 0.5, 1.0),
+        (0, 2, base + dt.timedelta(seconds=10), 1.5, 1.0),
+        (0, 3, base + dt.timedelta(seconds=25), 5.0, 5.0),
+        (0, 4, base + dt.timedelta(seconds=40), 0.5, 0.5),
+        (0, 5, base + dt.timedelta(seconds=60), 0.5, 1.5),
+        (1, 6, base, 2.5, 0.5),
+    ]
+    pings = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, px double, py double"
+    )
+    out = {
+        (r["user_id"], r["poly_id"]): (r["n_inside"], r["n_entries"], r["dwell_us"])
+        for r in geofence_dwell(pings, polys).collect()
+    }
+    assert out == {
+        # poly 0: pings 1,2 (one visit, 10+15 s) + 4,5 (second visit, 20 s + last-ping 0)
+        (0, 0): (4, 2, 45_000_000),
+        # poly 1: ping 2 only (one visit, 15 s until ping 3)
+        (0, 1): (1, 1, 15_000_000),
+        # user 1: single ping in poly 1, no successor -> 0 dwell
+        (1, 1): (1, 1, 0),
+    }
