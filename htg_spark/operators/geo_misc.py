@@ -699,3 +699,119 @@ def snap_to_segments(
         F.col("_m.d2").alias("snap_d2"),
         F.col("_m.t").alias("snap_t"),
     )
+
+
+def convex_hulls(
+    pings: DataFrame,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-trajectory convex hull (gift wrapping / Jarvis march): the
+    activity-range primitive — each user's ping cloud reduced to its hull
+    vertices, from which range area / perimeter / containment all derive.
+
+    Degenerate-float discipline: convex hulls on lattice-like coordinates
+    hinge on orientation tests of NEARLY collinear triples, where the
+    sign is pure rounding noise — so the kernel and the DuckDB oracle run
+    the SAME algorithm with a token-mirrored cross product
+    ``(px-cx)*(qy-cy) - (py-cy)*(qx-cx)`` on identical input bits,
+    making every degenerate decision identical rather than "close".
+    Duplicate coordinates are deduped first (min event id per (lon, lat)
+    — deterministic); the march starts at the lexicographic (lon, lat)
+    minimum and picks as next vertex the unique point with NO other point
+    strictly right of the ray (collinear ties -> farthest), so true
+    collinear interiors are dropped and a fully collinear cloud reduces
+    to its two endpoints. O(n·h) per group — bound n by sessionizing
+    first (same note as simplify_trajectories).
+
+    Scale shape: one groupBy(user).agg for the dedupe and ONE
+    applyInPandas over the user key, both served by a single hash
+    Exchange (explicit-count repartition pins the parallelism — the AQE
+    byte-coalescing trap documented on simplify_trajectories).
+
+    Output: (user_id, hull_rank, event_id, lon, lat, n_pts) — hull
+    vertices in march order (rank 0 = start), n_pts = distinct
+    coordinates in the user's cloud."""
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        f"{user_col} long, hull_rank long, {id_col} long, "
+        f"{lon_col} double, {lat_col} double, n_pts long"
+    )
+
+    def march(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([lon_col, lat_col]).reset_index(drop=True)
+        xs = pdf[lon_col].to_numpy()
+        ys = pdf[lat_col].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        user = pdf[user_col].iloc[0]
+        hull = [0]  # lexicographic min = row 0 after the sort
+        if n > 1:
+            cur = 0
+            while True:
+                cx, cy = xs[cur], ys[cur]
+                best = -1
+                for p in range(n):
+                    if p == cur:
+                        continue
+                    if best < 0:
+                        best = p
+                        continue
+                    # is p strictly right of ray cur->best (or collinear
+                    # and farther)? then p replaces best. Scalar float
+                    # ops in the oracle's token order.
+                    cr = (xs[best] - cx) * (ys[p] - cy) - (ys[best] - cy) * (
+                        xs[p] - cx
+                    )
+                    if cr < 0.0:
+                        best = p
+                    elif cr == 0.0:
+                        db = (xs[best] - cx) ** 2 + (ys[best] - cy) ** 2
+                        dp = (xs[p] - cx) ** 2 + (ys[p] - cy) ** 2
+                        if dp > db:
+                            best = p
+                if best >= 0:
+                    # verify the tournament winner against the quantified
+                    # definition the oracle uses (NO q strictly right of
+                    # the ray, no collinear-farther q): near-collinear
+                    # float noise can in principle break the tournament's
+                    # transitivity — turn that into an error, never a
+                    # silent oracle divergence
+                    crs = (xs[best] - cx) * (ys - cy) - (ys[best] - cy) * (xs - cx)
+                    d2 = (xs - cx) ** 2 + (ys - cy) ** 2
+                    bad = (crs < 0.0) | ((crs == 0.0) & (d2 > d2[best]))
+                    bad[cur] = False
+                    bad[best] = False
+                    if bad.any():
+                        raise ValueError(
+                            f"convex_hulls: non-transitive orientation at "
+                            f"user={user} step={len(hull)}"
+                        )
+                if best < 0 or best == hull[0]:
+                    break
+                hull.append(best)
+                cur = best
+        out = pd.DataFrame(
+            {
+                user_col: np.full(len(hull), user, dtype=np.int64),
+                "hull_rank": np.arange(len(hull), dtype=np.int64),
+                id_col: ids[hull],
+                lon_col: xs[hull],
+                lat_col: ys[hull],
+                "n_pts": np.full(len(hull), n, dtype=np.int64),
+            }
+        )
+        return out
+
+    sess = pings.sparkSession
+    n_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    deduped = (
+        pings.repartition(n_parts, user_col)
+        .groupBy(user_col, lon_col, lat_col)
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return deduped.groupBy(user_col).applyInPandas(march, schema)

@@ -187,6 +187,16 @@ def q_resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_tracks(pts, step_us=RESAMPLE_STEP_US)
 
 
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user convex hull of the ping cloud (geo_misc.convex_hulls):
+    gift wrapping with a token-mirrored orientation test; the oracle
+    replays the march as a recursive CTE whose step winner is the
+    quantified NOT-EXISTS extreme point."""
+    pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id",))
+    return geo_misc.convex_hulls(pts)
+
+
 def q_cell_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = derive_points(_events(spark, sf_dir))
     return geo_misc.smooth_cell_counts(pts, level=SMOOTH_LEVEL)
@@ -561,6 +571,74 @@ FROM expl
 """
 
 
+
+def _hull_cross_sql(c: str, p: str, q: str) -> str:
+    """cross(c, p, q) = (px-cx)*(qy-cy) - (py-cy)*(qx-cx) — the kernel's
+    token order (geo_misc.convex_hulls)."""
+    return (
+        f"(({p}.lon - {c}.lon) * ({q}.lat - {c}.lat)"
+        f" - ({p}.lat - {c}.lat) * ({q}.lon - {c}.lon))"
+    )
+
+
+def _hull_d2_sql(c: str, p: str) -> str:
+    return (
+        f"(({p}.lon - {c}.lon) * ({p}.lon - {c}.lon)"
+        f" + ({p}.lat - {c}.lat) * ({p}.lat - {c}.lat))"
+    )
+
+
+def _hull_oracle_sql() -> str:
+    """Recursive gift-wrap replay: dedupe coordinates (min event id),
+    start at the lexicographic (lon, lat) minimum, and each step's next
+    vertex is the point with NO other point strictly right of the ray
+    (collinear ties -> strictly farther wins) — the exact quantified
+    definition the Spark kernel verifies its tournament winner against,
+    on identical input bits. Recursion stops when the winner is the
+    start vertex."""
+    cross_pq = _hull_cross_sql("h", "p", "q")
+    d2q, d2p = _hull_d2_sql("h", "q"), _hull_d2_sql("h", "p")
+    pts = _SQL_PTS.strip().replace("WITH pts AS (", "WITH RECURSIVE pts AS (", 1)
+    return f"""
+{pts},
+j AS (
+  SELECT e.user_id, p.event_id, p.lat, p.lon
+  FROM pts p JOIN events e USING (event_id)
+),
+d AS MATERIALIZED (
+  SELECT user_id, lon, lat, min(event_id) AS event_id
+  FROM j GROUP BY user_id, lon, lat
+),
+np AS (SELECT user_id, count(*) AS n_pts FROM d GROUP BY user_id),
+start AS (
+  SELECT s.user_id, s.lon, s.lat, s.event_id FROM d s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM d t WHERE t.user_id = s.user_id
+      AND (t.lon < s.lon OR (t.lon = s.lon AND t.lat < s.lat))
+  )
+),
+hull(user_id, hull_rank, lon, lat, event_id, sx, sy) AS (
+  SELECT user_id, CAST(0 AS BIGINT), lon, lat, event_id, lon, lat FROM start
+  UNION ALL
+  SELECT h.user_id, h.hull_rank + 1, p.lon, p.lat, p.event_id, h.sx, h.sy
+  FROM hull h
+  JOIN d p ON p.user_id = h.user_id
+          AND (p.lon <> h.lon OR p.lat <> h.lat)
+  WHERE NOT (p.lon = h.sx AND p.lat = h.sy)
+    AND NOT EXISTS (
+      SELECT 1 FROM d q
+      WHERE q.user_id = h.user_id
+        AND (q.lon <> h.lon OR q.lat <> h.lat)
+        AND (q.lon <> p.lon OR q.lat <> p.lat)
+        AND ({cross_pq} < 0.0
+             OR ({cross_pq} = 0.0 AND {d2q} > {d2p}))
+    )
+)
+SELECT h.user_id, h.hull_rank, h.event_id, h.lon, h.lat, np.n_pts
+FROM hull h JOIN np USING (user_id)
+"""
+
+
 def _cell_smooth_oracle_sql() -> str:
     """Level-4 fine-grid coordinates via the same tile+subcell decomposition
     the cell_heatmap oracle pins (identical IEEE ops), then the all-integer
@@ -666,6 +744,7 @@ def queries():
         "trajectory_segments": q_trajectory_segments,
         "simplify_track": q_simplify_track,
         "resample_track": q_resample_track,
+        "convex_hull": q_convex_hull,
         "cell_smooth": q_cell_smooth,
         "dbscan_clusters": q_dbscan_clusters,
     }
@@ -682,6 +761,7 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_segments": _trajectory_oracle_sql(),
         "simplify_track": _simplify_oracle_sql(),
         "resample_track": _resample_oracle_sql(),
+        "convex_hull": _hull_oracle_sql(),
         "cell_smooth": _cell_smooth_oracle_sql(),
         "dbscan_clusters": _dbscan_oracle_sql(),
     }

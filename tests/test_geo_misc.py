@@ -153,3 +153,77 @@ def test_dbscan_clusters_hand_case(spark):
         dbscan_clusters(pts, scale=10, id_col="pid")
     with pytest.raises(ValueError, match="min_pts"):
         dbscan_clusters(pts, scale=8, min_pts=0, id_col="pid")
+
+
+# --- convex hull (gift wrapping) ----------------------------------------------
+
+
+def _chain_hull(points):
+    """Independent monotone-chain reference (strict turns: collinear
+    interior points dropped) — returns the hull VERTEX SET."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return set(pts)
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(list(reversed(pts)))
+    return set(lower[:-1] + upper[:-1])
+
+
+def test_convex_hulls_matches_chain_reference(spark):
+    import numpy as np
+
+    from htg_spark.operators.geo_misc import convex_hulls
+
+    rng = np.random.default_rng(47)
+    rows, clouds = [], {}
+    for user in range(5):
+        n = int(rng.integers(3, 80))
+        pts = [
+            (float(rng.uniform(138, 140)), float(rng.uniform(35, 37)))
+            for _ in range(n)
+        ]
+        clouds[user] = pts
+        rows += [(user, user * 1000 + k, y, x) for k, (x, y) in enumerate(pts)]
+    # exact-double degenerate cases: square + collinear edge midpoints +
+    # interior + duplicates; a fully collinear cloud; a single point
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0),
+          (0.5, 0.0), (1.0, 0.5), (0.5, 1.0), (0.0, 0.5),
+          (0.5, 0.5), (0.25, 0.75), (0.0, 0.0), (1.0, 1.0)]
+    clouds[5] = sq
+    rows += [(5, 5000 + k, y, x) for k, (x, y) in enumerate(sq)]
+    line = [(float(k) * 0.25, float(k) * 0.5) for k in range(6)]
+    clouds[6] = line
+    rows += [(6, 6000 + k, y, x) for k, (x, y) in enumerate(line)]
+    clouds[7] = [(10.0, 20.0)]
+    rows.append((7, 7000, 20.0, 10.0))
+
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, lat double, lon double"
+    )
+    out = convex_hulls(df).toPandas()
+    for user, pts in clouds.items():
+        got_rows = out[out.user_id == user].sort_values("hull_rank")
+        got = set(zip(got_rows["lon"], got_rows["lat"]))
+        assert got == _chain_hull(pts), user
+        assert (got_rows["n_pts"] == len(set(pts))).all()
+        # march order: consecutive ranks, start = lexicographic min
+        assert list(got_rows["hull_rank"]) == list(range(len(got_rows)))
+        assert (got_rows.iloc[0]["lon"], got_rows.iloc[0]["lat"]) == min(set(pts))
+    # the square: exactly the 4 corners (edge midpoints are collinear)
+    assert len(out[out.user_id == 5]) == 4
+    # the collinear cloud: exactly its 2 endpoints
+    assert len(out[out.user_id == 6]) == 2
