@@ -198,6 +198,7 @@ def main():
         ("simplify_track", _sq.q_simplify_track),
         ("resample_track", _sq.q_resample_track),
         ("convex_hull", _sq.q_convex_hull),
+        ("colocation", _sq.q_colocation),
         ("cell_smooth", _sq.q_cell_smooth),
         ("dbscan_clusters", _sq.q_dbscan_clusters),
         ("point_in_polygon", _polyq.q_point_in_polygon),

@@ -815,3 +815,131 @@ def convex_hulls(
         .agg(F.min(id_col).alias(id_col))
     )
     return deduped.groupBy(user_col).applyInPandas(march, schema)
+
+
+def colocation_pairs(
+    pings: DataFrame,
+    scale: int = 2048,
+    window_us: int = 86_400_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Spatio-temporal co-location join (contact tracing / co-movement
+    mining): per unordered user pair, how many times the two streams put
+    them within planar distance r = 1/scale degrees AND within
+    `window_us` microseconds of each other, with the closest approach and
+    the first contact instant.
+
+    Scale shape: the radius_neighbors grid join extended with a time
+    axis — every ping buckets to (gx, gy, tb) where the cell size is
+    exactly r and the bucket length exactly `window_us`, so any
+    qualifying pair differs by at most 1 in each key; the probe side
+    explodes to its 3x3x3 = 27 neighbor keys (four narrow columns, no
+    payload), the build side keeps its home key, and ONE equi-join on
+    (jx, jy, jt) yields each cross-user candidate exactly once per
+    direction. The exact d2/dt filters run inside the join stage;
+    `user_probe < user_build` keeps exactly one direction of every
+    unordered pair; only narrow hit columns reach the single (a, b)
+    rollup. Never an all-pairs product; hotspot cells are the standard
+    AQE-skew / salting case. `scale` MUST be a power of two (exact IEEE
+    r*r); time math is exact integer microseconds.
+
+    Output: (user_a, user_b, n_contacts, min_d2, first_us) with
+    user_a < user_b; first_us = naive epoch micros of the earlier ping of
+    the earliest contact."""
+    if scale & (scale - 1) != 0:
+        raise ValueError(f"scale must be a power of two, got {scale}")
+    w = int(window_us)
+    if w <= 0:
+        raise ValueError(f"window_us must be positive, got {window_us}")
+    r = 1.0 / scale
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    # time bucket via exact BIGINT div (epoch micros never touch doubles);
+    # base feeds the probe AND build branches — lazy-materialize once
+    # (no cross-branch subtree reuse in Spark SQL)
+    base = pings.select(
+        user_col,
+        id_col,
+        lat_col,
+        lon_col,
+        us.alias("_us"),
+        F.floor(F.col(lon_col) * F.lit(float(scale))).cast("long").alias("gx"),
+        F.floor(F.col(lat_col) * F.lit(float(scale))).cast("long").alias("gy"),
+    ).localCheckpoint(eager=False)
+    tb = F.expr(f"_us div {w}")
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dt).alias("dt")
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dt in (-1, 0, 1)
+        ]
+    )
+    probe = base.select(
+        F.col(user_col).alias("_pu"),
+        F.col(id_col).alias("_pid"),
+        F.col(lat_col).alias("_py"),
+        F.col(lon_col).alias("_px"),
+        F.col("_us").alias("_pus"),
+        "gx",
+        "gy",
+        tb.alias("_tb"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        "_pu",
+        "_pid",
+        "_py",
+        "_px",
+        "_pus",
+        (F.col("gx") + F.col("o.dx")).alias("jx"),
+        (F.col("gy") + F.col("o.dy")).alias("jy"),
+        (F.col("_tb") + F.col("o.dt")).alias("jt"),
+    )
+    build = base.select(
+        F.col(user_col).alias("_bu"),
+        F.col(id_col).alias("_bid"),
+        F.col(lat_col).alias("_by"),
+        F.col(lon_col).alias("_bx"),
+        F.col("_us").alias("_bus"),
+        F.col("gx").alias("jx"),
+        F.col("gy").alias("jy"),
+        tb.alias("jt"),
+    )
+    dx = F.col("_px") - F.col("_bx")
+    dy = F.col("_py") - F.col("_by")
+    dt = F.col("_pus") - F.col("_bus")
+    # explicit-count repartition on the join key: the shuffled columns are
+    # narrow, so AQE's byte-based coalescing would run the (compute-heavy)
+    # candidate join as ~1 task (the simplify_trajectories trap); the
+    # pinned hash partitioning satisfies both join children's distribution
+    n_parts = int(pings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    probe = probe.repartition(n_parts, "jx", "jy", "jt")
+    hits = probe.join(build, on=["jx", "jy", "jt"]).where(
+        (F.col("_pu") < F.col("_bu"))
+        & (dx * dx + dy * dy <= F.lit(r * r))
+        & (dt >= -F.lit(w))
+        & (dt <= F.lit(w))
+    )
+    return (
+        hits.select(
+            F.col("_pu").alias("user_a"),
+            F.col("_bu").alias("user_b"),
+            (dx * dx + dy * dy).alias("d2"),
+            F.least(F.col("_pus"), F.col("_bus")).alias("_cus"),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_contacts"),
+            F.min("d2").alias("min_d2"),
+            F.min("_cus").alias("first_us"),
+        )
+    )

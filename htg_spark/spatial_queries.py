@@ -42,6 +42,8 @@ DENSITY_TILE_PX = 64  # density render: 64x64 gray8 pixels per zoom-12 tile
 SNAP_SCALE = 256  # segment snapping radius r = 2^-8 deg (exact double)
 SIMPLIFY_EPS2 = 0.0625  # Douglas-Peucker tolerance^2 = 2^-4 (exact double)
 RESAMPLE_STEP_US = 3_600_000_000  # 1-hour grid (exact integer microseconds)
+COLOC_WINDOW_US = 86_400_000_000  # 24-hour co-location window
+COLOC_SCALE = 2048  # co-location radius r = 2^-11 deg (shared with radius_neighbors)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,6 +197,19 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantified NOT-EXISTS extreme point."""
     pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id",))
     return geo_misc.convex_hulls(pts)
+
+
+
+def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per unordered user pair: contact count, closest approach, first
+    contact instant, at r = 2^-11 deg and a 24 h window
+    (geo_misc.colocation_pairs). The oracle is an INDEPENDENT quadratic
+    time-range self-join — no grid cells, so a covering bug mismatches
+    instead of hiding."""
+    pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id", "ts"))
+    return geo_misc.colocation_pairs(
+        pts, scale=COLOC_SCALE, window_us=COLOC_WINDOW_US
+    )
 
 
 def q_cell_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,6 +654,41 @@ FROM hull h JOIN np USING (user_id)
 """
 
 
+
+def _colocation_oracle_sql(
+    scale: int = COLOC_SCALE, window_us: int = COLOC_WINDOW_US
+) -> str:
+    """Quadratic cross-user self-join with the exact d2/dt predicates —
+    deliberately grid-free (the segment_snap precedent): the operator's
+    27-key covering must reproduce these values bit-for-bit or the
+    driver compare fails. d2 op order mirrors the operator's
+    probe-minus-build with probe = the smaller user. Assumes us >= 0
+    (Spark `div` truncates, DuckDB `//` floors — identical only for
+    non-negative epochs; the fixture is 2024+)."""
+    w = int(window_us)
+    r2 = repr((1.0 / scale) ** 2)
+    d2 = (
+        "((a.lon - b.lon) * (a.lon - b.lon)"
+        " + (a.lat - b.lat) * (a.lat - b.lat))"
+    )
+    return f"""
+{_SQL_PTS.strip()},
+tl AS (
+  SELECT e.user_id, epoch_us(e.ts) AS us, p.lat, p.lon
+  FROM pts p JOIN events e USING (event_id)
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+  count(*) AS n_contacts,
+  min({d2}) AS min_d2,
+  CAST(min(least(a.us, b.us)) AS BIGINT) AS first_us
+FROM tl a JOIN tl b
+  ON a.user_id < b.user_id
+ AND b.us BETWEEN a.us - {w} AND a.us + {w}
+ AND {d2} <= {r2}
+GROUP BY a.user_id, b.user_id
+"""
+
+
 def _cell_smooth_oracle_sql() -> str:
     """Level-4 fine-grid coordinates via the same tile+subcell decomposition
     the cell_heatmap oracle pins (identical IEEE ops), then the all-integer
@@ -745,6 +795,7 @@ def queries():
         "simplify_track": q_simplify_track,
         "resample_track": q_resample_track,
         "convex_hull": q_convex_hull,
+        "colocation": q_colocation,
         "cell_smooth": q_cell_smooth,
         "dbscan_clusters": q_dbscan_clusters,
     }
@@ -762,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_track": _simplify_oracle_sql(),
         "resample_track": _resample_oracle_sql(),
         "convex_hull": _hull_oracle_sql(),
+        "colocation": _colocation_oracle_sql(),
         "cell_smooth": _cell_smooth_oracle_sql(),
         "dbscan_clusters": _dbscan_oracle_sql(),
     }

@@ -227,3 +227,77 @@ def test_convex_hulls_matches_chain_reference(spark):
     assert len(out[out.user_id == 5]) == 4
     # the collinear cloud: exactly its 2 endpoints
     assert len(out[out.user_id == 6]) == 2
+
+
+# --- spatio-temporal co-location ----------------------------------------------
+
+
+def test_colocation_pairs_matches_quadratic(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from htg_spark.operators.geo_misc import colocation_pairs
+
+    scale, w = 1024, 10_000_000  # r = 2^-10 deg, 10 s window
+    r = 1.0 / scale
+    base = dt.datetime(2026, 3, 1)
+    rng = np.random.default_rng(53)
+    rows = []
+    for user in range(8):
+        for k in range(40):
+            # cluster users around a shared hotspot so pairs actually occur
+            lat = 35.5 + float(rng.uniform(-2 * r, 2 * r))
+            lon = 138.5 + float(rng.uniform(-2 * r, 2 * r))
+            sec = float(rng.uniform(0, 120))
+            rows.append((user, user * 1000 + k, base + dt.timedelta(seconds=sec), lat, lon))
+    # exact boundary pair: distance exactly r (inclusive), dt exactly w (inclusive)
+    rows.append((20, 20000, base + dt.timedelta(seconds=500), 36.0, 139.0))
+    rows.append((21, 21000, base + dt.timedelta(seconds=510), 36.0, 139.0 + r))
+    # just outside: same spot but dt = w + 1us
+    rows.append((22, 22000, base + dt.timedelta(seconds=600), 37.0, 139.0))
+    rows.append(
+        (23, 23000, base + dt.timedelta(seconds=610, microseconds=1), 37.0, 139.0)
+    )
+
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lat double, lon double"
+    )
+    got = {
+        (r2["user_a"], r2["user_b"]): (r2["n_contacts"], r2["min_d2"], r2["first_us"])
+        for r2 in colocation_pairs(df, scale=scale, window_us=w).collect()
+    }
+
+    # independent quadratic reference
+    epoch = dt.datetime(1970, 1, 1)
+    pts = [
+        (u, int((t - epoch).total_seconds() * 1_000_000), lat, lon)
+        for (u, _id, t, lat, lon) in rows
+    ]
+    want = {}
+    for i in range(len(pts)):
+        for j in range(len(pts)):
+            ua, usa, ya, xa = pts[i]
+            ub, usb, yb, xb = pts[j]
+            if ua >= ub or abs(usa - usb) > w:
+                continue
+            d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+            if d2 > r * r:
+                continue
+            key = (ua, ub)
+            n, m, f = want.get(key, (0, float("inf"), None))
+            want[key] = (n + 1, min(m, d2), min(f, min(usa, usb)) if f else min(usa, usb))
+    assert got == want
+    assert (20, 21) in got  # inclusive boundary pair present
+    assert (22, 23) not in got  # one microsecond past the window
+
+
+def test_colocation_rejects_bad_params():
+    import pytest
+
+    from htg_spark.operators.geo_misc import colocation_pairs
+
+    with pytest.raises(ValueError):
+        colocation_pairs(None, scale=1000)
+    with pytest.raises(ValueError):
+        colocation_pairs(None, window_us=0)
