@@ -199,6 +199,7 @@ def main():
         ("resample_track", _sq.q_resample_track),
         ("convex_hull", _sq.q_convex_hull),
         ("colocation", _sq.q_colocation),
+        ("od_flows", _sq.q_od_flows),
         ("cell_smooth", _sq.q_cell_smooth),
         ("dbscan_clusters", _sq.q_dbscan_clusters),
         ("point_in_polygon", _polyq.q_point_in_polygon),

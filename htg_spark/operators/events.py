@@ -561,3 +561,97 @@ def resample_tracks(
         lat_o.alias(lat_col),
         lon_o.alias(lon_col),
     )
+
+
+def od_flows(
+    pings: DataFrame,
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+    scale: int = 16,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Origin-destination flow matrix — the transport / mobility-analytics
+    rollup: sessionize each user's ping stream by time gap (> `gap_minutes`
+    starts a new trip), take the trip's FIRST and LAST ping under the
+    (ts, id) total order as origin and destination, assign each end to a
+    1/`scale`-degree grid cell, and roll up per directed (origin cell,
+    destination cell) pair: trip count, distinct travellers, and exact
+    total trip duration. Single-ping trips appear as self-flows with zero
+    duration (callers filter on `o_gx = d_gx AND o_gy = d_gy` to drop
+    stationary mass).
+
+    Scale shape: ONE hash Exchange on the user key serves the gap-lag
+    window, the running-sum trip grouping, BOTH endpoint row_number
+    windows ((user, trip) partitioning is a superset of the user hash —
+    subset rule, no re-shuffle), and the per-trip conditional rollup; the
+    second and final Exchange carries only the four cell longs + two
+    narrow measures into the OD hash aggregation. Never a self-join,
+    never a collect. Timestamps are exact naive-epoch integer
+    microseconds (TIMESTAMP_NTZ math, DST-proof — CLAUDE.md); `scale`
+    MUST be a power of two so lon*scale is an exact IEEE product and the
+    floor cell assignment cannot straddle an engine rounding difference.
+
+    Output: (o_gx, o_gy, d_gx, d_gy, n_trips, n_users,
+    total_duration_us), one row per directed OD cell pair."""
+    if scale & (scale - 1) != 0:
+        raise ValueError(f"scale must be a power of two, got {scale}")
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    if gap_us <= 0:
+        raise ValueError(f"gap_minutes must be positive, got {gap_minutes}")
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    base = pings.select(user_col, id_col, lat_col, lon_col, us.alias("_us"))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    )
+    flagged = base.select(
+        user_col,
+        id_col,
+        lat_col,
+        lon_col,
+        "_us",
+        (
+            F.lag("_us").over(w).isNull()
+            | ((F.col("_us") - F.lag("_us").over(w)) > gap_us)
+        )
+        .cast("long")
+        .alias("_new"),
+    )
+    w2 = Window.partitionBy(user_col).orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped = flagged.select(
+        user_col, id_col, lat_col, lon_col, "_us",
+        F.sum("_new").over(w2).alias("_grp"),
+    )
+    wt = Window.partitionBy(user_col, "_grp")
+    rn_a = F.row_number().over(
+        wt.orderBy(F.col("_us").asc(), F.col(id_col).asc())
+    )
+    rn_d = F.row_number().over(
+        wt.orderBy(F.col("_us").desc(), F.col(id_col).desc())
+    )
+    ends = grouped.select(
+        user_col, lat_col, lon_col, "_us", "_grp",
+        rn_a.alias("_rna"), rn_d.alias("_rnd"),
+    )
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    sc = F.lit(float(scale))
+    trips = ends.groupBy(user_col, "_grp").agg(
+        F.min(F.when(F.col("_rna") == 1, F.floor(lon * sc))).alias("o_gx"),
+        F.min(F.when(F.col("_rna") == 1, F.floor(lat * sc))).alias("o_gy"),
+        F.min(F.when(F.col("_rnd") == 1, F.floor(lon * sc))).alias("d_gx"),
+        F.min(F.when(F.col("_rnd") == 1, F.floor(lat * sc))).alias("d_gy"),
+        (F.max("_us") - F.min("_us")).alias("_dur"),
+    )
+    return trips.groupBy("o_gx", "o_gy", "d_gx", "d_gy").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.countDistinct(user_col).alias("n_users"),
+        F.sum("_dur").alias("total_duration_us"),
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from . import cells
 from .driver_queries import _SQL_PTS, derive_points
+from .operators import events as events_ops
 from .operators import geo_misc
 from .operators.events import (
     resample_tracks,
@@ -44,6 +45,8 @@ SIMPLIFY_EPS2 = 0.0625  # Douglas-Peucker tolerance^2 = 2^-4 (exact double)
 RESAMPLE_STEP_US = 3_600_000_000  # 1-hour grid (exact integer microseconds)
 COLOC_WINDOW_US = 86_400_000_000  # 24-hour co-location window
 COLOC_SCALE = 2048  # co-location radius r = 2^-11 deg (shared with radius_neighbors)
+OD_GAP_MINUTES = 30  # od_flows trip break (shared with user_sessions)
+OD_SCALE = 16  # od_flows cell grid: 1/16 deg (~7 km) — power of two (exact IEEE)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,6 +213,16 @@ def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_misc.colocation_pairs(
         pts, scale=COLOC_SCALE, window_us=COLOC_WINDOW_US
     )
+
+
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix: 30-minute-gap trips rolled up per
+    directed (origin cell, destination cell) pair on the 1/16-degree grid
+    (events.od_flows) — trip count, distinct travellers, exact total
+    duration. The oracle token-mirrors the gap/running-sum/row_number
+    windows and the floor cell math."""
+    pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id", "ts"))
+    return events_ops.od_flows(pts, gap_minutes=OD_GAP_MINUTES, scale=OD_SCALE)
 
 
 def q_cell_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,6 +702,60 @@ GROUP BY a.user_id, b.user_id
 """
 
 
+def _od_oracle_sql(
+    gap_minutes: int = OD_GAP_MINUTES, scale: int = OD_SCALE
+) -> str:
+    """Token-mirror of od_flows: identical gap-lag / running-sum /
+    endpoint row_number windows under the (ts, id) total order, the same
+    floor(coord * scale) cell math (scale is a power of two — exact IEEE
+    product, identical floor on both engines), exact BIGINT durations.
+    DuckDB sum(BIGINT) is HUGEINT — cast back to BIGINT."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    s = f"{float(scale)!r}"
+    return f"""
+{_SQL_PTS.strip()},
+j AS (
+  SELECT e.user_id, p.event_id, epoch_us(e.ts) AS us, p.lat, p.lon
+  FROM pts p JOIN events e USING (event_id)
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > {gap_us}
+         THEN 1 ELSE 0 END AS new
+  FROM j
+  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+),
+grp AS (
+  SELECT *, sum(new) OVER (
+    PARTITION BY user_id ORDER BY us ASC, event_id ASC
+    ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+),
+ends AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id, g
+                       ORDER BY us ASC, event_id ASC) AS rna,
+    row_number() OVER (PARTITION BY user_id, g
+                       ORDER BY us DESC, event_id DESC) AS rnd
+  FROM grp
+),
+trips AS (
+  SELECT user_id, g,
+    min(CASE WHEN rna = 1 THEN CAST(floor(lon * {s}) AS BIGINT) END) AS o_gx,
+    min(CASE WHEN rna = 1 THEN CAST(floor(lat * {s}) AS BIGINT) END) AS o_gy,
+    min(CASE WHEN rnd = 1 THEN CAST(floor(lon * {s}) AS BIGINT) END) AS d_gx,
+    min(CASE WHEN rnd = 1 THEN CAST(floor(lat * {s}) AS BIGINT) END) AS d_gy,
+    max(us) - min(us) AS dur
+  FROM ends GROUP BY user_id, g
+)
+SELECT o_gx, o_gy, d_gx, d_gy,
+  count(*) AS n_trips,
+  count(DISTINCT user_id) AS n_users,
+  CAST(sum(dur) AS BIGINT) AS total_duration_us
+FROM trips GROUP BY o_gx, o_gy, d_gx, d_gy
+"""
+
+
 def _cell_smooth_oracle_sql() -> str:
     """Level-4 fine-grid coordinates via the same tile+subcell decomposition
     the cell_heatmap oracle pins (identical IEEE ops), then the all-integer
@@ -796,6 +863,7 @@ def queries():
         "resample_track": q_resample_track,
         "convex_hull": q_convex_hull,
         "colocation": q_colocation,
+        "od_flows": q_od_flows,
         "cell_smooth": q_cell_smooth,
         "dbscan_clusters": q_dbscan_clusters,
     }
@@ -814,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_track": _resample_oracle_sql(),
         "convex_hull": _hull_oracle_sql(),
         "colocation": _colocation_oracle_sql(),
+        "od_flows": _od_oracle_sql(),
         "cell_smooth": _cell_smooth_oracle_sql(),
         "dbscan_clusters": _dbscan_oracle_sql(),
     }

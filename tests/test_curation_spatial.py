@@ -893,3 +893,92 @@ def test_resample_tracks_rejects_bad_step():
 
     with pytest.raises(ValueError):
         resample_tracks(None, step_us=0)
+
+
+# --- origin-destination flows --------------------------------------------------
+
+
+def test_od_flows_matches_sequential_reference(spark):
+    import datetime as dt
+
+    from htg_spark.operators.events import od_flows
+
+    base = dt.datetime(2026, 4, 1)
+    gap_min, scale = 10, 16
+    rows = []
+    # user 0: two trips (gap 11 min between ping sets), moving cells
+    for k, (sec, lat, lon) in enumerate(
+        [
+            (0, 35.01, 138.01),    # trip 1 origin: cell (2208, 560)
+            (120, 35.05, 138.30),
+            (300, 35.20, 138.90),  # trip 1 dest: cell (2222, 563)
+            (300 + 11 * 60, 36.50, 139.50),  # trip 2 (single ping: self-flow)
+        ]
+    ):
+        rows.append((0, k, base + dt.timedelta(seconds=sec), lat, lon))
+    # user 1: one trip, same OD cells as user 0's trip 1 (aggregates with it)
+    rows.append((1, 100, base + dt.timedelta(seconds=5), 35.02, 138.02))
+    rows.append((1, 101, base + dt.timedelta(seconds=200), 35.21, 138.91))
+    # user 2: duplicate timestamps — id breaks the endpoint tie
+    t2 = base + dt.timedelta(seconds=50)
+    rows.append((2, 201, t2, 35.50, 138.50))
+    rows.append((2, 200, t2, 36.99, 139.99))  # lower id = origin
+    # exactly-at-gap boundary: 10 min exactly does NOT break (strict >)
+    rows.append((3, 300, base, 35.0, 138.0))
+    rows.append((3, 301, base + dt.timedelta(minutes=10), 35.9, 138.9))
+
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lat double, lon double"
+    )
+    got = {
+        (r["o_gx"], r["o_gy"], r["d_gx"], r["d_gy"]): (
+            r["n_trips"], r["n_users"], r["total_duration_us"]
+        )
+        for r in od_flows(df, gap_minutes=gap_min, scale=scale).collect()
+    }
+
+    # independent sequential reference
+    import collections
+    import math
+
+    epoch = dt.datetime(1970, 1, 1)
+    by_user = collections.defaultdict(list)
+    for (u, i, t, lat, lon) in rows:
+        by_user[u].append((int((t - epoch).total_seconds() * 1_000_000), i, lat, lon))
+    want = collections.defaultdict(lambda: [0, set(), 0])
+    for u, pts in by_user.items():
+        pts.sort()
+        trips, cur = [], [pts[0]]
+        for p in pts[1:]:
+            if p[0] - cur[-1][0] > gap_min * 60 * 1_000_000:
+                trips.append(cur)
+                cur = [p]
+            else:
+                cur.append(p)
+        trips.append(cur)
+        for trip in trips:
+            o, d = trip[0], trip[-1]
+            key = (
+                math.floor(o[3] * scale), math.floor(o[2] * scale),
+                math.floor(d[3] * scale), math.floor(d[2] * scale),
+            )
+            want[key][0] += 1
+            want[key][1].add(u)
+            want[key][2] += trip[-1][0] - trip[0][0]
+    assert got == {k: (n, len(us), dur) for k, (n, us, dur) in want.items()}
+    # user 2's tie: min id is the origin -> origin cell from (36.99, 139.99)?
+    # no: ordering is (ts, id) ASC, so id 200 (36.99, 139.99) is the ORIGIN
+    assert (2239, 591, 2216, 568) in got
+    # user 3's 10-min boundary stayed one trip (strict > gap)
+    assert got[(2208, 560, 2222, 574)][0] == 1
+
+
+def test_od_flows_rejects_bad_params():
+    import pytest as _pytest
+
+    from htg_spark.operators.events import od_flows
+
+    with _pytest.raises(ValueError):
+        od_flows(None, scale=10)
+    with _pytest.raises(ValueError):
+        od_flows(None, gap_minutes=0)
