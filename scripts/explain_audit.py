@@ -782,6 +782,58 @@ def main():
         print("FATAL: incremental-dedup plan contains a cartesian product", file=sys.stderr)
         sys.exit(1)
 
+    # spatio-temporal co-location: ONE SortMergeJoin/ShuffledHashJoin on the
+    # 27-key grid covering — never a cartesian product; the exact d2/dt
+    # predicates must sit INSIDE the join (no post-join Python)
+    coloc = sq.q_colocation(spark, sf_dir)
+    coloc_plan = plan_of(coloc)
+    sections.append(
+        (
+            "Spatio-temporal co-location join (colocation)",
+            "Expected: both sides bucket to (gx, gy, time-bucket); probe "
+            "explodes to its 27 neighbor keys (narrow columns only), build "
+            "keeps home keys; ONE equi-join with the exact d2/dt/user< "
+            "predicates as join conditions, then one narrow (a, b) hash "
+            "rollup. HARD REQUIREMENT: no cartesian product, exactly one "
+            "join node.",
+            coloc_plan,
+        )
+    )
+    n_coloc_joins = len(_re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", coloc_plan))
+    if "CartesianProduct" in coloc_plan or n_coloc_joins != 1:
+        print(
+            f"FATAL: colocation plan has {n_coloc_joins} join nodes "
+            "(expected exactly 1 grid equi-join) or a cartesian product",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    # OD flow matrix: all four window functions + the per-trip agg ride ONE
+    # user-hash Exchange (subset rule); the OD rollup is the only other
+    # Exchange — exactly two shuffles, no joins, no Python workers
+    od = sq.q_od_flows(spark, sf_dir)
+    od_plan = plan_of(od)
+    sections.append(
+        (
+            "Origin-destination flow matrix (od_flows)",
+            "Expected: events scan -> gap lag + running-sum trip grouping + "
+            "two endpoint row_number windows + per-trip conditional agg, all "
+            "clustered by the ONE user-hash Exchange ((user, trip) windows "
+            "satisfy the subset rule); then ONE narrow Exchange into the "
+            "(o_gx, o_gy, d_gx, d_gy) hash aggregation. HARD REQUIREMENT: "
+            "exactly two shuffle Exchanges, no join, no Python worker.",
+            od_plan,
+        )
+    )
+    n_od_shuffles = len(_re.findall(r"\(\d+\) Exchange\b", od_plan))
+    if n_od_shuffles != 2 or "ArrowEvalPython" in od_plan or "MapInPandas" in od_plan:
+        print(
+            f"FATAL: od_flows plan has {n_od_shuffles} shuffle Exchanges "
+            "(expected exactly 2) or a Python worker in a pure-window plan",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — .explain('formatted') audit of the key plan shapes\n")
         for title, expect, plan in sections:
