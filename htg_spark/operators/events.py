@@ -655,3 +655,80 @@ def od_flows(
         F.countDistinct(user_col).alias("n_users"),
         F.sum("_dur").alias("total_duration_us"),
     )
+
+
+def track_kinematics(
+    pings: DataFrame,
+    vmax: float = 2.0 ** -12,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-ping trajectory kinematics — the GPS-noise / teleport filter
+    every mobility pipeline runs before feature extraction: for each ping
+    under the per-user (ts, id) total order, the time delta, squared
+    planar jump, speed, signed acceleration, and an `is_impossible` flag
+    (speed > `vmax` degrees/second — physically impossible for the
+    tracked modality, i.e. GPS noise, tower jumps, or device clones).
+
+    Exactness: dt is exact naive-epoch integer microseconds
+    (TIMESTAMP_NTZ math, DST-proof); d2 = dlat*dlat + dlon*dlon in that
+    op order; speed = sqrt(d2) / (dt/1e6) and accel =
+    (speed - prev_speed) / (dt/1e6) — sqrt and divide are both correctly
+    rounded IEEE ops, so any engine replaying the same order reproduces
+    the bits. Duplicate-timestamp pings (dt = 0) yield NULL
+    speed/accel/flag rather than an Inf/NaN whose bit pattern is
+    engine-specific; the first ping of a user carries NULLs throughout.
+    `vmax` MUST be an exactly-representable double (default 2^-12 ~
+    27 m/s at the equator) so the threshold compare cannot straddle an
+    engine rounding difference.
+
+    Scale shape: ONE hash Exchange on the user key serves both window
+    passes (the speed lag reuses the identical partitioning + sort);
+    everything else is a codegen projection — no join, no Python worker,
+    no second shuffle. Output is per-ping (same row count as the input).
+
+    Output: (user_id, event_id, dt_us, d2, speed, accel,
+    is_impossible)."""
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    base = pings.select(user_col, id_col, lat_col, lon_col, us.alias("_us"))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    )
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    dlat = lat - F.lag(lat).over(w)
+    dlon = lon - F.lag(lon).over(w)
+    dt = F.col("_us") - F.lag("_us").over(w)
+    d2 = dlat * dlat + dlon * dlon
+    staged = base.select(
+        user_col,
+        id_col,
+        "_us",
+        dt.alias("dt_us"),
+        d2.alias("d2"),
+        F.when(
+            dt > 0,
+            F.sqrt(d2) / (dt.cast("double") / F.lit(1000000.0)),
+        ).alias("speed"),
+    )
+    prev_speed = F.lag("speed").over(w)
+    accel = F.when(
+        F.col("dt_us") > 0,
+        (F.col("speed") - prev_speed)
+        / (F.col("dt_us").cast("double") / F.lit(1000000.0)),
+    )
+    return staged.select(
+        user_col,
+        id_col,
+        "dt_us",
+        "d2",
+        "speed",
+        accel.alias("accel"),
+        (F.col("speed") > F.lit(float(vmax))).alias("is_impossible"),
+    )

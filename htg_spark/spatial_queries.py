@@ -47,6 +47,7 @@ COLOC_WINDOW_US = 86_400_000_000  # 24-hour co-location window
 COLOC_SCALE = 2048  # co-location radius r = 2^-11 deg (shared with radius_neighbors)
 OD_GAP_MINUTES = 30  # od_flows trip break (shared with user_sessions)
 OD_SCALE = 16  # od_flows cell grid: 1/16 deg (~7 km) — power of two (exact IEEE)
+KIN_VMAX = 2.0 ** -12  # track_kinematics impossible-speed bar (~27 m/s), exact double
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,6 +224,16 @@ def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows and the floor cell math."""
     pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id", "ts"))
     return events_ops.od_flows(pts, gap_minutes=OD_GAP_MINUTES, scale=OD_SCALE)
+
+
+def q_track_kinematics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ping speed / acceleration / impossible-speed flag under the
+    (ts, id) total order (events.track_kinematics) — the GPS-noise
+    filter. The oracle token-mirrors the lag windows and the
+    sqrt-then-divide op order; duplicate-timestamp pings yield NULLs by
+    contract (never engine-specific Inf/NaN bits)."""
+    pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id", "ts"))
+    return events_ops.track_kinematics(pts, vmax=KIN_VMAX)
 
 
 def q_cell_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,6 +767,43 @@ FROM trips GROUP BY o_gx, o_gy, d_gx, d_gy
 """
 
 
+def _kinematics_oracle_sql(vmax: float = KIN_VMAX) -> str:
+    """Token-mirror of track_kinematics: identical (ts, id) lag windows,
+    the same dlat*dlat + dlon*dlon op order, sqrt-then-divide speed, and
+    the dt > 0 NULL guard (a dt = 0 Inf/NaN would compare
+    engine-specific bits). epoch_us matches Spark's TIMESTAMP_NTZ
+    microsecond diff bit-exactly (CLAUDE.md)."""
+    v = repr(float(vmax))
+    return f"""
+{_SQL_PTS.strip()},
+j AS (
+  SELECT e.user_id, p.event_id, epoch_us(e.ts) AS us, p.lat, p.lon
+  FROM pts p JOIN events e USING (event_id)
+),
+deltas AS (
+  SELECT user_id, event_id, us,
+    us - lag(us) OVER w AS dt_us,
+    (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w)
+      + (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w) AS d2
+  FROM j
+  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+),
+spd AS (
+  SELECT *,
+    CASE WHEN dt_us > 0
+         THEN sqrt(d2) / (CAST(dt_us AS DOUBLE) / 1000000.0) END AS speed
+  FROM deltas
+)
+SELECT user_id, event_id, dt_us, d2, speed,
+  CASE WHEN dt_us > 0
+       THEN (speed - lag(speed) OVER w2)
+            / (CAST(dt_us AS DOUBLE) / 1000000.0) END AS accel,
+  speed > {v} AS is_impossible
+FROM spd
+WINDOW w2 AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+"""
+
+
 def _cell_smooth_oracle_sql() -> str:
     """Level-4 fine-grid coordinates via the same tile+subcell decomposition
     the cell_heatmap oracle pins (identical IEEE ops), then the all-integer
@@ -864,6 +912,7 @@ def queries():
         "convex_hull": q_convex_hull,
         "colocation": q_colocation,
         "od_flows": q_od_flows,
+        "track_kinematics": q_track_kinematics,
         "cell_smooth": q_cell_smooth,
         "dbscan_clusters": q_dbscan_clusters,
     }
@@ -883,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull": _hull_oracle_sql(),
         "colocation": _colocation_oracle_sql(),
         "od_flows": _od_oracle_sql(),
+        "track_kinematics": _kinematics_oracle_sql(),
         "cell_smooth": _cell_smooth_oracle_sql(),
         "dbscan_clusters": _dbscan_oracle_sql(),
     }

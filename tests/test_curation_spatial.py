@@ -982,3 +982,96 @@ def test_od_flows_rejects_bad_params():
         od_flows(None, scale=10)
     with _pytest.raises(ValueError):
         od_flows(None, gap_minutes=0)
+
+
+# --- trajectory kinematics -----------------------------------------------------
+
+
+def test_track_kinematics_matches_reference(spark):
+    import datetime as dt
+    import math
+
+    from htg_spark.operators.events import track_kinematics
+
+    base = dt.datetime(2026, 5, 1)
+    vmax = 2.0 ** -12
+    rows = [
+        # user 0: slow walk, then a teleport (impossible), then duplicate ts
+        (0, 0, base, 35.0, 138.0),
+        (0, 1, base + dt.timedelta(seconds=60), 35.0001, 138.0001),
+        (0, 2, base + dt.timedelta(seconds=120), 36.5, 139.5),   # teleport
+        (0, 3, base + dt.timedelta(seconds=120), 36.5001, 139.5),  # dt = 0
+        (0, 4, base + dt.timedelta(seconds=180), 36.5002, 139.5),
+        # user 1: single ping -> all NULLs
+        (1, 100, base, 50.0, 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lat double, lon double"
+    )
+    got = {
+        r["event_id"]: (r["dt_us"], r["d2"], r["speed"], r["accel"], r["is_impossible"])
+        for r in track_kinematics(df, vmax=vmax).collect()
+    }
+    assert len(got) == len(rows)
+
+    # independent sequential reference (same IEEE op order)
+    epoch = dt.datetime(1970, 1, 1)
+    by_user = {}
+    for (u, i, t, lat, lon) in rows:
+        by_user.setdefault(u, []).append(
+            (int((t - epoch).total_seconds() * 1_000_000), i, lat, lon)
+        )
+    want = {}
+    for u, pts in by_user.items():
+        pts.sort()
+        prev = None
+        prev_speed = None
+        for (us, i, lat, lon) in pts:
+            if prev is None:
+                want[i] = (None, None, None, None, None)
+                prev, prev_speed = (us, lat, lon), None
+                continue
+            pus, plat, plon = prev
+            dt_us = us - pus
+            dlat, dlon = lat - plat, lon - plon
+            d2 = dlat * dlat + dlon * dlon
+            speed = math.sqrt(d2) / (dt_us / 1000000.0) if dt_us > 0 else None
+            if dt_us > 0 and speed is not None and prev_speed is not None:
+                accel = (speed - prev_speed) / (dt_us / 1000000.0)
+            elif dt_us > 0 and prev_speed is None:
+                # lag(speed) is the previous ROW's speed even when NULL
+                accel = None
+            else:
+                accel = None
+            imp = (speed > vmax) if speed is not None else None
+            want[i] = (dt_us, d2, speed, accel, imp)
+            prev, prev_speed = (us, lat, lon), speed
+    assert got == want
+    assert got[2][4] is True      # the teleport flags impossible
+    assert got[1][4] is False     # the walk does not
+    assert got[3][0] == 0 and got[3][2:] == (None, None, None)  # dt = 0 -> NULLs
+    assert got[100] == (None, None, None, None, None)
+
+
+def test_track_kinematics_accel_uses_prev_row_speed(spark):
+    """The row AFTER a dt=0 row has a NULL accel (its lag(speed) is the
+    NULL dup-ts speed), even though its own speed is defined."""
+    import datetime as dt
+
+    from htg_spark.operators.events import track_kinematics
+
+    base = dt.datetime(2026, 5, 1)
+    rows = [
+        (0, 0, base, 35.0, 138.0),
+        (0, 1, base + dt.timedelta(seconds=60), 35.001, 138.0),
+        (0, 2, base + dt.timedelta(seconds=60), 35.002, 138.0),  # dt = 0
+        (0, 3, base + dt.timedelta(seconds=120), 35.003, 138.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lat double, lon double"
+    )
+    got = {r["event_id"]: r.asDict() for r in track_kinematics(df).collect()}
+    assert got[2]["speed"] is None and got[2]["accel"] is None
+    assert got[3]["speed"] is not None
+    assert got[3]["accel"] is None  # lag(speed) was the dup-ts NULL
+    assert got[1]["accel"] is None  # lag(speed) was the head NULL
