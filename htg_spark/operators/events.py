@@ -732,3 +732,115 @@ def track_kinematics(
         accel.alias("accel"),
         (F.col("speed") > F.lit(float(vmax))).alias("is_impossible"),
     )
+
+
+def trip_shape(
+    pings: DataFrame,
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-trip path geometry — the straightness/detour feature layer over
+    gap-sessionized trips: total path length (sum of consecutive planar
+    jumps), net displacement (origin→destination distance), and
+    tortuosity = path_len / displacement (1.0 = perfectly straight; NULL
+    for zero-displacement trips). Commute-vs-wander classification,
+    detour detection, and odometry QA all start here.
+
+    Float-determinism contract: the path-length sum folds the per-jump
+    distances in ASCENDING VALUE order (sort_array + F.aggregate seeded
+    0.0 — identical to DuckDB list_sort + list_reduce, whose
+    first-element seed equals the 0.0 seed since 0.0 + x == x), so the
+    accumulation order is canonical on every engine and partitioning.
+    Each jump is sqrt(dlat*dlat + dlon*dlon) in that op order; endpoint
+    displacement uses the same form; sqrt and divide are correctly
+    rounded, so all three outputs are bit-reproducible.
+
+    Scale shape: ONE hash Exchange on the user key serves the gap lag,
+    the running-sum trip grouping, both endpoint row_number windows
+    (subset rule), and the per-trip rollup (collect_list of within-trip
+    jump distances — bounded by pings-per-trip, the same per-group
+    payload every trajectory operator here carries); no join, no second
+    shuffle, no Python worker.
+
+    Output: (user_id, trip_id = lowest event id in the trip, n_pings,
+    path_len, displacement, tortuosity)."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    if gap_us <= 0:
+        raise ValueError(f"gap_minutes must be positive, got {gap_minutes}")
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    base = pings.select(user_col, id_col, lat_col, lon_col, us.alias("_us"))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    )
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    dlat = lat - F.lag(lat).over(w)
+    dlon = lon - F.lag(lon).over(w)
+    d2 = dlat * dlat + dlon * dlon
+    prev_us = F.lag("_us").over(w)
+    flagged = base.select(
+        user_col,
+        id_col,
+        lat_col,
+        lon_col,
+        "_us",
+        d2.alias("_d2"),
+        (prev_us.isNull() | ((F.col("_us") - prev_us) > gap_us))
+        .cast("long")
+        .alias("_new"),
+    )
+    w2 = Window.partitionBy(user_col).orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped = flagged.select(
+        user_col, id_col, lat_col, lon_col, "_us", "_d2",
+        "_new",
+        F.sum("_new").over(w2).alias("_grp"),
+    )
+    wt = Window.partitionBy(user_col, "_grp")
+    rn_a = F.row_number().over(
+        wt.orderBy(F.col("_us").asc(), F.col(id_col).asc())
+    )
+    rn_d = F.row_number().over(
+        wt.orderBy(F.col("_us").desc(), F.col(id_col).desc())
+    )
+    ends = grouped.select(
+        user_col, id_col, lat_col, lon_col, "_d2", "_new", "_grp",
+        "_us",
+        rn_a.alias("_rna"), rn_d.alias("_rnd"),
+    )
+    # within-trip jumps only: the first ping of a trip carries the jump
+    # ACROSS the gap (or the user head NULL) — excluded via _new = 0;
+    # collect_list drops the NULLs the when() leaves behind
+    jump = F.when(F.col("_new") == 0, F.sqrt(F.col("_d2")))
+    trips = ends.groupBy(user_col, "_grp").agg(
+        F.min(id_col).alias("trip_id"),
+        F.count(F.lit(1)).alias("n_pings"),
+        F.aggregate(
+            F.sort_array(F.collect_list(jump)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("path_len"),
+        F.min(F.when(F.col("_rna") == 1, lat)).alias("_olat"),
+        F.min(F.when(F.col("_rna") == 1, lon)).alias("_olon"),
+        F.min(F.when(F.col("_rnd") == 1, lat)).alias("_dlat"),
+        F.min(F.when(F.col("_rnd") == 1, lon)).alias("_dlon"),
+    )
+    ddlat = F.col("_dlat") - F.col("_olat")
+    ddlon = F.col("_dlon") - F.col("_olon")
+    disp = F.sqrt(ddlat * ddlat + ddlon * ddlon)
+    return trips.select(
+        user_col,
+        "trip_id",
+        "n_pings",
+        "path_len",
+        disp.alias("displacement"),
+        F.when(disp > 0, F.col("path_len") / disp).alias("tortuosity"),
+    )

@@ -236,6 +236,16 @@ def q_track_kinematics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.track_kinematics(pts, vmax=KIN_VMAX)
 
 
+def q_trip_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trip path length / net displacement / tortuosity over
+    30-minute-gap trips (events.trip_shape). The path-length float sum
+    folds jump distances in ascending VALUE order — the canonical-order
+    pattern both engines replay bit-exactly (sort_array + F.aggregate ==
+    list_sort + list_reduce)."""
+    pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id", "ts"))
+    return events_ops.trip_shape(pts, gap_minutes=OD_GAP_MINUTES)
+
+
 def q_cell_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = derive_points(_events(spark, sf_dir))
     return geo_misc.smooth_cell_counts(pts, level=SMOOTH_LEVEL)
@@ -767,6 +777,70 @@ FROM trips GROUP BY o_gx, o_gy, d_gx, d_gy
 """
 
 
+def _trip_shape_oracle_sql(gap_minutes: int = OD_GAP_MINUTES) -> str:
+    """Token-mirror of trip_shape: identical gap/running-sum/row_number
+    windows, the same dlat*dlat + dlon*dlon jump form, and the canonical
+    ascending-value fold (list_sort + list_reduce == sort_array +
+    F.aggregate seeded 0.0 — CLAUDE.md: the first-element seed equals
+    the 0.0 seed). list(x) FILTER (WHERE new = 0) mirrors collect_list
+    dropping the when()-NULLs; all-filtered groups (single-ping trips)
+    come back as NULL lists (not []) from DuckDB's FILTER and must fold
+    to 0.0 explicitly — list_reduce also raises on empty input."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    return f"""
+{_SQL_PTS.strip()},
+j AS (
+  SELECT e.user_id, p.event_id, epoch_us(e.ts) AS us, p.lat, p.lon
+  FROM pts p JOIN events e USING (event_id)
+),
+flagged AS (
+  SELECT *,
+    (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w)
+      + (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w) AS d2,
+    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > {gap_us}
+         THEN 1 ELSE 0 END AS new
+  FROM j
+  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+),
+grp AS (
+  SELECT *, sum(new) OVER (
+    PARTITION BY user_id ORDER BY us ASC, event_id ASC
+    ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+),
+ends AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id, g
+                       ORDER BY us ASC, event_id ASC) AS rna,
+    row_number() OVER (PARTITION BY user_id, g
+                       ORDER BY us DESC, event_id DESC) AS rnd
+  FROM grp
+),
+trips AS (
+  SELECT user_id, g,
+    min(event_id) AS trip_id,
+    count(*) AS n_pings,
+    list_sort(list(sqrt(d2)) FILTER (WHERE new = 0)) AS jumps,
+    min(CASE WHEN rna = 1 THEN lat END) AS olat,
+    min(CASE WHEN rna = 1 THEN lon END) AS olon,
+    min(CASE WHEN rnd = 1 THEN lat END) AS dlat,
+    min(CASE WHEN rnd = 1 THEN lon END) AS dlon
+  FROM ends GROUP BY user_id, g
+),
+shaped AS (
+  SELECT user_id, trip_id, n_pings,
+    CASE WHEN jumps IS NULL OR len(jumps) = 0 THEN 0.0
+         ELSE list_reduce(jumps, (a, b) -> a + b) END AS path_len,
+    sqrt((dlat - olat) * (dlat - olat)
+         + (dlon - olon) * (dlon - olon)) AS displacement
+  FROM trips
+)
+SELECT user_id, trip_id, n_pings, path_len, displacement,
+  CASE WHEN displacement > 0 THEN path_len / displacement END AS tortuosity
+FROM shaped
+"""
+
+
 def _kinematics_oracle_sql(vmax: float = KIN_VMAX) -> str:
     """Token-mirror of track_kinematics: identical (ts, id) lag windows,
     the same dlat*dlat + dlon*dlon op order, sqrt-then-divide speed, and
@@ -913,6 +987,7 @@ def queries():
         "colocation": q_colocation,
         "od_flows": q_od_flows,
         "track_kinematics": q_track_kinematics,
+        "trip_shape": q_trip_shape,
         "cell_smooth": q_cell_smooth,
         "dbscan_clusters": q_dbscan_clusters,
     }
@@ -933,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         "colocation": _colocation_oracle_sql(),
         "od_flows": _od_oracle_sql(),
         "track_kinematics": _kinematics_oracle_sql(),
+        "trip_shape": _trip_shape_oracle_sql(),
         "cell_smooth": _cell_smooth_oracle_sql(),
         "dbscan_clusters": _dbscan_oracle_sql(),
     }

@@ -1075,3 +1075,71 @@ def test_track_kinematics_accel_uses_prev_row_speed(spark):
     assert got[3]["speed"] is not None
     assert got[3]["accel"] is None  # lag(speed) was the dup-ts NULL
     assert got[1]["accel"] is None  # lag(speed) was the head NULL
+
+
+# --- trip shape (path length / tortuosity) -------------------------------------
+
+
+def test_trip_shape_matches_reference(spark):
+    import datetime as dt
+    import math
+
+    from htg_spark.operators.events import trip_shape
+
+    base = dt.datetime(2026, 6, 1)
+    gap_min = 10
+    rows = [
+        # user 0 trip 1: an L-shaped detour (tortuosity > 1)
+        (0, 0, base, 35.0, 138.0),
+        (0, 1, base + dt.timedelta(seconds=60), 35.0, 138.5),
+        (0, 2, base + dt.timedelta(seconds=120), 35.5, 138.5),
+        # user 0 trip 2 (after an 11-min gap): straight line (tortuosity 1)
+        (0, 3, base + dt.timedelta(seconds=120 + 11 * 60), 36.0, 139.0),
+        (0, 4, base + dt.timedelta(seconds=180 + 11 * 60), 36.0, 139.25),
+        (0, 5, base + dt.timedelta(seconds=240 + 11 * 60), 36.0, 139.5),
+        # user 1: single ping -> path 0, displacement 0, tortuosity NULL
+        (1, 100, base, 50.0, 50.0),
+        # user 2: out-and-back -> displacement 0, tortuosity NULL, path > 0
+        (2, 200, base, 40.0, 40.0),
+        (2, 201, base + dt.timedelta(seconds=30), 40.0, 40.5),
+        (2, 202, base + dt.timedelta(seconds=60), 40.0, 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lat double, lon double"
+    )
+    got = {
+        r["trip_id"]: (
+            r["user_id"], r["n_pings"], r["path_len"],
+            r["displacement"], r["tortuosity"],
+        )
+        for r in trip_shape(df, gap_minutes=gap_min).collect()
+    }
+    assert set(got) == {0, 3, 100, 200}
+
+    # independent reference: fold jumps in ascending value order
+    def ref(trip):
+        jumps = sorted(
+            math.sqrt(
+                (b[0] - a[0]) * (b[0] - a[0]) + (b[1] - a[1]) * (b[1] - a[1])
+            )
+            for a, b in zip(trip, trip[1:])
+        )
+        path = 0.0
+        for x in jumps:
+            path += x
+        o, d = trip[0], trip[-1]
+        disp = math.sqrt(
+            (d[0] - o[0]) * (d[0] - o[0]) + (d[1] - o[1]) * (d[1] - o[1])
+        )
+        return path, disp, (path / disp if disp > 0 else None)
+
+    t1 = ref([(35.0, 138.0), (35.0, 138.5), (35.5, 138.5)])
+    assert got[0] == (0, 3, *t1)
+    assert got[0][4] > 1.0
+    t2 = ref([(36.0, 139.0), (36.0, 139.25), (36.0, 139.5)])
+    assert got[3] == (0, 3, *t2)
+    assert got[3][4] == 1.0
+    assert got[100] == (1, 1, 0.0, 0.0, None)
+    back = ref([(40.0, 40.0), (40.0, 40.5), (40.0, 40.0)])
+    assert got[200] == (2, 3, back[0], 0.0, None)
+    assert got[200][2] == 1.0  # 0.5 out + 0.5 back
