@@ -834,6 +834,42 @@ def main():
         )
         sys.exit(1)
 
+    # trajectory feature layer: kinematics and trip_shape are pure
+    # one-Exchange window plans — every lag/row_number pass and (for
+    # trip_shape) the per-trip rollup must ride the single user-hash
+    # Exchange via the subset rule, with no join and no Python worker
+    for qname, qfn, title in (
+        ("track_kinematics", sq.q_track_kinematics,
+         "Per-ping trajectory kinematics (track_kinematics)"),
+        ("trip_shape", sq.q_trip_shape,
+         "Per-trip path length / tortuosity (trip_shape)"),
+    ):
+        qplan = plan_of(qfn(spark, sf_dir))
+        sections.append(
+            (
+                title,
+                "Expected: events scan -> epoch-µs projection -> ONE "
+                "user-hash Exchange serving every Window pass (and the "
+                "per-trip hash aggregation, for trip_shape, via the subset "
+                "rule) -> codegen projection. HARD REQUIREMENT: exactly one "
+                "shuffle Exchange, no join, no Python worker.",
+                qplan,
+            )
+        )
+        n_sh = len(_re.findall(r"\(\d+\) Exchange\b", qplan))
+        bad_nodes = _re.findall(
+            r"ArrowEvalPython|MapInPandas|SortMergeJoin|ShuffledHashJoin|"
+            r"BroadcastHashJoin|CartesianProduct",
+            qplan,
+        )
+        if n_sh != 1 or bad_nodes:
+            print(
+                f"FATAL: {qname} plan has {n_sh} shuffle Exchanges (expected "
+                f"exactly 1) or unexpected nodes {sorted(set(bad_nodes))}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — .explain('formatted') audit of the key plan shapes\n")
         for title, expect, plan in sections:
