@@ -202,6 +202,7 @@ def main():
         ("od_flows", _sq.q_od_flows),
         ("track_kinematics", _sq.q_track_kinematics),
         ("trip_shape", _sq.q_trip_shape),
+        ("od_top_destinations", _sq.q_od_top_destinations),
         ("cell_smooth", _sq.q_cell_smooth),
         ("dbscan_clusters", _sq.q_dbscan_clusters),
         ("point_in_polygon", _polyq.q_point_in_polygon),

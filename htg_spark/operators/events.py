@@ -844,3 +844,26 @@ def trip_shape(
         disp.alias("displacement"),
         F.when(disp > 0, F.col("path_len") / disp).alias("tortuosity"),
     )
+
+
+def top_destinations(flows: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k destination cells per origin cell over an `od_flows` matrix —
+    the "where do people go from here" ranking behind flow maps and
+    demand forecasting. Rank is a row_number under the deterministic
+    total order (n_trips DESC, d_gx ASC, d_gy ASC): ties on trip count
+    break by destination cell, and (d_gx, d_gy) is unique within an
+    origin (it is the OD rollup's group key), so the ranking is total
+    and reproducible on every engine and partitioning.
+
+    Scale shape: ONE hash Exchange on (o_gx, o_gy) for the window (the
+    OD matrix is already a cell-pair rollup — orders of magnitude
+    smaller than the ping input), then a codegen filter. Output keeps
+    all OD measure columns plus dest_rank."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy("o_gx", "o_gy").orderBy(
+        F.col("n_trips").desc(), F.col("d_gx").asc(), F.col("d_gy").asc()
+    )
+    return flows.withColumn("dest_rank", F.row_number().over(w)).where(
+        F.col("dest_rank") <= k
+    )

@@ -48,6 +48,7 @@ COLOC_SCALE = 2048  # co-location radius r = 2^-11 deg (shared with radius_neigh
 OD_GAP_MINUTES = 30  # od_flows trip break (shared with user_sessions)
 OD_SCALE = 16  # od_flows cell grid: 1/16 deg (~7 km) — power of two (exact IEEE)
 KIN_VMAX = 2.0 ** -12  # track_kinematics impossible-speed bar (~27 m/s), exact double
+OD_TOP_K = 3  # od_top_destinations: destinations kept per origin cell
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +235,15 @@ def q_track_kinematics(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract (never engine-specific Inf/NaN bits)."""
     pts = derive_points(_events(spark, sf_dir), extra_cols=("user_id", "ts"))
     return events_ops.track_kinematics(pts, vmax=KIN_VMAX)
+
+
+def q_od_top_destinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 destination cells per origin cell over the OD flow matrix,
+    ranked (n_trips DESC, d_gx, d_gy) — a deterministic total order
+    because the destination cell is the rollup's own group key."""
+    return events_ops.top_destinations(
+        q_od_flows(spark, sf_dir), k=OD_TOP_K
+    )
 
 
 def q_trip_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,6 +787,24 @@ FROM trips GROUP BY o_gx, o_gy, d_gx, d_gy
 """
 
 
+def _od_topk_oracle_sql(k: int = OD_TOP_K) -> str:
+    """The od_flows oracle nested as a subquery (DuckDB allows WITH
+    inside a parenthesized subquery), then the identical
+    (n_trips DESC, d_gx, d_gy) row_number ranking and top-k filter."""
+    return f"""
+SELECT o_gx, o_gy, d_gx, d_gy, n_trips, n_users, total_duration_us,
+       dest_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_gx, o_gy
+    ORDER BY n_trips DESC, d_gx ASC, d_gy ASC) AS dest_rank
+  FROM ({_od_oracle_sql()}
+  ) od
+) ranked
+WHERE dest_rank <= {int(k)}
+"""
+
+
 def _trip_shape_oracle_sql(gap_minutes: int = OD_GAP_MINUTES) -> str:
     """Token-mirror of trip_shape: identical gap/running-sum/row_number
     windows, the same dlat*dlat + dlon*dlon jump form, and the canonical
@@ -986,6 +1014,7 @@ def queries():
         "convex_hull": q_convex_hull,
         "colocation": q_colocation,
         "od_flows": q_od_flows,
+        "od_top_destinations": q_od_top_destinations,
         "track_kinematics": q_track_kinematics,
         "trip_shape": q_trip_shape,
         "cell_smooth": q_cell_smooth,
@@ -1007,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull": _hull_oracle_sql(),
         "colocation": _colocation_oracle_sql(),
         "od_flows": _od_oracle_sql(),
+        "od_top_destinations": _od_topk_oracle_sql(),
         "track_kinematics": _kinematics_oracle_sql(),
         "trip_shape": _trip_shape_oracle_sql(),
         "cell_smooth": _cell_smooth_oracle_sql(),

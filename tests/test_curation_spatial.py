@@ -1143,3 +1143,36 @@ def test_trip_shape_matches_reference(spark):
     back = ref([(40.0, 40.0), (40.0, 40.5), (40.0, 40.0)])
     assert got[200] == (2, 3, back[0], 0.0, None)
     assert got[200][2] == 1.0  # 0.5 out + 0.5 back
+
+
+def test_top_destinations_ranking(spark):
+    from htg_spark.operators.events import top_destinations
+
+    flows = spark.createDataFrame(
+        [
+            # origin A: 3 destinations, one n_trips tie broken by (d_gx, d_gy)
+            (0, 0, 5, 5, 10, 3, 100),
+            (0, 0, 1, 9, 4, 2, 50),
+            (0, 0, 1, 2, 4, 1, 40),  # ties 4 with (1,9): (1,2) ranks first
+            (0, 0, 7, 7, 1, 1, 10),
+            # origin B: single destination
+            (9, 9, 2, 2, 6, 4, 60),
+        ],
+        "o_gx long, o_gy long, d_gx long, d_gy long, n_trips long, "
+        "n_users long, total_duration_us long",
+    )
+    got = {
+        (r["o_gx"], r["o_gy"], r["d_gx"], r["d_gy"]): r["dest_rank"]
+        for r in top_destinations(flows, k=3).collect()
+    }
+    assert got == {
+        (0, 0, 5, 5): 1,
+        (0, 0, 1, 2): 2,
+        (0, 0, 1, 9): 3,
+        (9, 9, 2, 2): 1,
+    }  # (0,0,7,7) cut by k=3; the tie broke by d_gy
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        top_destinations(flows, k=0)
