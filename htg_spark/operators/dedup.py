@@ -836,7 +836,16 @@ def simhash_near_dup_pairs(
         ]
     # lazy checkpoint BEFORE the explode (stored rows stay 1x, not C(b,h)x):
     # both self-join sides reference this subtree and Spark has no
-    # cross-branch reuse — without it the signature computation runs twice
+    # cross-branch reuse — without it the signature computation runs twice.
+    # Signature tables routinely arrive in 1-2 scan partitions at bench
+    # scale (one parquet file); the checkpoint pins that layout, so the
+    # block-compute + C(b,h) explode + join-side shuffle write would all
+    # run on 1-2 cores. Spread ONLY under-parallel inputs — at production
+    # partition counts the repartition is a no-op branch, so no extra
+    # shuffle of a corpus-sized table is introduced.
+    parallelism = sigs.sparkSession.sparkContext.defaultParallelism
+    if sigs.rdd.getNumPartitions() < parallelism:
+        sigs = sigs.repartition(parallelism)
     blocks = sigs.select(
         F.col(id_col), F.col("simhash"), *block_cols
     ).localCheckpoint(eager=False)
@@ -860,15 +869,20 @@ def simhash_near_dup_pairs(
     bb = kdf.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "combo", "ck"
     )
-    pairs = (
+    # exact-hamming filter BEFORE the pair dedup: every duplicate of a
+    # (id_a, id_b) candidate carries the same two signatures, so filtering
+    # commutes with dropDuplicates — but the filter runs inside the join
+    # stage (codegen xor+bit_count) while the dedup is a shuffle. Measured
+    # at 107k phash rows: the candidate join emits ~4.3M rows and deduping
+    # them first shuffled ~124 MB to keep 5,250; filtering first shrinks
+    # that shuffle to the (tiny) surviving pair set.
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
         a.join(bb, ["combo", "ck"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
-    return pairs.select("id_a", "id_b", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
     )
 
 
