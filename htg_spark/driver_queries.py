@@ -657,7 +657,7 @@ def q_knn_poi_join(spark, sf_dir):
     return knn_points_join(pts, KNN_POIS, k=3)
 
 
-def derive_images_table(events: DataFrame) -> DataFrame:
+def derive_images_table(events: DataFrame, spread: bool = True) -> DataFrame:
     """Full input_hint-shaped image table derived deterministically from
     event_id — every non-binary consequence is a closed form DuckDB can
     mirror, while the payloads are REAL encoded images (raw / P6 PPM /
@@ -713,7 +713,18 @@ def derive_images_table(events: DataFrame) -> DataFrame:
                 }
             )
 
-    return events.select("event_id").mapInPandas(
+    from .partitioning import spread_scan
+
+    # spread_scan (opt-out): the per-image payload encode here — and every
+    # decode kernel consuming this table — runs in the events scan's
+    # partitioning; a single-row-group scan would pin all of it to one
+    # core. Callers deriving a SMALL inline corpus (the near-dup chains)
+    # pass spread=False: there the shuffle + wide stages cost more than
+    # the single-core compute (interleaved A/B: 1.49s vs 2.46s).
+    ids = events.select("event_id")
+    if spread:
+        ids = spread_scan(ids)
+    return ids.mapInPandas(
         gen,
         schema=(
             "image_id string, bytes binary, w int, h int, fmt string, "
@@ -796,7 +807,7 @@ def q_image_histogram(spark, sf_dir):
     return multimodal.image_histogram(imgs, bins=8)
 
 
-def derive_audio_table(events: DataFrame) -> DataFrame:
+def derive_audio_table(events: DataFrame, spread: bool = True) -> DataFrame:
     """Deterministic audio-clip table (the audio leg of the input_hint
     shape): every non-binary consequence is a closed form DuckDB can
     mirror, while the payloads are REAL encoded clips the Spark side must
@@ -836,13 +847,18 @@ def derive_audio_table(events: DataFrame) -> DataFrame:
                 }
             )
 
-    return events.select("event_id").mapInPandas(
+    from .partitioning import spread_scan
+
+    ids = events.select("event_id")
+    if spread:
+        ids = spread_scan(ids)
+    return ids.mapInPandas(
         gen,
         schema="audio_id string, bytes binary, sr int, n_samples int, fmt string",
     )
 
 
-def derive_video_table(events: DataFrame) -> DataFrame:
+def derive_video_table(events: DataFrame, spread: bool = True) -> DataFrame:
     """Deterministic video-clip table ('rawv' = n_frames raw RGB frames
     concatenated): w = 4 + e%5, h = 4 + e%4, n_frames = 6 + e%10, frame f
     pixel k: (e*31 + 11f + 7k) % 256."""
@@ -872,7 +888,12 @@ def derive_video_table(events: DataFrame) -> DataFrame:
                 }
             )
 
-    return events.select("event_id").mapInPandas(
+    from .partitioning import spread_scan
+
+    ids = events.select("event_id")
+    if spread:
+        ids = spread_scan(ids)
+    return ids.mapInPandas(
         gen,
         schema=(
             "video_id string, bytes binary, w int, h int, n_frames int, "

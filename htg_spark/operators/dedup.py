@@ -837,18 +837,21 @@ def simhash_near_dup_pairs(
     # lazy checkpoint BEFORE the explode (stored rows stay 1x, not C(b,h)x):
     # both self-join sides reference this subtree and Spark has no
     # cross-branch reuse — without it the signature computation runs twice.
-    # Signature tables routinely arrive in 1-2 scan partitions at bench
-    # scale (one parquet file); the checkpoint pins that layout, so the
-    # block-compute + C(b,h) explode + join-side shuffle write would all
-    # run on 1-2 cores. Spread ONLY under-parallel inputs — at production
-    # partition counts the repartition is a no-op branch, so no extra
-    # shuffle of a corpus-sized table is introduced.
-    parallelism = sigs.sparkSession.sparkContext.defaultParallelism
-    if sigs.rdd.getNumPartitions() < parallelism:
-        sigs = sigs.repartition(parallelism)
     blocks = sigs.select(
         F.col(id_col), F.col("simhash"), *block_cols
     ).localCheckpoint(eager=False)
+    # Signature tables routinely arrive in 1-2 scan partitions at bench
+    # scale (one parquet file); the checkpoint pins that layout, so the
+    # C(b,h) explode and the join-side shuffle write would run on 1-2
+    # cores. Spread ONLY under-parallel inputs — at production partition
+    # counts this is a no-op branch. The partition count is read off the
+    # CHECKPOINTED frame (its RDD already exists), never off `sigs`: a
+    # pre-checkpoint .rdd probe on a plan containing shuffles triggers a
+    # second AQE execution of the whole upstream pipeline (measured 1.7s
+    # -> 4.1s on the video-frame near-dup chain).
+    parallelism = sigs.sparkSession.sparkContext.defaultParallelism
+    if blocks.rdd.getNumPartitions() < parallelism:
+        blocks = blocks.repartition(parallelism)
     combo_keys = []
     for ci, combo in enumerate(combinations(range(b), b - h)):
         # pack the combo's blocks into ONE long key (total <= sig_bits bits)

@@ -68,6 +68,8 @@ def knn_points_join(
 
     Output: (id, lat, lon, rank 1..k, poi_id, d2).
     """
+    from ..partitioning import spread_scan
+
     lat, lon = F.col(lat_col), F.col(lon_col)
     arr = F.array(
         *[
@@ -81,6 +83,10 @@ def knn_points_join(
             for pid, plat, plon in pois
         ]
     )
+    # spread_scan: the per-point array-sort over |pois| structs is the
+    # dominant cost and is embarrassingly parallel — a single-row-group
+    # scan would run it on one core (measured 3.4s -> 1.5s at 100k points)
+    pts = spread_scan(pts)
     exploded = pts.select(
         id_col,
         lat_col,
@@ -131,13 +137,20 @@ def radius_neighbors(
     x, y = F.col(x_col), F.col(y_col)
     # base feeds THREE plan branches (probe, build, the zero-count left
     # join); Spark has no cross-branch subtree reuse, so materialize it
-    # lazily once instead of re-running the upstream plan per branch
-    base = pts.select(
-        id_col,
-        x_col,
-        y_col,
-        F.floor(x * F.lit(float(scale))).cast("long").alias("gx"),
-        F.floor(y * F.lit(float(scale))).cast("long").alias("gy"),
+    # lazily once instead of re-running the upstream plan per branch.
+    # spread_scan: the checkpoint pins the scan's partitioning, and a
+    # single-row-group input would otherwise run the 9x explode, the
+    # candidate join, and the aggregation all on one core.
+    from ..partitioning import spread_scan
+
+    base = spread_scan(
+        pts.select(
+            id_col,
+            x_col,
+            y_col,
+            F.floor(x * F.lit(float(scale))).cast("long").alias("gx"),
+            F.floor(y * F.lit(float(scale))).cast("long").alias("gy"),
+        )
     ).localCheckpoint(eager=False)
     offsets = F.array(
         *[
@@ -427,6 +440,10 @@ def dbscan_clusters(
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
     r = 1.0 / scale
     x, y = F.col(x_col), F.col(y_col)
+    # no spread_scan here (unlike radius_neighbors): at the dbscan eps the
+    # candidate fan-out is small, the per-row work is light, and the many
+    # downstream consumers multiply per-stage scheduling cost — interleaved
+    # A/B measured unspread 3.4s vs spread 5.3s at 100k points
     base = pts.select(
         id_col,
         x_col,
@@ -600,7 +617,18 @@ def density_tiles(
             }
         )
 
-    return counts.groupBy("zx", "zy").applyInPandas(render, schema)
+    # explicit-count repartition on the tile key: the aggregated counts are
+    # ~1 MB at bench scale, so AQE's byte-based coalescing would hand the
+    # per-group pandas render (the dominant cost — ~3ms/group of Arrow +
+    # DataFrame overhead) to ONE task (measured: 4.9s single-task render).
+    # The pinned hash partitioning satisfies applyInPandas' distribution
+    # requirement, so no extra Exchange is introduced.
+    n_parts = int(pts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        counts.repartition(n_parts, "zx", "zy")
+        .groupBy("zx", "zy")
+        .applyInPandas(render, schema)
+    )
 
 
 def snap_to_segments(
@@ -643,6 +671,9 @@ def snap_to_segments(
     r = 1.0 / scale
     s = float(scale)
     x, y = F.col(x_col), F.col(y_col)
+    # no spread_scan: the per-candidate distance math is light and the
+    # segment table is tiny — interleaved A/B measured unspread 0.93s vs
+    # spread 1.52s at 100k points (scheduling cost outweighs parallelism)
     base = pts.select(
         id_col,
         x.alias("px"),
@@ -863,15 +894,21 @@ def colocation_pairs(
     )
     # time bucket via exact BIGINT div (epoch micros never touch doubles);
     # base feeds the probe AND build branches — lazy-materialize once
-    # (no cross-branch subtree reuse in Spark SQL)
-    base = pings.select(
-        user_col,
-        id_col,
-        lat_col,
-        lon_col,
-        us.alias("_us"),
-        F.floor(F.col(lon_col) * F.lit(float(scale))).cast("long").alias("gx"),
-        F.floor(F.col(lat_col) * F.lit(float(scale))).cast("long").alias("gy"),
+    # (no cross-branch subtree reuse in Spark SQL). spread_scan: the 27x
+    # explode and the candidate join read this checkpoint, so a
+    # single-row-group scan would pin them to one core.
+    from ..partitioning import spread_scan
+
+    base = spread_scan(
+        pings.select(
+            user_col,
+            id_col,
+            lat_col,
+            lon_col,
+            us.alias("_us"),
+            F.floor(F.col(lon_col) * F.lit(float(scale))).cast("long").alias("gx"),
+            F.floor(F.col(lat_col) * F.lit(float(scale))).cast("long").alias("gy"),
+        )
     ).localCheckpoint(eager=False)
     tb = F.expr(f"_us div {w}")
     offsets = F.array(

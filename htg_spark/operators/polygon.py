@@ -329,10 +329,15 @@ def point_in_polygon_join(
     if strategy not in ("broadcast", "shuffle"):
         raise ValueError(f"strategy must be 'broadcast' or 'shuffle', got {strategy!r}")
 
+    from ..partitioning import spread_scan
+
     px, py = F.col(x_col), F.col(y_col)
     out_cols = [*points.columns, poly_id]
     pe = with_edges(polygons, ring_col)
-    pts = points.withColumn("pip_cell", point_cell(px, py, level))
+    # spread_scan: the interpreted PNPOLY fold over candidate edges is the
+    # dominant cost and runs in the points scan's partitioning (polygons
+    # broadcast) — a single-row-group scan would pin it to one core
+    pts = spread_scan(points).withColumn("pip_cell", point_cell(px, py, level))
 
     cells = polygon_cells(pe, level)
     if refine:

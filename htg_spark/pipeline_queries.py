@@ -706,7 +706,9 @@ def frame_ahash_corpus(spark, sf_dir) -> DataFrame:
     from .operators import multimodal as mm
 
     ev = dq._events(spark, sf_dir).where(F.col("event_id") % 16 == 0)
-    frames = mm.video_frame_sample(dq.derive_video_table(ev), every_n=3).select(
+    frames = mm.video_frame_sample(
+        dq.derive_video_table(ev, spread=False), every_n=3
+    ).select(
         "image_id", "bytes", "w", "h", "fmt"
     )
     e = F.element_at(F.split("image_id", "_"), 2).cast("long")
@@ -851,7 +853,7 @@ def audio_fp_corpus(spark, sf_dir) -> DataFrame:
     from .operators import multimodal as mm
 
     ev = dq._events(spark, sf_dir).where(F.col("event_id") % 8 == 0)
-    aud = dq.derive_audio_table(ev)
+    aud = dq.derive_audio_table(ev, spread=False)
     gained = mm.audio_gain(aud, 3, 4).select(
         F.concat("audio_id", F.lit("_g")).alias("audio_id"),
         "bytes",

