@@ -940,7 +940,8 @@ class ElevationEngine:
             lat = ltbl.column("lat").to_numpy(zero_copy_only=False)
             lon = ltbl.column("lon").to_numpy(zero_copy_only=False)
             grid = None if ltbl.num_rows == 0 else _group_grid(rtbl, blob_source)
-            klat, klon = key[0].as_py(), key[1].as_py()
+            cell = key[0].as_py() // n_salts
+            klat, klon = cell // 361 - 90, cell % 361 - 180
             res = kernel_batch(
                 lat,
                 lon,
@@ -949,9 +950,39 @@ class ElevationEngine:
             )
             return _result_table(ltbl.column("_rid"), res, mode)
 
+        # The shuffle + Python crossing carries ONE packed int key instead
+        # of (tile_lat int, tile_lon int, salt int): mixed-radix
+        # gk = ((tile_lat+90) * 361 + (tile_lon+180)) * n_salts + salt —
+        # collision-free (salt < n_salts, lon+180 < 361), exact in int32
+        # for n_salts up to ~3.3e4, and 8 fewer bytes on every narrow row
+        # through the exchange AND through Arrow into the worker (~380 MB
+        # less at 48M rows). The apply decodes the cell back from the key.
+        blob_col = "data" if blob_source == "inline" else "path"
+        gk = (
+            ((F.col("tile_lat") + 90).cast("long") * 361
+             + (F.col("tile_lon") + 180).cast("long")) * n_salts
+            + F.col("salt")
+        ).cast("int").alias("gk")
+        narrow = narrow.select("_rid", "lat", "lon", gk)
+        cat = cat.select(gk, blob_col)
+
+        # explicit-count repartition on the grouping key for BOTH cogroup
+        # sides: the kernel stage's (cell, salt) groups are ~point-count /
+        # (2 x slots) rows each by construction, so AQE's byte-based
+        # coalescing merges them into fewer partitions than cores (measured
+        # 23 tasks on 32 cores at 48M rows) and straggler groups serialize.
+        # Pinning 2 x parallelism partitions keeps one-ish group per task
+        # (6.4s -> 5.1s at sf1); the groupBys reuse these exchanges, so no
+        # extra shuffle is introduced. Scale-adaptive: never below the
+        # session's configured shuffle parallelism.
+        sc = pts.sparkSession.sparkContext
+        n_parts = max(
+            int(pts.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            sc.defaultParallelism * 2,
+        )
         joined = (
-            narrow.groupBy("tile_lat", "tile_lon", "salt")
-            .cogroup(cat.groupBy("tile_lat", "tile_lon", "salt"))
+            narrow.repartition(n_parts, "gk").groupBy("gk")
+            .cogroup(cat.repartition(n_parts, "gk").groupBy("gk"))
             .applyInArrow(apply, schema=out_schema)
         )
         if knn:
