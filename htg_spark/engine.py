@@ -347,6 +347,9 @@ class ElevationEngine:
 
         self.spark = spark
         self.cache_size = cache_size
+        # histogram-estimated input rows of the latest _salted_inputs call;
+        # sizes the cogroup kernel stage's explicit partition count
+        self._last_hist_rows = 0
         # executor-cache namespace: a per-engine UUID, NOT id(self) — Python
         # recycles ids after GC and executor workers outlive driver objects,
         # so an id-keyed cache could serve another catalog's grids
@@ -887,6 +890,7 @@ class ElevationEngine:
                 salt_rows, "tile_lat int, tile_lon int, k_salt int"
             )
         )
+        self._last_hist_rows = total_rows  # kernel-stage sizing, see _join_cogroup
         narrow = narrow.join(salt_df, ["tile_lat", "tile_lon"], "left").withColumn(
             "salt",
             F.pmod(F.xxhash64(F.col("_rid")), F.coalesce(F.col("k_salt"), F.lit(1)))
@@ -967,18 +971,22 @@ class ElevationEngine:
         cat = cat.select(gk, blob_col)
 
         # explicit-count repartition on the grouping key for BOTH cogroup
-        # sides: the kernel stage's (cell, salt) groups are ~point-count /
-        # (2 x slots) rows each by construction, so AQE's byte-based
-        # coalescing merges them into fewer partitions than cores (measured
-        # 23 tasks on 32 cores at 48M rows) and straggler groups serialize.
-        # Pinning 2 x parallelism partitions keeps one-ish group per task
-        # (6.4s -> 5.1s at sf1); the groupBys reuse these exchanges, so no
-        # extra shuffle is introduced. Scale-adaptive: never below the
-        # session's configured shuffle parallelism.
-        sc = pts.sparkSession.sparkContext
-        n_parts = max(
-            int(pts.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            sc.defaultParallelism * 2,
+        # sides, sized from the histogram pre-pass's row estimate: AQE's
+        # byte-based coalescing merges the kernel stage below core count
+        # (measured 23 tasks on 32 cores at 48M rows) and straggler groups
+        # serialize; conversely a count pinned high wastes per-task Arrow
+        # setup at small volume. ~400k narrow rows (~11 MB) per task
+        # measured best across both bench volumes (48M rows: 32 parts
+        # 8.0s / 64 parts 6.1s / 128 parts 4.7s; 4.8M rows: 32 parts 2.2s
+        # / 64 parts 2.6s, interleaved minima), floored at the configured
+        # shuffle parallelism and capped against task explosion. The
+        # groupBys reuse these exchanges — no extra shuffle.
+        n_parts = min(
+            4096,
+            max(
+                int(pts.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+                int(self._last_hist_rows // 400_000),
+            ),
         )
         joined = (
             narrow.repartition(n_parts, "gk").groupBy("gk")

@@ -911,14 +911,32 @@ def colocation_pairs(
         )
     ).localCheckpoint(eager=False)
     tb = F.expr(f"_us div {w}")
+    # HALF-PLANE candidate generation: the predicate is symmetric, so an
+    # unordered ping pair does not need to be found from both sides. The
+    # probe explodes to (0,0,0) plus only the 13 lexicographically-POSITIVE
+    # of the 26 neighbor offsets — a pair in buckets differing by delta is
+    # matched exactly once, from whichever side sees a positive delta
+    # (the other side would need the negative offset, which is not
+    # generated). Same-bucket pairs are seen from both sides through
+    # (0,0,0); the `_pid < _bid` tiebreak (applied to that offset only,
+    # via the `_oz` flag) keeps exactly one. This halves the probe-side
+    # explode (27x -> 14x shuffle rows) AND the candidate join output.
+    # Orientation becomes arbitrary, so the rollup canonicalizes with
+    # least/greatest on the user ids — every aggregated quantity (count,
+    # d2, earlier-ping instant) is symmetric, so results are identical.
+    half = [(0, 0, 0)] + [
+        (dx, dy, dt)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dt in (-1, 0, 1)
+        if (dx, dy, dt) > (0, 0, 0)
+    ]
     offsets = F.array(
         *[
             F.struct(
                 F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dt).alias("dt")
             )
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-            for dt in (-1, 0, 1)
+            for dx, dy, dt in half
         ]
     )
     probe = base.select(
@@ -940,6 +958,7 @@ def colocation_pairs(
         (F.col("gx") + F.col("o.dx")).alias("jx"),
         (F.col("gy") + F.col("o.dy")).alias("jy"),
         (F.col("_tb") + F.col("o.dt")).alias("jt"),
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0) & (F.col("o.dt") == 0)).alias("_oz"),
     )
     build = base.select(
         F.col(user_col).alias("_bu"),
@@ -961,15 +980,16 @@ def colocation_pairs(
     n_parts = int(pings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     probe = probe.repartition(n_parts, "jx", "jy", "jt")
     hits = probe.join(build, on=["jx", "jy", "jt"]).where(
-        (F.col("_pu") < F.col("_bu"))
+        (F.col("_pu") != F.col("_bu"))
+        & (~F.col("_oz") | (F.col("_pid") < F.col("_bid")))
         & (dx * dx + dy * dy <= F.lit(r * r))
         & (dt >= -F.lit(w))
         & (dt <= F.lit(w))
     )
     return (
         hits.select(
-            F.col("_pu").alias("user_a"),
-            F.col("_bu").alias("user_b"),
+            F.least(F.col("_pu"), F.col("_bu")).alias("user_a"),
+            F.greatest(F.col("_pu"), F.col("_bu")).alias("user_b"),
             (dx * dx + dy * dy).alias("d2"),
             F.least(F.col("_pus"), F.col("_bus")).alias("_cus"),
         )

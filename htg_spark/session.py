@@ -42,6 +42,18 @@ def get_spark(
         # Python-runner channel at ~3.5M rows/s regardless of cores (measured
         # via JFR). maxRecordsPerBatch=65536 already bounds batch memory.
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2**31 - 1))
+        # AQE coalescing keeps parallelismFirst (default true), so the
+        # TARGET partition count is already the cluster's parallelism; the
+        # binding knob for small shuffles is the 1 MB minPartitionSize
+        # floor, which merges a few-MB shuffle down to a handful of tasks
+        # and idles the rest of the machine (measured: LSH-dedup chain
+        # -40% with a 64 KB floor at sf0.1). At production shuffle sizes
+        # partitions are far above 1 MB and the floor never binds, so this
+        # is a small-shuffle knob, not a cluster tunable; env-overridable.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
