@@ -152,11 +152,21 @@ def radius_neighbors(
             F.floor(y * F.lit(float(scale))).cast("long").alias("gy"),
         )
     ).localCheckpoint(eager=False)
+    # HALF-PLANE candidate generation (see colocation_pairs): the distance
+    # predicate is symmetric, so each unordered pair needs to be tested
+    # only once. The probe explodes to (0,0) + the 4 lexicographically-
+    # positive neighbor offsets instead of all 9; same-cell pairs are
+    # deduped by the id tiebreak on the (0,0) offset. The per-point
+    # directed view this operator aggregates is then reconstructed by
+    # MIRRORING each surviving hit (both endpoints get a row) — identical
+    # multiset to the once-per-direction join at half the candidate pairs.
+    half = [(0, 0)] + [
+        (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) > (0, 0)
+    ]
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            for dx, dy in half
         ]
     )
     probe = base.select(
@@ -167,6 +177,7 @@ def radius_neighbors(
         y_col,
         (F.col("gx") + F.col("o.dx")).alias("jx"),
         (F.col("gy") + F.col("o.dy")).alias("jy"),
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("_oz"),
     )
     build = base.select(
         F.col(id_col).alias("_bid"),
@@ -177,12 +188,23 @@ def radius_neighbors(
     )
     dx = F.col(x_col) - F.col("_bx")
     dy = F.col(y_col) - F.col("_by")
-    hits = (
+    upairs = (
         probe.join(build, on=["jx", "jy"])
-        .where((F.col(id_col) != F.col("_bid")) & (dx * dx + dy * dy <= F.lit(r * r)))
-        .select(id_col, (dx * dx + dy * dy).alias("d2"))
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_neighbors"), F.min("d2").alias("min_d2"))
+        .where(
+            (F.col(id_col) != F.col("_bid"))
+            & (~F.col("_oz") | (F.col(id_col) < F.col("_bid")))
+            & (dx * dx + dy * dy <= F.lit(r * r))
+        )
+        .select(id_col, "_bid", (dx * dx + dy * dy).alias("d2"))
+    )
+    mirrored = upairs.select(
+        F.explode(
+            F.array(F.col(id_col), F.col("_bid"))
+        ).alias(id_col),
+        "d2",
+    )
+    hits = mirrored.groupBy(id_col).agg(
+        F.count("*").alias("n_neighbors"), F.min("d2").alias("min_d2")
     )
     return (
         base.select(id_col)
@@ -451,11 +473,18 @@ def dbscan_clusters(
         F.floor(x * F.lit(float(scale))).cast("long").alias("gx"),
         F.floor(y * F.lit(float(scale))).cast("long").alias("gy"),
     ).localCheckpoint(eager=False)
+    # HALF-PLANE candidate generation + mirror (see radius_neighbors): the
+    # candidate join tests each unordered pair once; the directed (id, nid)
+    # hit list all three consumers expect is rebuilt by emitting both
+    # orientations of every surviving pair — identical multiset at half
+    # the join work.
+    half = [(0, 0)] + [
+        (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) > (0, 0)
+    ]
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            for dx, dy in half
         ]
     )
     probe = base.select(
@@ -466,6 +495,7 @@ def dbscan_clusters(
         y_col,
         (F.col("gx") + F.col("o.dx")).alias("jx"),
         (F.col("gy") + F.col("o.dy")).alias("jy"),
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("_oz"),
     )
     build = base.select(
         F.col(id_col).alias("_bid"),
@@ -479,8 +509,20 @@ def dbscan_clusters(
     # directed (id, nid) hit list — one row per ordered in-range pair
     hits = (
         probe.join(build, on=["jx", "jy"])
-        .where((F.col(id_col) != F.col("_bid")) & (dx * dx + dy * dy <= F.lit(r * r)))
-        .select(id_col, F.col("_bid").alias("nid"))
+        .where(
+            (F.col(id_col) != F.col("_bid"))
+            & (~F.col("_oz") | (F.col(id_col) < F.col("_bid")))
+            & (dx * dx + dy * dy <= F.lit(r * r))
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_col).alias("a"), F.col("_bid").alias("b")),
+                    F.struct(F.col("_bid").alias("a"), F.col(id_col).alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.a").alias(id_col), F.col("_e.b").alias("nid"))
         .localCheckpoint(eager=False)
     )
     flags = (
