@@ -676,6 +676,8 @@ def derive_images_table(events: DataFrame, spread: bool = True) -> DataFrame:
     p = _PW
 
     def gen(batches):
+        import zlib
+
         for pdf in batches:
             e = pdf["event_id"].to_numpy(dtype=np.int64)
             w = (4 + e % 13).astype(np.int32)
@@ -692,14 +694,28 @@ def derive_images_table(events: DataFrame, spread: bool = True) -> DataFrame:
                          p["V138"] + (e * 104729) % p["KV2"]),
             )
             phash = u + v * 4294967296
+            # one vectorized (rows x max_n) pixel matrix instead of a
+            # per-image arange/modulo (pixel k of image e is
+            # (e*31 + 7k) % 256, row-major; extra columns past each
+            # image's own n are sliced off below) — the per-image Python
+            # loop was the dominant CPU of every query that derives this
+            # table inline (measured ~170us/image; vectorized ~3x less)
+            n_arr = (h.astype(np.int64) * w.astype(np.int64) * 3)
+            max_n = int(n_arr.max()) if len(n_arr) else 0
+            k = np.arange(max_n, dtype=np.int64)
+            px_mat = ((e[:, None] * 31 + 7 * k[None, :]) % 256).astype(np.uint8)
             payloads, caps = [], []
             for i in range(len(e)):
-                n = int(h[i]) * int(w[i]) * 3
-                k = np.arange(n, dtype=np.int64)
-                px = ((int(e[i]) * 31 + 7 * k) % 256).astype(np.uint8)
-                payloads.append(
-                    fx.encode_image(px.reshape(int(h[i]), int(w[i]), 3), str(fmts[i]))
-                )
+                raw = px_mat[i, : n_arr[i]].tobytes()
+                f = fmts[i]
+                if f == "raw":
+                    payloads.append(raw)
+                elif f == "ppm":
+                    payloads.append(
+                        b"P6\n%d %d\n255\n" % (int(w[i]), int(h[i])) + raw
+                    )
+                else:
+                    payloads.append(zlib.compress(raw, level=1))
                 caps.append(f"caption {int(e[i]) % 7} of image {int(e[i])}")
             yield pd.DataFrame(
                 {
@@ -826,12 +842,16 @@ def derive_audio_table(events: DataFrame, spread: bool = True) -> DataFrame:
             e = pdf["event_id"].to_numpy(dtype=np.int64)
             sr = (8000 * (1 + e % 3)).astype(np.int32)
             ns = (256 + e % 200).astype(np.int32)
+            # vectorized (rows x max_ns) sample matrix; per-row slice only
+            # (see derive_images_table — same per-row-loop elimination)
+            max_ns = int(ns.max()) if len(ns) else 0
+            k = np.arange(max_ns, dtype=np.int64)
+            s_mat = (((e[:, None] * 17 + 5 * k[None, :]) % 65536) - 32768).astype("<i2")
+            even = (e % 2 == 0)
             payloads, fmts = [], []
             for i in range(len(e)):
-                k = np.arange(int(ns[i]), dtype=np.int64)
-                s = (((int(e[i]) * 17 + 5 * k) % 65536) - 32768).astype("<i2")
-                raw = s.tobytes()
-                if int(e[i]) % 2 == 0:
+                raw = s_mat[i, : int(ns[i])].tobytes()
+                if even[i]:
                     payloads.append(raw)
                     fmts.append("pcm16")
                 else:

@@ -310,7 +310,12 @@ def q_path_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash Exchange on event_id serving every window (lag, first, running
     sum, running max all share the same partitioning + ordering)."""
     eng = get_engine(spark)
-    pts = derive_points(_events(spark, sf_dir))
+    from .partitioning import spread_scan
+
+    # spread_scan BEFORE the 9x sample explode: the broadcast elevation
+    # kernel runs map-only in the scan's partitioning, so a single-row-
+    # group events scan would push all 900k samples through one core
+    pts = spread_scan(derive_points(_events(spark, sf_dir)))
     samples = path_samples(pts)
     out = eng.elevation_join(
         samples, mode="nearest", strategy="broadcast", id_col="event_id"
