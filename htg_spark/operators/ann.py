@@ -149,30 +149,26 @@ def lsh_topk_multi(
     both a Catalyst planning cliff and interpreted per row at execution
     (CodegenFallback, no CSE)."""
     bkcol = lsh_buckets_udf(tables)
-    # lazy checkpoints: each of the T branches references q and c, and
-    # Spark has no cross-branch subtree reuse — without materialization the
-    # bucket UDF would re-scan the corpus T times
-    q = queries.select(
+    # ONE posexplode into (table, bucket) keys + a single equi-join on
+    # (t, bk) replaces T unioned self-join branches (the band_keys /
+    # simhash restructure): shuffle volume is identical — each vector
+    # crosses T times either way — but the plan has one join stage
+    # instead of T, and each side is referenced exactly once, so the
+    # bucket UDF needs no checkpoint to avoid re-scanning the corpus.
+    qk = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        bkcol(F.col(vec_col)).alias("bks"),
-    ).localCheckpoint(eager=False)
-    c = emb.select(
+        F.posexplode(bkcol(F.col(vec_col))).alias("t", "bk"),
+    )
+    ck = emb.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-        bkcol(F.col(vec_col)).alias("bks"),
-    ).localCheckpoint(eager=False)
-    cand = None
-    for t in range(len(tables)):
-        p = (
-            q.select("q_id", "q_vec", F.element_at("bks", t + 1).alias("bk"))
-            .join(
-                c.select("n_id", "n_vec", F.element_at("bks", t + 1).alias("bk")),
-                "bk",
-            )
-            .where(F.col("q_id") != F.col("n_id"))
-            .select("q_id", "n_id", "q_vec", "n_vec")
-        )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["q_id", "n_id"])
+        F.posexplode(bkcol(F.col(vec_col))).alias("t", "bk"),
+    )
+    cand = (
+        qk.join(ck, ["t", "bk"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "q_vec", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])
+    )
     cos = cosine_udf()(F.col("q_vec"), F.col("n_vec")).alias("cosine")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (
@@ -636,28 +632,31 @@ def near_dup_pairs(
     oracle parity references); the interleaved A/B at sf0.1 read 4.47 ->
     1.18 s with the identical pair set."""
     bkcol = lsh_buckets_udf(tables)
+    # ONE posexplode into (table, bucket) keys + a single self-equi-join
+    # on (t, bk) replaces the T unioned branches (see lsh_topk_multi) —
+    # one join stage, both sides reading one checkpoint of the single
+    # Arrow-batched bucket computation (2 references, so the checkpoint
+    # still pays for itself).
     base = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         bkcol(F.col(vec_col)).alias("bks"),
-    ).localCheckpoint(eager=False)
-    cand = None
-    for t in range(len(tables)):
-        a = base.select(
-            F.col("_id").alias("id_a"), F.col("_v").alias("va"),
-            F.element_at("bks", t + 1).alias("bk"),
-        )
-        b = base.select(
-            F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
-            F.element_at("bks", t + 1).alias("bk"),
-        )
-        p = (
-            a.join(b, "bk")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-        )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    ).localCheckpoint(eager=False)  # pre-explode: stored rows stay 1x, not Tx
+    basek = base.select(
+        "_id", "_v", F.posexplode("bks").alias("t", "bk")
+    )
+    a = basek.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), "t", "bk"
+    )
+    b = basek.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "t", "bk"
+    )
+    cand = (
+        a.join(b, ["t", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     cos = cosine_udf()(F.col("va"), F.col("vb")).alias("cosine")
     return cand.select("id_a", "id_b", cos).where(F.col("cosine") >= threshold)
 
