@@ -302,9 +302,13 @@ def exact_percentiles(
     per requested fraction via a range join on the cumulative bounds.
 
     Output: (num, den, idx, value) with n_rows carried on every row."""
-    counts = df.groupBy(F.col(col).alias("value")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    # percentiles are over NON-NULL values: a NULL group would otherwise
+    # enter n_rows and the cumulative walk, and Spark orders NULLS FIRST
+    # ascending while DuckDB orders them LAST — the two engines would
+    # silently return different percentile values instead of failing
+    counts = df.where(F.col(col).isNotNull()).groupBy(
+        F.col(col).alias("value")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql.window import Window
 
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)

@@ -255,6 +255,11 @@ def band_keys(
     This is the frame a production pipeline PERSISTS as the corpus's dedup
     index (bucketed by (band_id, band_key), points_store.write_bucketed)
     so each incoming batch joins it with zero index-side shuffle."""
+    if k % band_rows != 0:
+        raise ValueError(
+            f"k={k} must be divisible by band_rows={band_rows} — a remainder "
+            "would silently drop the trailing minhash columns and reduce recall"
+        )
     n_bands = k // band_rows
     entries = [
         F.struct(

@@ -34,6 +34,9 @@ def spread_scan(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     query stage — a full extra run of the pipeline just to read a number.
     For checkpointed frames, probe the checkpointed RDD instead (see
     dedup.simhash_near_dup_pairs)."""
+    if df.isStreaming:
+        return df  # .rdd is illegal on a streaming frame; micro-batch
+        # sources control their own partitioning
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)

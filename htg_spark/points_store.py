@@ -169,6 +169,12 @@ def bbox_file_audit(
                 elif name == lon_col:
                     lo_lo = min(lo_lo, st.min)
                     hi_lo = max(hi_lo, st.max)
-        if lo_la <= max_lat and hi_la >= min_lat and lo_lo <= max_lon and hi_lo >= min_lon:
+        if lo_la > hi_la or lo_lo > hi_lo:
+            # no min/max statistics for one of the axes: a real
+            # stats-pruning reader must READ a file it cannot prove
+            # disjoint, so the audit counts it as a hit (unprunable)
+            # rather than overstating pruning effectiveness
+            hit += 1
+        elif lo_la <= max_lat and hi_la >= min_lat and lo_lo <= max_lon and hi_lo >= min_lon:
             hit += 1
     return len(files), hit

@@ -259,16 +259,52 @@ def incremental_dedup_sink(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
-        corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
+        try:
+            corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
+        except Exception:
+            # fresh deployment: no corpus directory yet — every batch doc
+            # compares against an empty corpus instead of failing the first
+            # micro-batch with a path-not-found AnalysisException
+            corpus = spark.createDataFrame(
+                [], batch.select(id_col, text_col).schema
+            )
         out = _dedup.incremental_dedup(
             corpus, batch, id_col=id_col, text_col=text_col, threshold=threshold
         ).withColumn("batch_id", F.lit(batch_id))
         out = out.localCheckpoint(eager=True)  # verdicts feed two writes
         out.write.mode("append").parquet(verdicts_path)
         if admit_novel:
-            novel = out.where(F.col("is_novel")).select(id_col)
-            batch.join(novel, id_col, "leftsemi").write.mode("append").parquet(
-                corpus_path
+            # INTRA-batch dedup before admission: incremental_dedup only
+            # compares batch-vs-corpus, so two copies of the same novel doc
+            # arriving in ONE micro-batch are both is_novel — admitting
+            # both would permanently violate the 'corpus is already
+            # deduped' invariant every later batch relies on. Admit only
+            # the canonical representative per exact-hash group and per
+            # near-dup (LSH + Jaccard + connected-components) group of the
+            # batch's novel docs; the non-admitted copies keep their
+            # is_novel verdict rows (they were novel vs the corpus as of
+            # this batch).
+            novel_ids = out.where(F.col("is_novel")).select(id_col)
+            novel = batch.join(novel_ids, id_col, "leftsemi").localCheckpoint(
+                eager=True
             )
+            ex = _dedup.exact_dedup(novel, id_col=id_col, text_col=text_col)
+            reps = novel.join(
+                ex.where(F.col("is_canonical")).select(id_col), id_col, "leftsemi"
+            )
+            sigs = _dedup.minhash_signatures(reps, id_col=id_col, text_col=text_col)
+            pairs = _dedup.lsh_candidate_pairs(sigs, id_col=id_col)
+            ver = _dedup.jaccard_verify(
+                reps, pairs, id_col=id_col, text_col=text_col, threshold=threshold
+            )
+            comp = _dedup.connected_components(
+                ver.where(F.col("is_dup")).select("id_a", "id_b"),
+                reps.select(id_col),
+                id_col=id_col,
+            )
+            admit = reps.join(
+                comp.where(F.col("is_canonical")).select(id_col), id_col, "leftsemi"
+            )
+            admit.write.mode("append").parquet(corpus_path)
 
     return process

@@ -415,3 +415,64 @@ def test_incremental_dedup_sink_admits_novels(spark, tmp_path):
     # the corpus grew by exactly the two admitted novels
     corpus = spark.read.parquet(corpus_dir).toPandas()
     assert sorted(corpus["doc_id"]) == [1, 2, 11, 21]
+
+
+def test_incremental_dedup_sink_intra_batch_dedup_and_bootstrap(spark, tmp_path):
+    """Two copies of the same NOVEL doc (and a near-copy) arriving in ONE
+    micro-batch: both keep is_novel verdicts (novel vs the corpus as of the
+    batch), but only the canonical representative per exact/near group is
+    ADMITTED — otherwise the on-storage corpus permanently violates the
+    'already deduped' invariant incremental_dedup assumes. Also: the sink
+    bootstraps from an ABSENT corpus directory (first deployment batch)."""
+    from htg_spark.streaming import incremental_dedup_sink
+
+    corpus_dir = str(tmp_path / "corpus")  # deliberately not created
+    verdicts_dir = str(tmp_path / "verdicts")
+    src = tmp_path / "docs"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [30, 31, 32, 33],
+            "text": [
+                "alpha bravo charlie delta",
+                "alpha bravo charlie delta",        # exact copy of 30
+                "alpha bravo charlie delta zz qq",  # near copy of 30
+                "echo foxtrot golf hotel",          # independent novel
+            ],
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "b1"))
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(incremental_dedup_sink(corpus_dir, verdicts_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    v = spark.read.parquet(verdicts_dir).toPandas().set_index("doc_id")
+    # empty-corpus bootstrap: every batch doc is novel vs the (absent) corpus
+    assert len(v) == 4 and bool(v["is_novel"].all())
+    # but only the canonical per exact/near group is admitted
+    corpus = spark.read.parquet(corpus_dir).toPandas()
+    assert sorted(corpus["doc_id"]) == [30, 33]
+
+    # a later batch's copies now flag against the admitted canonicals
+    import time as _time
+
+    _time.sleep(1.1)
+    b2 = pd.DataFrame({"doc_id": [40], "text": ["alpha bravo charlie delta"]})
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(src / "b2"))
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(incremental_dedup_sink(corpus_dir, verdicts_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    v2 = spark.read.parquet(verdicts_dir).toPandas().set_index("doc_id")
+    assert v2.loc[40, "exact_dup_of"] == 30 and not bool(v2.loc[40, "is_novel"])
