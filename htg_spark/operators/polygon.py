@@ -305,6 +305,7 @@ def point_in_polygon_join(
     strategy: str = "broadcast",
     exact: str = "fold",
     refine: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """Inner-join points to the polygons containing them.
 
@@ -336,8 +337,13 @@ def point_in_polygon_join(
     pe = with_edges(polygons, ring_col)
     # spread_scan: the interpreted PNPOLY fold over candidate edges is the
     # dominant cost and runs in the points scan's partitioning (polygons
-    # broadcast) — a single-row-group scan would pin it to one core
-    pts = spread_scan(points).withColumn("pip_cell", point_cell(px, py, level))
+    # broadcast) — a single-row-group scan would pin it to one core.
+    # Callers whose points frame already crossed a shuffle (e.g. the
+    # geofence timeline, post-window) pass spread=False: the probe itself
+    # would re-execute the upstream stages under AQE, and post-shuffle
+    # partitioning is already at parallelism.
+    pts = spread_scan(points) if spread else points
+    pts = pts.withColumn("pip_cell", point_cell(px, py, level))
 
     cells = polygon_cells(pe, level)
     if refine:
@@ -510,6 +516,7 @@ def geofence_dwell(
         level=level,
         strategy="broadcast",
         exact="fold",
+        spread=False,  # timeline already crossed the window's hash Exchange
     )
     w2 = Window.partitionBy(user_col, poly_id).orderBy(F.col("_rn").asc())
     prev_rn = F.lag("_rn").over(w2)

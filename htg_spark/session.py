@@ -54,6 +54,15 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
         )
+        # shuffle/spill codec: zstd compresses the wide numeric shuffles
+        # (the salted cogroup's GB-scale narrow-row exchanges) ~2x better
+        # than lz4 for a small CPU premium — measured 6.7 -> 5.0s on the
+        # 48M-row cogroup with flat-to-noise deltas on the small-shuffle
+        # dedup chain. Env-overridable for bandwidth-rich clusters.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
