@@ -21,6 +21,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:
+        # pandas quirk: .agg(axis=1) on an EMPTY frame returns a (0, n)
+        # DataFrame instead of a Series, and iloc[argsort] then crashes —
+        # hit by legitimately-empty results at sf0.001 (e.g. a near-dup
+        # corpus too small to contain any pair)
+        return df.reset_index(drop=True)
     # canonical sort by all columns stringified for order-insensitive compare
     key = df.astype(str).agg("|".join, axis=1)
     return df.iloc[np.argsort(key.to_numpy(), kind="stable")].reset_index(drop=True)
