@@ -409,8 +409,9 @@ def jaccard_join(
     prefix-df, not corpus size.
 
     Plan shape (the 100-TB contract): (1) distinct (id, n-gram) stream —
-    one shuffle; (2) vocabulary-sized df table — one map-side-combined
-    groupBy; (3) df join-back + ONE window pass ranks each doc's n-grams
+    per-row array_distinct, ZERO shuffle (ids are unique, one row per doc,
+    so within-row dedup IS the global dedup); (2) vocabulary-sized df
+    table — one map-side-combined groupBy; (3) df join-back + ONE window pass ranks each doc's n-grams
     rarest-first (row_number and the size count share one Exchange+Sort on
     id); (4) prefix rows self-equi-join on the n-gram — candidate volume =
     sum over n-grams of (prefix-df)^2, bounded by the df tail, never
@@ -437,8 +438,15 @@ def jaccard_join(
         raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
     toks = df.select(id_col, F.split(F.col(text_col), " ").alias("_toks"))
     sh = (
-        toks.select(id_col, F.explode(ngram_expr(F.col("_toks"), n)).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+        # (id, shingle) duplicates can only arise WITHIN one document row
+        # (ids are unique — one row per doc), so a per-row array_distinct
+        # before the explode gives the exact distinct stream with zero
+        # shuffle; dropDuplicates([id, shingle]) here paid a corpus-wide
+        # Exchange for the same result.
+        toks.select(
+            id_col,
+            F.explode(F.array_distinct(ngram_expr(F.col("_toks"), n))).alias("shingle"),
+        )
         # consumed by the df table, the ranked prefix, AND the verify stage
         # (no cross-branch subtree reuse in Spark SQL)
         .localCheckpoint(eager=False)
