@@ -157,29 +157,32 @@ def lsh_candidate_pairs(
     """Banded LSH: docs sharing any full band of min-hashes become a
     candidate pair (id_a < id_b, deduped across bands).
 
-    The signature frame is referenced 2x per band (self-join) across
-    n_bands branches and Spark SQL has no cross-branch subtree reuse, so
-    without materialization the minhash aggregation (and the document scan
-    under it) executes 2*n_bands times. A LAZY localCheckpoint makes every
-    branch share one computation — no extra job (the first action
-    materializes it) and the blocks are GC-released with the frame."""
+    Plan shape: ONE band_keys explode into (id, band_id, band_key) rows
+    and a single self-equi-join on BOTH key columns — the same candidate
+    set as the previous n_bands unioned self-join branches (a pair shares
+    band b iff its rows join at band_id = b) at one join stage instead of
+    n_bands, with the same shuffle volume (n_bands rows per doc either
+    way). Same restructure as ann.lsh_topk_multi's posexplode form.
+
+    The signature frame feeds both self-join sides through the explode
+    and Spark SQL has no cross-branch subtree reuse, so without
+    materialization the minhash aggregation (and the document scan under
+    it) executes twice. A LAZY localCheckpoint makes both sides share one
+    computation — no extra job (the first action materializes it) and the
+    blocks are GC-released with the frame; checkpointing the compact
+    signatures (k longs/doc) rather than the exploded band rows keeps the
+    materialized state minimal, the explode re-runs as a narrow map per
+    side."""
     sigs = sigs.localCheckpoint(eager=False)
-    n_bands = k // band_rows
-    pairs = None
-    for b in range(n_bands):
-        cols = [f"mh{j}" for j in range(b * band_rows, (b + 1) * band_rows)]
-        band = sigs.select(id_col, F.concat_ws("|", *cols).alias("band_key"))
-        a = band.alias("a")
-        bb = band.alias("b")
-        p = (
-            a.join(bb, "band_key")
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-            )
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.dropDuplicates(["id_a", "id_b"])
+    bands = band_keys(sigs, id_col=id_col, k=k, band_rows=band_rows)
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def jaccard_verify(
