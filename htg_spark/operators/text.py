@@ -69,22 +69,30 @@ def bpe_token_stats(
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token statistics: token count, distinct tokens,
-    char count, average token length, type-token ratio (quality proxy)."""
-    toks = df.select(id_col, F.explode(tokens_col(F.col(text_col))).alias("tok"))
-    return (
-        toks.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.countDistinct("tok").alias("n_distinct"),
-            F.sum(F.length("tok")).alias("n_token_chars"),
-        )
-        .select(
-            id_col,
-            "n_tokens",
-            "n_distinct",
-            (F.col("n_token_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
-            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("type_token_ratio"),
-        )
+    char count, average token length, type-token ratio (quality proxy).
+
+    All array expressions over the per-row token array — no explode, no
+    shuffle, pure projection (the bpe_token_stats shape). The previous
+    explode + groupBy(id) form paid an Exchange whose countDistinct
+    partial phase shuffled every distinct (id, token) pair corpus-wide
+    for numbers the row already contains: per-row array_distinct IS the
+    per-document distinct (one row per doc). split() always yields at
+    least one element, so no doc drops out (the exploded form never
+    produced an empty group either)."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        (total_len.cast("double") / n.cast("double")).alias("avg_token_len"),
+        (n_distinct.cast("double") / n.cast("double")).alias("type_token_ratio"),
     )
 
 
