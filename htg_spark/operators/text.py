@@ -338,17 +338,25 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 
     t = F.col(text_col)
     # materialize the token array once, then shingle over the array column
-    # (inlining split() in the lambda is O(tokens^2) — see dedup.bigrams_expr)
+    # (inlining split() in the lambda is O(tokens^2) — see dedup.bigrams_expr).
+    # The min is a per-row fact of the shingle array, so take it with
+    # array_min over the hashed array — pure projection, no explode, no
+    # groupBy Exchange (the token_stats/bpe_token_stats shape). A doc with
+    # < 2 tokens has an empty shingle array: array_min(empty) is NULL,
+    # exactly what min() over the old explode_outer's single NULL row gave;
+    # both forms compare md5 hex strings with the same string ordering.
     pre = df.select(
         id_col,
         F.md5(F.encode(t, "UTF-8")).alias("md5_fp"),
         F.split(t, " ").alias("_toks"),
     )
-    df2 = pre.select(
+    return pre.select(
         id_col,
         "md5_fp",
-        F.explode_outer(bigrams_expr(F.col("_toks"))).alias("shingle"),
-    )
-    return df2.groupBy(id_col, "md5_fp").agg(
-        F.min(F.md5(F.encode(F.col("shingle"), "UTF-8"))).alias("min_shingle_fp")
+        F.array_min(
+            F.transform(
+                bigrams_expr(F.col("_toks")),
+                lambda s: F.md5(F.encode(s, "UTF-8")),
+            )
+        ).alias("min_shingle_fp"),
     )
