@@ -77,8 +77,11 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     partial phase shuffled every distinct (id, token) pair corpus-wide
     for numbers the row already contains: per-row array_distinct IS the
     per-document distinct (one row per doc). split() always yields at
-    least one element, so no doc drops out (the exploded form never
-    produced an empty group either)."""
+    least one element for non-null text, so no doc drops out (the
+    exploded form never produced an empty group either); NULL-text rows
+    are filtered to mirror the exploded form exactly (explode of a NULL
+    array emitted nothing, so those docs were absent from the output)."""
+    df = df.where(F.col(text_col).isNotNull())
     toks = tokens_col(F.col(text_col))
     n = F.size(toks).cast("long")
     total_len = F.aggregate(
